@@ -1,0 +1,196 @@
+"""pixelbox-tpu CLI — the library's operational surface.
+
+The reference ships an egui desktop GUI (src/main.rs, src/ui/*); the
+TPU-native build is a server-side framework, so the equivalent surface is
+this CLI (plus the web UI in ``pixelbox_tpu.serve``).  Subcommands map to
+the GUI's capabilities:
+
+    init <db>                      — "New DB" (menutabs.rs:11-19)
+    add-folder/remove-folder/folders — folders panel (folders.rs:26-41)
+    index <db>                     — "Reindex" button (folders.rs:60-62)
+    search <db> <query...>         — search panel text query (search.rs:40-49)
+    similar <db> <image>           — drag-and-drop / "Search for similar"
+    show <db> <id>                 — view panel metadata (view.rs:14-78)
+    stats <db>                     — settings/status surfaces
+    serve <db>                     — thin web UI
+    bench                          — perf harness (see bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _open_engine(args, create=False):
+    from pixelbox_tpu.engine import Engine
+
+    kwargs = {}
+    if getattr(args, "embedder", None):
+        kwargs["embedder"] = args.embedder
+    if getattr(args, "dim", None):
+        kwargs["dim"] = args.dim
+    return Engine(args.db, create=create, **kwargs)
+
+
+def _print_results(engine, as_json=False):
+    results = engine.get_query_results() or []
+    if as_json:
+        print(
+            json.dumps(
+                [
+                    {
+                        "id": r.id,
+                        "filename": r.filename,
+                        "path": r.path,
+                        "resolution": list(r.resolution),
+                        "distance": r.distance_from_query,
+                        "tags": r.tags,
+                    }
+                    for r in results
+                ],
+                indent=2,
+            )
+        )
+        return
+    for r in results:
+        dist = "" if r.distance_from_query is None else f"  dist={r.distance_from_query:.6f}"
+        # Similarity display matches the search panel: 1/(1+dist)
+        # (reference src/ui/search.rs:91).
+        sim = (
+            ""
+            if r.distance_from_query is None
+            else f"  sim={1.0 / (1.0 + r.distance_from_query):.4f}"
+        )
+        print(f"{r.id:6d}  {r.path}{dist}{sim}")
+    print(f"{len(results)} results", file=sys.stderr)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pixelbox-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_db_cmd(name, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("db", help="catalog database path")
+        sp.add_argument("--embedder", default="stub", help="stub|efficientnet|blip")
+        sp.add_argument("--dim", type=int, default=None, help="embedding width")
+        return sp
+
+    add_db_cmd("init", help="create a new library database")
+
+    sp = add_db_cmd("add-folder", help="track a folder for indexing")
+    sp.add_argument("folder")
+    sp = add_db_cmd("remove-folder", help="stop tracking a folder")
+    sp.add_argument("folder")
+    add_db_cmd("folders", help="list tracked folders")
+
+    sp = add_db_cmd("index", help="crawl tracked folders and index new images")
+    sp.add_argument("--workers", type=int, default=None)
+
+    sp = add_db_cmd("search", help="text query (supports similar:/tag:/exif:/all:)")
+    sp.add_argument("query", nargs="+")
+    sp.add_argument("--json", action="store_true")
+    sp.add_argument("--limit", type=int, default=100)
+
+    sp = add_db_cmd("similar", help="find images similar to a file")
+    sp.add_argument("image")
+    sp.add_argument("--json", action="store_true")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.add_argument("--max-distance", type=float, default=1e3)
+
+    sp = add_db_cmd("show", help="show one indexed image's metadata")
+    sp.add_argument("id", type=int)
+
+    add_db_cmd("stats", help="index statistics")
+
+    sp = add_db_cmd("serve", help="serve the thin web UI")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8333)
+
+    args = p.parse_args(argv)
+
+    from pixelbox_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.cmd == "init":
+        engine = _open_engine(args, create=True)
+        print(f"Created library at {args.db}")
+        engine.close()
+        return 0
+
+    engine = _open_engine(args)
+    try:
+        if args.cmd == "add-folder":
+            engine.add_tracked_folder(args.folder)
+            print(f"Tracking {args.folder}")
+        elif args.cmd == "remove-folder":
+            engine.remove_tracked_folder(args.folder)
+            print(f"Stopped tracking {args.folder}")
+        elif args.cmd == "folders":
+            for f in engine.get_tracked_folders():
+                print(f)
+        elif args.cmd == "index":
+            engine.start_indexing(num_workers=args.workers)
+            engine.wait_for_indexing()
+            pl = engine._pipeline
+            print(f"Indexed images: {engine.get_num_indexed_images()}")
+        elif args.cmd == "search":
+            from pixelbox_tpu.query import QueryTokenizeError
+
+            engine.max_search_results = args.limit
+            try:
+                engine.query(" ".join(args.query))
+            except QueryTokenizeError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            _print_results(engine, as_json=args.json)
+        elif args.cmd == "similar":
+            engine.max_search_results = args.limit
+            engine.max_distance_from_query = args.max_distance
+            engine.query_by_image_hash_from_file(args.image)
+            if engine.last_query_error:
+                print(f"error: {engine.last_query_error}", file=sys.stderr)
+                return 1
+            _print_results(engine, as_json=args.json)
+        elif args.cmd == "show":
+            info = engine.catalog.get_image(args.id)
+            if info is None:
+                print(f"No image with id {args.id}", file=sys.stderr)
+                return 1
+            info["tags"] = engine.catalog.get_tags(args.id)
+            info["thumbnail"] = (
+                f"<{len(info['thumbnail'])} bytes QOI>" if info["thumbnail"] else None
+            )
+            print(json.dumps(info, indent=2))
+        elif args.cmd == "stats":
+            from pixelbox_tpu.utils.timing import get_stats
+
+            n = engine.get_num_indexed_images()
+            print(
+                json.dumps(
+                    {
+                        "images": n,
+                        "tracked_folders": engine.get_tracked_folders(),
+                        "semantic_dim": (
+                            engine._sem_store.dim if engine._sem_store else None
+                        ),
+                        "phash_dim": engine._ph_store.dim if engine._ph_store else None,
+                        "timings": get_stats(),
+                    },
+                    indent=2,
+                )
+            )
+        elif args.cmd == "serve":
+            from pixelbox_tpu.serve import serve
+
+            serve(engine, host=args.host, port=args.port)
+    finally:
+        engine.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,463 @@
+"""Engine — the top-level index/query API (reference src/engine.rs:79-439).
+
+Same public surface as the reference's ``Engine``, re-architected TPU-first:
+SQLite survives only as the host-side metadata catalog (durable mirror of
+the hashes); distances are computed by device scans over packed HBM-resident
+stores; ingest is a batched host-decode → device-embed pipeline.
+
+Semantics kept from the reference:
+
+- ``new``/``open`` lifecycle with WAL + idempotent inserts (engine.rs:98-145);
+- query language incl. the sticky ``similar:`` image cache, compared
+  case-insensitively by path (engine.rs:510-537);
+- text queries INNER JOIN semantic_hashes — images lacking a semantic hash
+  never appear (engine.rs:306);
+- text queries order by distance to the cached similar-image (0.0 when none)
+  and do NOT apply the distance threshold (engine.rs:294-315);
+- image-hash queries apply strict ``dist < max_distance_from_query``
+  (engine.rs:375-383);
+- results cached until the next query (engine.rs:390-402).
+
+Deliberate divergences (reference bugs fixed, each noted inline):
+- ``max_search_results`` actually limits results (the reference hardcodes
+  LIMIT 100 and never binds the field, engine.rs:314, 383);
+- ``filename:`` matches the remainder, not the whole token (engine.rs:556-558);
+- a pure ``similar:<path>`` query works alone (in the reference an empty
+  WHERE clause makes the assembled SQL fail to parse);
+- SQL filters are parameterized (injection at engine.rs:543-560 fixed).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixelbox_tpu.index.catalog import Catalog
+from pixelbox_tpu.index.store import VectorStore
+from pixelbox_tpu.ingest.decode import (
+    DecodedImage,
+    decode_image_bytes,
+    decode_image_file,
+    stringify_filepath,
+)
+from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
+from pixelbox_tpu.models import get_embedder
+from pixelbox_tpu.ops import phash as phash_ops
+from pixelbox_tpu.ops.distances import cosine_distance
+from pixelbox_tpu.ops.scan import cosine_scan_topk, hamming_scan_topk
+from pixelbox_tpu.query import parse_query
+from pixelbox_tpu.records import IndexedImage
+from pixelbox_tpu.utils.timing import timed
+
+DEFAULT_MAX_QUERY_DISTANCE = 1e3  # engine.rs:23
+DEFAULT_MAX_SEARCH_RESULTS = 100  # engine.rs:24
+RECENT_IMAGES_TO_SHOW = 10        # engine.rs:25
+
+
+class Engine:
+    """Index + query engine over a catalog DB and device vector stores."""
+
+    def __init__(
+        self,
+        db_path: str,
+        create: bool = False,
+        embedder: str = "stub",
+        embedder_kwargs: Optional[dict] = None,
+        dim: Optional[int] = None,
+        phash_compat: bool = True,
+    ):
+        self.catalog = Catalog(db_path, create=create)
+        self.db_path = db_path
+        self.phash_compat = phash_compat
+
+        self._embedder_name = embedder
+        self._embedder_kwargs = dict(embedder_kwargs or {})
+        if dim is not None:
+            self._embedder_kwargs.setdefault("dim", dim)
+        self._embedder = None  # lazy, like the reference's lazy_static MODEL
+
+        # Searching and filtering (public fields, engine.rs:91-92).
+        self.max_search_results: int = DEFAULT_MAX_SEARCH_RESULTS
+        self.max_distance_from_query: float = DEFAULT_MAX_QUERY_DISTANCE
+        self._cached_search_results: Optional[List[IndexedImage]] = None
+        self._cached_image_search: Optional[IndexedImage] = None
+        self.last_query_error: Optional[str] = None
+
+        # Device stores + row↔image_id mappings, rebuilt from the catalog
+        # (the durable source of truth).
+        self._sem_store: Optional[VectorStore] = None
+        self._sem_image_ids: List[int] = []
+        self._sem_row_by_image: dict = {}
+        self._ph_store: Optional[VectorStore] = None
+        self._ph_image_ids: List[int] = []
+        self._ph_row_by_image: dict = {}
+        self._load_stores()
+
+        # Indexing state.
+        self._pipeline = None
+        self._cached_index_size: Optional[int] = None
+        self._recently_indexed: List[str] = []
+        self._recent_lock = threading.Lock()
+
+    # ------------------------------------------------------------------ #
+    # Lifecycle (engine.rs:98-145)
+
+    @classmethod
+    def new(cls, db_path: str, **kwargs) -> "Engine":
+        """Create a fresh database (like Engine::new, engine.rs:98-115)."""
+        return cls(db_path, create=True, **kwargs)
+
+    @classmethod
+    def open(cls, db_path: str, **kwargs) -> "Engine":
+        """Open an existing database (engine.rs:117-145)."""
+        return cls(db_path, create=False, **kwargs)
+
+    def _load_stores(self) -> None:
+        sem = list(self.catalog.iter_hashes("semantic_hashes"))
+        ph = list(self.catalog.iter_hashes("phashes"))
+        if sem:
+            dim = len(sem[0][1])
+            self._sem_store = VectorStore(dim=dim, kind="semantic")
+            rows = np.frombuffer(b"".join(h for _, h in sem), dtype=np.uint8)
+            self._sem_store.append(rows.reshape(len(sem), dim))
+            self._sem_image_ids = [i for i, _ in sem]
+            self._sem_row_by_image = {img: r for r, img in enumerate(self._sem_image_ids)}
+        if ph:
+            widths = {len(h) for _, h in ph}
+            # Aspect-preserving compat hashes vary in width; pad to the max
+            # (zero-padding changes no xor bits within the true width but
+            # does change the divisor — compat scans over uniform-width
+            # indexes only; mixed widths fall back to per-pair host compare).
+            dim = max(widths)
+            self._ph_store = VectorStore(dim=dim, kind="hamming")
+            mat = np.zeros((len(ph), dim), dtype=np.uint8)
+            for r, (_, h) in enumerate(ph):
+                mat[r, : len(h)] = np.frombuffer(h, dtype=np.uint8)
+            self._ph_store.append(mat)
+            self._ph_image_ids = [i for i, _ in ph]
+            self._ph_row_by_image = {img: r for r, img in enumerate(self._ph_image_ids)}
+
+    @property
+    def embedder(self):
+        if self._embedder is None:
+            self._embedder = get_embedder(self._embedder_name, **self._embedder_kwargs)
+        return self._embedder
+
+    # ------------------------------------------------------------------ #
+    # Index size (engine.rs:157-171)
+
+    def try_get_num_indexed_images(self) -> Optional[int]:
+        return self._cached_index_size
+
+    def get_num_indexed_images(self) -> int:
+        self._cached_index_size = self.catalog.num_images()
+        return self._cached_index_size
+
+    def get_last_added(self) -> List[str]:
+        with self._recent_lock:
+            return list(self._recently_indexed)
+
+    # ------------------------------------------------------------------ #
+    # Ingest (engine.rs:173-259)
+
+    def is_indexing_active(self) -> bool:
+        return self._pipeline is not None and self._pipeline.is_active()
+
+    def start_indexing(self, num_workers: Optional[int] = None) -> None:
+        """Crawl tracked folders and index everything new (engine.rs:177-205)."""
+        from pixelbox_tpu.ingest.pipeline import IngestPipeline
+
+        if self.is_indexing_active():
+            return
+        self._pipeline = IngestPipeline(
+            engine=self,
+            folders=self.get_tracked_folders(),
+            num_workers=num_workers,
+        )
+        self._pipeline.start()
+
+    def stop_indexing(self) -> None:
+        if self._pipeline is not None:
+            self._pipeline.stop()
+            self._pipeline = None
+
+    def wait_for_indexing(self, timeout: Optional[float] = None) -> bool:
+        if self._pipeline is None:
+            return True
+        done = self._pipeline.join(timeout)
+        if done:
+            self._pipeline = None
+        return done
+
+    def insert_image_from_path(self, path: str) -> Optional[int]:
+        record = self.load_image(path)
+        if record is None:
+            raise IOError(f"cannot decode image: {path}")
+        return self.insert_image_from_memory(record)
+
+    def insert_image_from_memory(self, record: IndexedImage) -> Optional[int]:
+        """Insert a fully-hashed record; None if path already indexed."""
+        image_id = self.catalog.insert_image(
+            filename=record.filename,
+            path=record.path,
+            width=record.resolution[0],
+            height=record.resolution[1],
+            thumbnail=record.thumbnail,
+            tags=record.tags,
+            phash=None if record.phash is None else record.phash.tobytes(),
+            semantic_hash=(
+                None if record.visual_hash is None else record.visual_hash.tobytes()
+            ),
+        )
+        if image_id is None:
+            return None
+        self._append_hashes(
+            image_id,
+            record.visual_hash,
+            record.phash,
+        )
+        self._cached_index_size = None
+        with self._recent_lock:
+            self._recently_indexed.append(record.path)
+            del self._recently_indexed[:-RECENT_IMAGES_TO_SHOW]
+        return image_id
+
+    def _append_hashes(self, image_id, visual_hash, phash) -> None:
+        if visual_hash is not None:
+            if self._sem_store is None:
+                self._sem_store = VectorStore(dim=len(visual_hash), kind="semantic")
+            row = int(self._sem_store.append(visual_hash[None, :])[0])
+            self._sem_image_ids.append(image_id)
+            self._sem_row_by_image[image_id] = row
+        if phash is not None:
+            if self._ph_store is None:
+                self._ph_store = VectorStore(dim=len(phash), kind="hamming")
+            if len(phash) != self._ph_store.dim:
+                padded = np.zeros(self._ph_store.dim, dtype=np.uint8)
+                padded[: min(len(phash), len(padded))] = phash[: len(padded)]
+                phash = padded
+            row = int(self._ph_store.append(phash[None, :])[0])
+            self._ph_image_ids.append(image_id)
+            self._ph_row_by_image[image_id] = row
+
+    # ------------------------------------------------------------------ #
+    # Record construction (indexed_image.rs:35-91)
+
+    def load_image(self, path: str) -> Optional[IndexedImage]:
+        """Decode + hash one image file into an IndexedImage record."""
+        decoded = decode_image_file(path)
+        if decoded is None:
+            return None
+        return self._record_from_decoded(decoded)
+
+    def load_image_from_memory(
+        self, data: bytes, filename: str = "", path: str = ""
+    ) -> Optional[IndexedImage]:
+        decoded = decode_image_bytes(data, filename, path)
+        if decoded is None:
+            return None
+        return self._record_from_decoded(decoded)
+
+    def _record_from_decoded(self, decoded: DecodedImage) -> IndexedImage:
+        thumb = qoi_encode(make_thumbnail(decoded.rgb))
+        ph = phash_ops.phash(decoded.rgb, aspect_preserving=self.phash_compat)
+        vh = self.embedder.mlhash(decoded.rgb)
+        return IndexedImage(
+            filename=decoded.filename,
+            path=decoded.path,
+            resolution=decoded.resolution,
+            thumbnail=thumb,
+            tags=decoded.tags,
+            phash=ph,
+            visual_hash=vh,
+        )
+
+    # ------------------------------------------------------------------ #
+    # Tracked folders (engine.rs:404-439)
+
+    def add_tracked_folder(self, folder_glob: str) -> None:
+        self.catalog.add_tracked_folder(folder_glob)
+
+    def remove_tracked_folder(self, folder_glob: str) -> None:
+        self.catalog.remove_tracked_folder(folder_glob)
+
+    def get_tracked_folders(self) -> List[str]:
+        return self.catalog.get_tracked_folders()
+
+    # ------------------------------------------------------------------ #
+    # Text query (engine.rs:261-350)
+
+    def query(self, user_input: str) -> None:
+        """Run a text query; results via :meth:`get_query_results`.
+
+        Raises QueryTokenizeError on malformed input (the reference's Err).
+        """
+        self.last_query_error = None
+        if not user_input:
+            return  # bail early, keep previous results (engine.rs:273)
+
+        parsed = parse_query(user_input)
+        self._cached_search_results = None
+
+        # `similar:` — recompute the cached query image only when the path
+        # changed (case-insensitive), engine.rs:510-533.  The cache is
+        # sticky: later queries without `similar:` keep this ordering.
+        if parsed.similar_path is not None:
+            cached = self._cached_image_search
+            needs_recalc = cached is None or not (
+                cached.path.lower() == parsed.similar_path.lower()
+            )
+            if needs_recalc:
+                t0 = time.perf_counter()
+                record = self.load_image(parsed.similar_path)
+                print(
+                    f"Time to compute image hash: {time.perf_counter()-t0:.3f}s"
+                )
+                self._cached_image_search = record
+                if record is not None:
+                    # Remember the path as typed for the staleness compare.
+                    record.path = parsed.similar_path
+
+        # Candidate rows: text filters via the catalog; INNER JOIN
+        # semantic_hashes semantics — only images with embeddings match.
+        if parsed.has_filter:
+            ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
+            rows = np.array(
+                [self._sem_row_by_image[i] for i in ids if i in self._sem_row_by_image],
+                dtype=np.int64,
+            )
+        else:
+            rows = np.arange(len(self._sem_image_ids), dtype=np.int64)
+
+        k = int(self.max_search_results)
+        sim = self._cached_image_search
+        if sim is not None and sim.visual_hash is not None and len(rows):
+            # Order by cosine distance to the cached image over the matched
+            # subset; NO distance threshold on this path (engine.rs:294-315).
+            db_rows = self._sem_store.get_rows(rows)
+            with timed("engine.text_query_scan"):
+                dists = np.asarray(
+                    cosine_distance(
+                        jnp.asarray(sim.visual_hash)[None, :], jnp.asarray(db_rows)
+                    )
+                )
+            order = np.argsort(dists, kind="stable")[:k]
+            sel = rows[order]
+            sel_dists = dists[order]
+        else:
+            sel = rows[:k]  # id order, dist 0.0 (engine.rs:291-293)
+            sel_dists = np.zeros(len(sel), dtype=np.float32)
+
+        self._cached_search_results = self._build_results(sel, sel_dists)
+        print(f"{len(self._cached_search_results)} results")
+
+    # ------------------------------------------------------------------ #
+    # Visual similarity query (engine.rs:352-396)
+
+    def query_by_image_hash_from_file(self, path: str) -> None:
+        self._cached_search_results = None
+        t0 = time.perf_counter()
+        record = self.load_image(path)
+        print(f"Time to compute image hash: {time.perf_counter()-t0:.3f}s")
+        if record is None:
+            self.last_query_error = f"cannot decode image: {path}"
+            return
+        self.query_by_image_hash_from_image(record)
+
+    def query_by_image_hash_from_image(self, record: IndexedImage) -> None:
+        if record.visual_hash is None:
+            print("TODO: IndexedImage is somehow missing a hash!")
+            return
+        self._cached_search_results = None
+        if self._sem_store is None or self._sem_store.size == 0:
+            self._cached_search_results = []
+            return
+        t0 = time.perf_counter()
+        k = int(self.max_search_results)
+        with timed("engine.similarity_scan"):
+            dist, idx = cosine_scan_topk(
+                jnp.asarray(record.visual_hash),
+                self._sem_store.device_index,
+                k=k,
+                max_distance=float(self.max_distance_from_query),
+            )
+        dist = np.asarray(dist)
+        idx = np.asarray(idx)
+        keep = idx >= 0
+        self._cached_search_results = self._build_results(idx[keep], dist[keep])
+        n = len(self._cached_search_results)
+        print(f"Time to search DB: {time.perf_counter()-t0:.3f}s  Results: {n}")
+
+    def query_by_phash(self, phash_bytes: np.ndarray, k: Optional[int] = None) -> None:
+        """Perceptual-hash (Hamming) search — the capability behind the
+        reference's phash table + hamming UDF (engine.rs:594-663)."""
+        self._cached_search_results = None
+        if self._ph_store is None or self._ph_store.size == 0:
+            self._cached_search_results = []
+            return
+        q = np.zeros(self._ph_store.dim, dtype=np.uint8)
+        ph = np.asarray(phash_bytes, dtype=np.uint8)
+        q[: min(len(ph), len(q))] = ph[: len(q)]
+        dist, idx = hamming_scan_topk(
+            jnp.asarray(q),
+            self._ph_store.device_index,
+            k=int(k or self.max_search_results),
+            max_distance=float(self.max_distance_from_query),
+        )
+        dist = np.asarray(dist)
+        idx = np.asarray(idx)
+        keep = idx >= 0
+        results = []
+        for row, d in zip(idx[keep], dist[keep]):
+            image_id = self._ph_image_ids[int(row)]
+            rec = self._record_from_catalog(image_id)
+            if rec is not None:
+                rec.distance_from_query = float(d)
+                results.append(rec)
+        self._cached_search_results = results
+
+    # ------------------------------------------------------------------ #
+    # Results (engine.rs:398-402)
+
+    def get_query_results(self) -> Optional[List[IndexedImage]]:
+        return self._cached_search_results
+
+    def clear_query_results(self) -> None:
+        self._cached_search_results = None
+
+    def _build_results(self, rows, dists) -> List[IndexedImage]:
+        out = []
+        for row, d in zip(rows, dists):
+            image_id = self._sem_image_ids[int(row)]
+            rec = self._record_from_catalog(image_id)
+            if rec is None:
+                continue
+            rec.visual_hash = self._sem_store.get_rows([int(row)])[0]
+            rec.distance_from_query = float(d)
+            out.append(rec)
+        return out
+
+    def _record_from_catalog(self, image_id: int) -> Optional[IndexedImage]:
+        info = self.catalog.get_image(image_id)
+        if info is None:
+            return None
+        return IndexedImage(
+            id=info["id"],
+            filename=info["filename"],
+            path=info["path"],
+            resolution=info["resolution"],
+            thumbnail=info["thumbnail"],
+            tags=self.catalog.get_tags(image_id),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def close(self) -> None:
+        self.stop_indexing()
+        self.catalog.close()

@@ -1,0 +1,284 @@
+"""Host-side SQLite catalog — image metadata, tags, tracked folders.
+
+Keeps the reference's exact schema (src/engine.rs:31-48): ``images``,
+``tags``, ``watched_directories``, and the two hash tables created from one
+template (``phashes`` / ``semantic_hashes``), so an existing pixelbox
+database opens unchanged.  The difference is the division of labor: the
+reference also *computes* in SQLite (scalar distance UDFs scanned per row,
+engine.rs:608-663); here SQLite only stores metadata + durable hash blobs,
+and all distance compute happens on device over the packed stores.  The
+distance UDFs are still registered (same names/semantics) so ad-hoc SQL
+queries against the DB keep working.
+
+Durability semantics match the reference: WAL journaling (engine.rs:122),
+``INSERT OR IGNORE`` with ``UNIQUE(path)`` making re-indexing idempotent
+(engine.rs:40, 231), separate read-only connections for queries
+(engine.rs:119-120).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pixelbox_tpu.ops import oracle
+
+# Schemas verbatim from reference src/engine.rs:31-48.
+IMAGE_SCHEMA_V1 = """CREATE TABLE images (
+    id               INTEGER PRIMARY KEY,
+    filename         TEXT NOT NULL,
+    path             TEXT NOT NULL,
+    image_width      INTEGER,
+    image_height     INTEGER,
+    thumbnail        BLOB,
+    created          DATETIME,
+    indexed          DATETIME,
+    UNIQUE(path)
+)"""
+TAG_SCHEMA_V1 = """CREATE TABLE tags (
+    image_id        INTEGER,
+    name            TEXT NOT NULL,
+    value           TEXT
+)"""
+WATCHED_DIRECTORIES_SCHEMA_V1 = (
+    "CREATE TABLE watched_directories (glob TEXT PRIMARY KEY)"
+)
+HASH_TABLE_SCHEMA_V1 = (
+    "CREATE TABLE {tablename} (image_id INTEGER PRIMARY KEY, hash BLOB)"
+)
+
+
+def _register_distance_udfs(conn: sqlite3.Connection) -> None:
+    """Register the reference's three distance UDFs (engine.rs:608-663)."""
+
+    def cosine_distance(a: bytes, b: bytes) -> float:
+        return float(
+            oracle.cosine_distance_np(
+                np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+            )
+        )
+
+    def byte_distance(a: bytes, b: bytes) -> float:
+        return float(
+            oracle.byte_distance_np(
+                np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+            )
+        )
+
+    def hamming_distance(a: bytes, b: bytes) -> float:
+        return float(
+            oracle.hamming_distance_np(
+                np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+            )
+        )
+
+    conn.create_function("cosine_distance", 2, cosine_distance, deterministic=True)
+    conn.create_function("byte_distance", 2, byte_distance, deterministic=True)
+    conn.create_function("hamming_distance", 2, hamming_distance, deterministic=True)
+
+
+class Catalog:
+    """SQLite-backed metadata catalog with the reference schema."""
+
+    def __init__(self, db_path: str, create: bool = False):
+        self.db_path = str(db_path)
+        exists = Path(self.db_path).exists() or self.db_path == ":memory:"
+        if create and self.db_path != ":memory:" and not Path(self.db_path).exists():
+            exists = False
+        self._local = threading.local()
+        self._lock = threading.Lock()
+        conn = self._connect()
+        if create or not exists:
+            self._create_schema(conn)
+        conn.execute("PRAGMA journal_mode=WAL")
+
+    # ------------------------------------------------------------------ #
+
+    def _connect(self) -> sqlite3.Connection:
+        """Per-thread connection (sqlite3 objects are thread-bound)."""
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.db_path, timeout=30.0)
+            conn.execute("PRAGMA journal_mode=WAL")
+            _register_distance_udfs(conn)
+            self._local.conn = conn
+        return conn
+
+    @staticmethod
+    def _create_schema(conn: sqlite3.Connection) -> None:
+        cur = conn.cursor()
+        for schema in (IMAGE_SCHEMA_V1, WATCHED_DIRECTORIES_SCHEMA_V1, TAG_SCHEMA_V1):
+            cur.execute(schema)
+        # phashes / semantic_hashes from one template (engine.rs:106-109).
+        cur.execute(HASH_TABLE_SCHEMA_V1.format(tablename="phashes"))
+        cur.execute(HASH_TABLE_SCHEMA_V1.format(tablename="semantic_hashes"))
+        conn.commit()
+
+    # ------------------------------------------------------------------ #
+    # Images
+
+    def insert_image(
+        self,
+        filename: str,
+        path: str,
+        width: int,
+        height: int,
+        thumbnail: Optional[bytes] = None,
+        tags: Optional[Dict[str, str]] = None,
+        phash: Optional[bytes] = None,
+        semantic_hash: Optional[bytes] = None,
+    ) -> Optional[int]:
+        """Idempotent insert (INSERT OR IGNORE on UNIQUE(path), engine.rs:228-259).
+
+        Returns the image id, or None if the path was already indexed.
+        """
+        conn = self._connect()
+        with self._lock:
+            cur = conn.execute(
+                "INSERT OR IGNORE INTO images (filename, path, image_width,"
+                " image_height, thumbnail) VALUES (?, ?, ?, ?, ?)",
+                (filename, path, width, height, thumbnail),
+            )
+            if cur.rowcount == 0:
+                conn.commit()
+                return None
+            image_id = cur.lastrowid
+            if tags:
+                conn.executemany(
+                    "INSERT OR IGNORE INTO tags (image_id, name, value) VALUES (?, ?, ?)",
+                    [(image_id, k, v) for k, v in tags.items()],
+                )
+            if phash is not None:
+                conn.execute(
+                    "INSERT OR IGNORE INTO phashes (image_id, hash) VALUES (?, ?)",
+                    (image_id, sqlite3.Binary(phash)),
+                )
+            if semantic_hash is not None:
+                conn.execute(
+                    "INSERT OR IGNORE INTO semantic_hashes (image_id, hash) VALUES (?, ?)",
+                    (image_id, sqlite3.Binary(semantic_hash)),
+                )
+            conn.commit()
+            return image_id
+
+    def get_image(self, image_id: int) -> Optional[dict]:
+        conn = self._connect()
+        row = conn.execute(
+            "SELECT id, filename, path, image_width, image_height, thumbnail"
+            " FROM images WHERE id = ?",
+            (image_id,),
+        ).fetchone()
+        if row is None:
+            return None
+        return self._image_rowdict(row)
+
+    def get_images(self, image_ids: Sequence[int]) -> List[Optional[dict]]:
+        return [self.get_image(i) for i in image_ids]
+
+    @staticmethod
+    def _image_rowdict(row) -> dict:
+        return {
+            "id": row[0],
+            "filename": row[1],
+            "path": row[2],
+            "resolution": (row[3], row[4]),
+            "thumbnail": row[5],
+        }
+
+    def get_image_by_path(self, path: str) -> Optional[dict]:
+        conn = self._connect()
+        row = conn.execute(
+            "SELECT id, filename, path, image_width, image_height, thumbnail"
+            " FROM images WHERE path = ?",
+            (path,),
+        ).fetchone()
+        return None if row is None else self._image_rowdict(row)
+
+    def has_path(self, path: str) -> bool:
+        conn = self._connect()
+        return (
+            conn.execute("SELECT 1 FROM images WHERE path = ?", (path,)).fetchone()
+            is not None
+        )
+
+    def num_images(self) -> int:
+        conn = self._connect()
+        return conn.execute("SELECT COUNT(*) FROM images").fetchone()[0]
+
+    def get_tags(self, image_id: int) -> Dict[str, str]:
+        conn = self._connect()
+        return {
+            name: value
+            for name, value in conn.execute(
+                "SELECT name, value FROM tags WHERE image_id = ?", (image_id,)
+            )
+        }
+
+    # ------------------------------------------------------------------ #
+    # Hashes (durable mirror of the device stores)
+
+    def iter_hashes(self, table: str) -> Iterable[Tuple[int, bytes]]:
+        assert table in ("phashes", "semantic_hashes"), table
+        conn = self._connect()
+        yield from conn.execute(
+            f"SELECT image_id, hash FROM {table} ORDER BY image_id"
+        )
+
+    def get_hash(self, table: str, image_id: int) -> Optional[bytes]:
+        assert table in ("phashes", "semantic_hashes"), table
+        conn = self._connect()
+        row = conn.execute(
+            f"SELECT hash FROM {table} WHERE image_id = ?", (image_id,)
+        ).fetchone()
+        return None if row is None else row[0]
+
+    # ------------------------------------------------------------------ #
+    # Tracked folders (engine.rs:404-439)
+
+    def add_tracked_folder(self, folder_glob: str) -> None:
+        conn = self._connect()
+        with self._lock:
+            conn.execute(
+                "INSERT OR IGNORE INTO watched_directories (glob) VALUES (?)",
+                (folder_glob,),
+            )
+            conn.commit()
+
+    def remove_tracked_folder(self, folder_glob: str) -> None:
+        conn = self._connect()
+        with self._lock:
+            conn.execute(
+                "DELETE FROM watched_directories WHERE glob = ?", (folder_glob,)
+            )
+            conn.commit()
+
+    def get_tracked_folders(self) -> List[str]:
+        conn = self._connect()
+        return [r[0] for r in conn.execute("SELECT glob FROM watched_directories")]
+
+    # ------------------------------------------------------------------ #
+
+    def filter_images(self, where_sql: str, params: Sequence) -> List[int]:
+        """Image ids matching a parameterized WHERE over images⋈tags.
+
+        Used by the text-query engine (``pixelbox_tpu.query``); unlike the
+        reference's string-interpolated LIKE clauses (engine.rs:543-560,
+        acknowledged SQL-injectable), everything is bound as parameters.
+        """
+        conn = self._connect()
+        sql = (
+            "SELECT DISTINCT images.id FROM images"
+            " LEFT JOIN tags ON images.id = tags.image_id"
+            f" WHERE {where_sql} ORDER BY images.id"
+        )
+        return [r[0] for r in conn.execute(sql, tuple(params))]
+
+    def close(self) -> None:
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            conn.close()
+            self._local.conn = None

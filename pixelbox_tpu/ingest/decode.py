@@ -1,0 +1,117 @@
+"""Host-side image decode + EXIF extraction (PIL).
+
+Decode mirrors the reference's per-file work (src/indexed_image.rs:47-91):
+guessed-format decode, EXIF tag map, 256×256 QOI thumbnail, both hashes —
+except hashes here are computed in device batches by the pipeline, so this
+module only produces the decoded RGB array + metadata.
+
+Supported extensions replicate the crawler's list (src/crawler.rs:7).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# src/crawler.rs:7 — matched case-insensitively.
+SUPPORTED_IMAGE_EXTENSIONS = (
+    "png", "bmp", "jpg", "jpeg", "jfif", "gif", "tiff", "pnm",
+    "webp", "ico", "tga", "exr",
+)
+
+
+def is_supported_image(path: str) -> bool:
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    return ext in SUPPORTED_IMAGE_EXTENSIONS
+
+
+@dataclass
+class DecodedImage:
+    filename: str
+    path: str
+    rgb: np.ndarray  # HxWx3 uint8
+    resolution: Tuple[int, int]  # (width, height) of the ORIGINAL image
+    tags: Dict[str, str] = field(default_factory=dict)
+
+
+def extract_exif_tags(pil_img) -> Dict[str, str]:
+    """EXIF → {tag name: display value}, like kamadak-exif's field list
+    (reference src/indexed_image.rs:60-67)."""
+    tags: Dict[str, str] = {}
+    try:
+        from PIL.ExifTags import TAGS, GPSTAGS
+
+        exif = pil_img.getexif()
+        if exif is None:
+            return tags
+        for tag_id, value in exif.items():
+            name = TAGS.get(tag_id, f"Tag{tag_id}")
+            tags[str(name)] = _display_value(value)
+        # IFD sub-blocks (Exif, GPS) — PIL keeps them separate.
+        try:
+            from PIL.Image import ExifTags as _ET  # noqa: F401
+        except Exception:
+            pass
+        for ifd_id in (0x8769, 0x8825):  # ExifIFD, GPSIFD
+            try:
+                ifd = exif.get_ifd(ifd_id)
+            except Exception:
+                continue
+            table = GPSTAGS if ifd_id == 0x8825 else TAGS
+            for tag_id, value in ifd.items():
+                name = table.get(tag_id, f"Tag{tag_id}")
+                tags[str(name)] = _display_value(value)
+    except Exception:
+        pass
+    return tags
+
+
+def _display_value(value) -> str:
+    if isinstance(value, bytes):
+        try:
+            return value.decode("utf-8", "replace").strip("\x00 ")
+        except Exception:
+            return value.hex()
+    return str(value)
+
+
+def decode_image_bytes(
+    data: bytes, filename: str, path: str
+) -> Optional[DecodedImage]:
+    """Decode from memory (guessed format, like indexed_image.rs:53)."""
+    try:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            im.load()
+            width, height = im.size
+            tags = extract_exif_tags(im)
+            rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        return DecodedImage(
+            filename=filename, path=path, rgb=rgb,
+            resolution=(width, height), tags=tags,
+        )
+    except Exception:
+        # Per-file decode failures are skipped, matching crawler.rs:78-80.
+        return None
+
+
+def decode_image_file(path: str) -> Optional[DecodedImage]:
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    return decode_image_bytes(data, os.path.basename(path), stringify_filepath(path))
+
+
+def stringify_filepath(path: str) -> str:
+    """Canonical path string (reference src/indexed_image.rs:101-103)."""
+    try:
+        return os.path.realpath(path)
+    except OSError:
+        return os.path.abspath(path)

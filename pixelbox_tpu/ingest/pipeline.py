@@ -1,0 +1,207 @@
+"""Batched ingest pipeline: crawl → decode pool → device embed → append.
+
+The reference's ingest (src/crawler.rs + engine.rs:173-216) is a 3-stage
+CPU pipeline: glob thread → 4 decode workers (each doing a full per-image
+ONNX forward on CPU) → DB-writer thread, joined by channels with a
+bounded(128) buffer.
+
+The TPU-native shape keeps the host topology but moves embedding to the
+device in batches:
+
+    [walker thread]   glob walk + extension filter + already-indexed skip
+          │ path queue (unbounded, like crawler.rs:27)
+    [decode pool xN]  decode → EXIF → QOI thumbnail → phash → 224² preprocess
+          │ item queue (bounded 128, backpressure like crawler.rs:8,28)
+    [device thread]   stack batch → jitted embed → quantize → append to
+                      catalog + packed stores (single writer, engine.rs:186)
+
+The device thread is the lone writer (same discipline as the reference's
+single DB-writer thread), so stores/catalog need no extra synchronization.
+Stopping mid-run is safe: inserts are idempotent by path, so a re-index
+resumes where it left off (engine.rs:231 semantics).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pixelbox_tpu.ingest.crawler import crawl
+from pixelbox_tpu.ingest.decode import decode_image_file
+from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
+from pixelbox_tpu.ops import phash as phash_ops
+from pixelbox_tpu.ops.preprocess import preprocess_host
+from pixelbox_tpu.ops.quantize import quantize_embedding
+from pixelbox_tpu.records import IndexedImage
+from pixelbox_tpu.utils.timing import timed
+
+PARALLEL_FILE_PROCESSORS = 4  # engine.rs:22
+MAX_PENDING_TX = 128          # crawler.rs:8
+DEFAULT_BATCH_SIZE = 64
+_SENTINEL = None
+
+
+@dataclass
+class _Item:
+    record: IndexedImage
+    preprocessed: np.ndarray  # f32 [S, S, 3]
+
+
+class IngestPipeline:
+    def __init__(
+        self,
+        engine,
+        folders: List[str],
+        num_workers: Optional[int] = None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+    ):
+        self.engine = engine
+        self.folders = list(folders)
+        self.num_workers = num_workers or PARALLEL_FILE_PROCESSORS
+        self.batch_size = batch_size
+        self._stop = threading.Event()
+        self._path_q: "queue.Queue" = queue.Queue()
+        self._item_q: "queue.Queue" = queue.Queue(maxsize=MAX_PENDING_TX)
+        self._threads: List[threading.Thread] = []
+        self._writer: Optional[threading.Thread] = None
+        self.images_indexed = 0
+        self.images_skipped = 0
+        self.images_failed = 0
+        self._started_at: Optional[float] = None
+
+    # ------------------------------------------------------------------ #
+
+    def start(self) -> None:
+        self._started_at = time.perf_counter()
+        walker = threading.Thread(target=self._walk, name="pixelbox-walker", daemon=True)
+        walker.start()
+        self._threads.append(walker)
+        for i in range(self.num_workers):
+            t = threading.Thread(
+                target=self._decode_worker, name=f"pixelbox-decode-{i}", daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+        self._writer = threading.Thread(
+            target=self._device_writer, name="pixelbox-writer", daemon=True
+        )
+        self._writer.start()
+
+    def stop(self) -> None:
+        """Stop like dropping the crawler channel (engine.rs:207-212)."""
+        self._stop.set()
+
+    def is_active(self) -> bool:
+        return self._writer is not None and self._writer.is_alive()
+
+    def join(self, timeout: Optional[float] = None) -> bool:
+        if self._writer is None:
+            return True
+        self._writer.join(timeout)
+        return not self._writer.is_alive()
+
+    # ------------------------------------------------------------------ #
+
+    def _walk(self) -> None:
+        try:
+            for path in crawl(self.folders):
+                if self._stop.is_set():
+                    break
+                self._path_q.put(path)
+        finally:
+            for _ in range(self.num_workers):
+                self._path_q.put(_SENTINEL)
+
+    def _decode_worker(self) -> None:
+        engine = self.engine
+        while not self._stop.is_set():
+            try:
+                path = self._path_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if path is _SENTINEL:
+                break
+            try:
+                decoded = decode_image_file(path)
+                if decoded is None:
+                    self.images_failed += 1
+                    continue
+                if engine.catalog.has_path(decoded.path):
+                    # INSERT OR IGNORE semantics, checked early so we skip
+                    # the decode-adjacent heavy work on re-index.
+                    self.images_skipped += 1
+                    continue
+                thumb = qoi_encode(make_thumbnail(decoded.rgb))
+                ph = phash_ops.phash(
+                    decoded.rgb, aspect_preserving=engine.phash_compat
+                )
+                pre = preprocess_host(decoded.rgb, engine.embedder.input_size)
+                record = IndexedImage(
+                    filename=decoded.filename,
+                    path=decoded.path,
+                    resolution=decoded.resolution,
+                    thumbnail=thumb,
+                    tags=decoded.tags,
+                    phash=ph,
+                )
+                item = _Item(record=record, preprocessed=pre)
+                while not self._stop.is_set():
+                    try:
+                        self._item_q.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+            except Exception:
+                self.images_failed += 1
+        # Each worker signals drain-completion to the writer.
+        self._item_q.put(_SENTINEL)
+
+    def _device_writer(self) -> None:
+        engine = self.engine
+        workers_done = 0
+        batch: List[_Item] = []
+        while True:
+            flush = False
+            try:
+                item = self._item_q.get(timeout=0.25)
+                if item is _SENTINEL:
+                    workers_done += 1
+                    if workers_done == self.num_workers:
+                        flush = True
+                else:
+                    batch.append(item)
+                    if len(batch) >= self.batch_size:
+                        flush = True
+            except queue.Empty:
+                # Idle — flush a partial batch so small folders finish fast.
+                flush = bool(batch)
+            if self._stop.is_set():
+                flush = bool(batch)
+            if flush and batch:
+                self._embed_and_insert(batch)
+                batch = []
+            if workers_done == self.num_workers or (
+                self._stop.is_set() and not batch
+            ):
+                break
+        if self._started_at is not None:
+            dt = time.perf_counter() - self._started_at
+            print(f"Indexing took {dt:.1f} seconds.")
+
+    def _embed_and_insert(self, batch: List[_Item]) -> None:
+        with timed("ingest.embed_batch"):
+            stacked = jnp.asarray(np.stack([it.preprocessed for it in batch]))
+            latents = self.engine.embedder.embed_preprocessed(stacked)
+            hashes = np.asarray(quantize_embedding(latents))
+        for it, vh in zip(batch, hashes):
+            it.record.visual_hash = vh
+            if self.engine.insert_image_from_memory(it.record) is not None:
+                self.images_indexed += 1
+            else:
+                self.images_skipped += 1

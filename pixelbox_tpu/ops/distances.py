@@ -1,0 +1,139 @@
+"""Reference-parity distance functions over u8 hash vectors.
+
+The reference defines three distances over opaque u8 blobs
+(src/engine.rs:572-604), registered as SQLite scalar UDFs and invoked once
+per row during a full-table scan.  Here they are vectorized: every function
+accepts ``a`` of shape ``[..., D]`` and ``b`` of shape ``[..., D]`` with
+normal broadcasting, so a single query against N rows is
+``cosine_distance(q[None, :], db[N, :]) -> [N]``.
+
+Exactness strategy: the reference dequantizes each byte to f32 and folds
+sequentially (engine.rs:575-588).  We instead compute the dot product and
+squared magnitudes **exactly in int32** on centered integers ``2q - 255``
+(a lossless integer scaling of the dequantized values — see
+``ops.quantize.center_u8``) and perform only the final divide/sqrt in f32.
+This is strictly more accurate than the reference's f32 fold and preserves
+its top-k ordering; the values agree with the reference to f32 rounding.
+
+Distance semantics (must match bit-for-bit in behavior):
+
+- ``cosine_distance`` (engine.rs:572-588): dist = 1/max(cos, 1e-6) - 1
+  (reciprocal form, NOT 1-cos): 0 for identical, ~1e6 for orthogonal or
+  anti-parallel; returns 0.0 when the magnitude product (in dequantized
+  scale) is below 1e-6.
+- ``byte_distance`` (engine.rs:590-592): L1 / (255 * D).
+- ``hamming_distance`` (engine.rs:594-604): popcount(xor) / (8 * D).  The
+  reference accumulates per-byte popcounts in a u8, so totals wrap mod 256
+  for hashes with >255 differing bits; pass ``wrap_u8=True`` to replicate
+  that overflow exactly (the default computes the non-overflowing value).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pixelbox_tpu.ops.quantize import center_u8
+
+# The reference's guards (engine.rs:582-587).
+_MAGNITUDE_EPS = 1e-6
+_COSINE_FLOOR = 1e-6
+
+
+@jax.jit
+def cosine_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Reciprocal cosine distance over u8 vectors (engine.rs:572-588).
+
+    Shapes broadcast over leading dims; reduces the last axis.
+
+    Jitted deliberately: constant divisors must stay compile-time literals —
+    XLA's eager/dynamic f32 division can take a 1-ulp-off reciprocal path,
+    while division by a literal is exact.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    ca = center_u8(a)
+    cb = center_u8(b)
+    # Exact int32 accumulations (D*255^2 fits comfortably for D <= 2^15).
+    dot = jnp.sum(ca * cb, axis=-1)
+    mag2_a = jnp.sum(ca * ca, axis=-1)
+    mag2_b = jnp.sum(cb * cb, axis=-1)
+    return _cosine_distance_from_moments(
+        dot.astype(jnp.float32),
+        mag2_a.astype(jnp.float32),
+        mag2_b.astype(jnp.float32),
+    )
+
+
+def _cosine_distance_from_moments(
+    dot_c: jnp.ndarray, mag2_a_c: jnp.ndarray, mag2_b_c: jnp.ndarray
+) -> jnp.ndarray:
+    """Finalize the reciprocal cosine distance from centered-integer moments.
+
+    Arguments are f32 copies of the exact int32 moments over centered values
+    ``2q-255`` (i.e. 255× the dequantized values, so dot_c = 255^2 * dot_deq).
+    Shared by the jnp scan, the Pallas kernel epilogue, the C++ CPU scan,
+    and the oracle.
+
+    Canonical rounding spec: the magnitude product is ``sqrt(m2a * m2b)``
+    (product first, ONE sqrt).  XLA's simplifier rewrites sqrt(a)*sqrt(b)
+    into exactly this form regardless of fast-math flags, so defining the
+    spec this way keeps oracle/device/C++ bit-identical.  (The reference's
+    own f32 fold order is unreproducible on any vector hardware; parity is
+    defined against the exact-integer oracle, which this is.)
+    """
+    # Reference magnitude is in dequantized scale (engine.rs:578-584):
+    # mag = sqrt(m2a_c * m2b_c) / 255^2.  Scaling by a constant is ALWAYS
+    # a multiply by the f32-rounded reciprocal in this codebase (XLA
+    # rewrites constant division that way regardless of flags; baking the
+    # rewrite into the spec keeps numpy/C++/XLA bit-identical).
+    sp = jnp.sqrt(mag2_a_c * mag2_b_c)
+    mag = sp * jnp.float32(1.0 / (255.0 * 255.0))
+    # cos = dot_deq / mag — the 255^2 cancels.
+    cos = dot_c / sp
+    dist = jnp.float32(1.0) / jnp.maximum(cos, jnp.float32(_COSINE_FLOOR)) - jnp.float32(1.0)
+    # Zero-magnitude guard fires BEFORE the cosine divide in the reference
+    # (engine.rs:582-584): mag < 1e-6 → 0.0.
+    return jnp.where(mag < jnp.float32(_MAGNITUDE_EPS), jnp.float32(0.0), dist)
+
+
+@jax.jit
+def byte_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Normalized L1 distance: sum |a-b| / (255 * D) (engine.rs:590-592)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    d = a.shape[-1]
+    l1 = jnp.sum(jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32)), axis=-1)
+    # Multiply-by-reciprocal is the canonical constant-scale spec (see
+    # _cosine_distance_from_moments).
+    return l1.astype(jnp.float32) * jnp.float32(1.0 / (255.0 * d))
+
+
+def popcount_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-byte popcount of a u8 array, as int32 (SWAR nibble trick)."""
+    x = x.astype(jnp.int32)
+    x = x - ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x + (x >> 4)) & 0x0F
+
+
+@partial(jax.jit, static_argnames=("wrap_u8",))
+def hamming_distance(
+    a: jnp.ndarray, b: jnp.ndarray, *, wrap_u8: bool = False
+) -> jnp.ndarray:
+    """Normalized Hamming distance: popcount(a^b) / (8*D) (engine.rs:594-604).
+
+    ``wrap_u8=True`` replicates the reference's u8 accumulator overflow
+    (engine.rs:603 sums per-byte popcounts into a u8, wrapping mod 256 when
+    hashes differ in more than 255 bits — e.g. two fully-complementary
+    32-byte phashes "measure" distance 0.0).
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    d = a.shape[-1]
+    bits = jnp.sum(popcount_u8(jnp.bitwise_xor(a, b)), axis=-1)
+    if wrap_u8:
+        bits = bits % 256
+    return bits.astype(jnp.float32) * jnp.float32(1.0 / (8.0 * d))

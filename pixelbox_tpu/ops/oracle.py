@@ -1,0 +1,97 @@
+"""CPU (numpy) oracle replicating the reference scan exactly.
+
+This is the ground truth the TPU scans are tested against — the moral
+equivalent of the reference's SQLite scan (src/engine.rs:375-383): per-row
+distance, strict ``dist < max_distance`` filter, ascending sort with ties
+broken by row order (SQLite's rowid scan order), LIMIT k.
+
+Distances use the same exact-integer formulation as ``ops.distances`` (int64
+accumulation, f32 finals), so oracle and device agree bit-for-bit on f32
+distance values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cosine_distance_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Reciprocal cosine distance over u8 vectors; broadcasts; f32 output."""
+    ca = 2 * np.asarray(a, dtype=np.int64) - 255
+    cb = 2 * np.asarray(b, dtype=np.int64) - 255
+    dot = np.sum(ca * cb, axis=-1)
+    mag2_a = np.sum(ca * ca, axis=-1)
+    mag2_b = np.sum(cb * cb, axis=-1)
+    # Canonical rounding spec: ONE sqrt of the f32 product — see
+    # ops.distances._cosine_distance_from_moments.
+    mag_prod = np.sqrt(mag2_a.astype(np.float32) * mag2_b.astype(np.float32))
+    mag = mag_prod * np.float32(1.0 / (255.0 * 255.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot.astype(np.float32) / mag_prod
+    dist = np.float32(1.0) / np.maximum(cos, np.float32(1e-6)) - np.float32(1.0)
+    return np.where(mag < np.float32(1e-6), np.float32(0.0), dist).astype(np.float32)
+
+
+def byte_distance_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    d = np.asarray(a).shape[-1]
+    l1 = np.sum(
+        np.abs(np.asarray(a, dtype=np.int64) - np.asarray(b, dtype=np.int64)), axis=-1
+    )
+    return (l1.astype(np.float32) * np.float32(1.0 / (255.0 * d))).astype(np.float32)
+
+
+def hamming_distance_np(
+    a: np.ndarray, b: np.ndarray, *, wrap_u8: bool = False
+) -> np.ndarray:
+    h = np.asarray(a).shape[-1]
+    x = np.bitwise_xor(np.asarray(a, dtype=np.uint8), np.asarray(b, dtype=np.uint8))
+    bits = np.sum(np.unpackbits(x, axis=-1), axis=-1).astype(np.int64)
+    if wrap_u8:
+        bits = bits % 256
+    return (bits.astype(np.float32) * np.float32(1.0 / (8.0 * h))).astype(np.float32)
+
+
+def _scan_topk_np(dist: np.ndarray, k: int, max_distance: float):
+    """Shared filter/sort/limit: dist [Q, N] → (dist [Q,k], idx [Q,k])."""
+    qn, n = dist.shape
+    out_d = np.full((qn, k), np.inf, dtype=np.float32)
+    out_i = np.full((qn, k), -1, dtype=np.int32)
+    for qi in range(qn):
+        keep = np.nonzero(dist[qi] < np.float32(max_distance))[0]
+        # Stable sort by distance → ties broken by ascending row index.
+        order = keep[np.argsort(dist[qi, keep], kind="stable")][:k]
+        out_d[qi, : len(order)] = dist[qi, order]
+        out_i[qi, : len(order)] = order
+    return out_d, out_i
+
+
+def cosine_scan_topk_np(
+    query_u8: np.ndarray, db_u8: np.ndarray, k: int = 100, max_distance: float = 1e3
+):
+    """Oracle for ``ops.scan.cosine_scan_topk`` over raw u8 db rows [N, D]."""
+    q = np.atleast_2d(np.asarray(query_u8, dtype=np.uint8))
+    dist = cosine_distance_np(q[:, None, :], np.asarray(db_u8, dtype=np.uint8)[None, :, :])
+    return _scan_topk_np(dist, k, max_distance)
+
+
+def hamming_scan_topk_np(
+    query_u8: np.ndarray,
+    db_u8: np.ndarray,
+    k: int = 100,
+    max_distance: float = 1e3,
+    wrap_u8: bool = False,
+):
+    q = np.atleast_2d(np.asarray(query_u8, dtype=np.uint8))
+    dist = hamming_distance_np(
+        q[:, None, :], np.asarray(db_u8, dtype=np.uint8)[None, :, :], wrap_u8=wrap_u8
+    )
+    return _scan_topk_np(dist, k, max_distance)
+
+
+def quantize_embedding_np(x: np.ndarray) -> np.ndarray:
+    """Numpy twin of ``ops.quantize.quantize_embedding`` (Rust cast semantics)."""
+    xf = np.asarray(x, dtype=np.float32)
+    scaled = np.clip(xf * np.float32(128.0), -128.0, 128.0)
+    as_i8 = np.clip(np.trunc(scaled), -128.0, 127.0)
+    as_i8 = np.where(np.isnan(xf), np.float32(0.0), as_i8)
+    return (as_i8 + np.float32(128.0)).astype(np.uint8)

@@ -1,0 +1,165 @@
+"""Blockwise brute-force similarity scans with streaming top-k (XLA path).
+
+This replaces the reference's hot loop — a SQLite full-table scan calling a
+Rust scalar UDF once per row (src/engine.rs:375-383, 608-622) — with a
+blocked matrix scan:
+
+    for each row block B of the packed index:
+        int8 GEMM   dot8[Q, B] = q_i8 @ block_i8^T          (MXU)
+        affine fix  dot_c = 4*dot8 + 2*(q_sum + row_sum) + D  (exact int32)
+        epilogue    dist = 1/max(cos, 1e-6) - 1               (f32, VPU)
+        merge       running top-k over blocks                 (streaming)
+
+implemented as a ``lax.scan`` over row blocks so the distance matrix is
+never materialized (N can exceed what [Q, N] f32 would allow).  XLA fuses
+the epilogue into the GEMM output; the Pallas kernel in ``pallas_scan.py``
+additionally fuses the top-k merge.
+
+Result semantics replicate ``WHERE dist < max_distance ORDER BY dist ASC
+LIMIT k`` (engine.rs:375-383): entries with dist >= max_distance are
+excluded; missing entries have idx == -1 and dist == +inf.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pixelbox_tpu.ops.distances import (
+    _cosine_distance_from_moments,
+    popcount_u8,
+)
+from pixelbox_tpu.ops.packed import (
+    PackedHammingIndex,
+    PackedSemanticIndex,
+    query_moments_from_u8,
+)
+from pixelbox_tpu.ops import topk as topk_ops
+
+DEFAULT_BLOCK_ROWS = 32768
+
+
+def _block_iota(base: jnp.ndarray, b: int, q: int) -> jnp.ndarray:
+    """Row indices [Q, B] for a block starting at ``base``."""
+    return base + jax.lax.broadcasted_iota(jnp.int32, (q, b), dimension=1)
+
+
+@partial(jax.jit, static_argnames=("k", "block_rows"))
+def cosine_scan_topk(
+    query_u8: jnp.ndarray,
+    index: PackedSemanticIndex,
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+):
+    """Top-k smallest reciprocal-cosine distances of queries against the index.
+
+    query_u8: uint8 [Q, D] (or [D], auto-promoted).
+    Returns (dist [Q, k] f32, idx [Q, k] int32); idx == -1 marks entries
+    excluded by ``dist < max_distance`` or an index smaller than k.
+    """
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, d = query_u8.shape
+    n_pad = index.capacity
+    block_rows = min(block_rows, n_pad)
+    assert n_pad % block_rows == 0, (n_pad, block_rows)
+    nb = n_pad // block_rows
+
+    q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+    max_distance = jnp.asarray(max_distance, dtype=jnp.float32)
+
+    xs = (
+        index.data.reshape(nb, block_rows, d),
+        index.row_sum.reshape(nb, block_rows),
+        index.row_mag2.reshape(nb, block_rows),
+        index.valid.reshape(nb, block_rows),
+        jnp.arange(nb, dtype=jnp.int32) * block_rows,
+    )
+
+    def body(carry, x):
+        best_d, best_i = carry
+        blk, blk_sum, blk_mag2, blk_valid, base = x
+        dot8 = lax.dot_general(
+            q_i8,
+            blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dot_c = 4 * dot8 + 2 * (q_sum[:, None] + blk_sum[None, :]) + jnp.int32(d)
+        dist = _cosine_distance_from_moments(
+            dot_c.astype(jnp.float32),
+            q_mag2_f,
+            blk_mag2.astype(jnp.float32)[None, :],
+        )
+        keep = blk_valid[None, :] & (dist < max_distance)
+        dist = jnp.where(keep, dist, jnp.inf)
+        idx = _block_iota(base, block_rows, qn)
+        cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+        return topk_ops.merge_topk(best_d, best_i, cand_d, cand_i, k), None
+
+    init = topk_ops.empty_topk((qn,), k)
+    (best_d, best_i), _ = lax.scan(body, init, xs)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i
+
+
+@partial(jax.jit, static_argnames=("k", "block_rows", "wrap_u8"))
+def hamming_scan_topk(
+    query_u8: jnp.ndarray,
+    index: PackedHammingIndex,
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    wrap_u8: bool = False,
+):
+    """Top-k smallest normalized Hamming distances (phash search).
+
+    Same result semantics as :func:`cosine_scan_topk`.  ``wrap_u8``
+    replicates the reference's u8 popcount-accumulator overflow
+    (engine.rs:603) — see ``ops.distances.hamming_distance``.
+    """
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, h = query_u8.shape
+    n_pad = index.capacity
+    block_rows = min(block_rows, n_pad)
+    assert n_pad % block_rows == 0, (n_pad, block_rows)
+    nb = n_pad // block_rows
+
+    max_distance = jnp.asarray(max_distance, dtype=jnp.float32)
+    xs = (
+        index.data.reshape(nb, block_rows, h),
+        index.valid.reshape(nb, block_rows),
+        jnp.arange(nb, dtype=jnp.int32) * block_rows,
+    )
+
+    def body(carry, x):
+        best_d, best_i = carry
+        blk, blk_valid, base = x
+        x_q = query_u8[:, None, :]          # [Q, 1, H]
+        x_b = blk[None, :, :]               # [1, B, H]
+        bits = jnp.sum(popcount_u8(jnp.bitwise_xor(x_q, x_b)), axis=-1)
+        if wrap_u8:
+            bits = bits % 256
+        dist = bits.astype(jnp.float32) / jnp.float32(8.0 * h)
+        keep = blk_valid[None, :] & (dist < max_distance)
+        dist = jnp.where(keep, dist, jnp.inf)
+        idx = _block_iota(base, block_rows, qn)
+        cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+        return topk_ops.merge_topk(best_d, best_i, cand_d, cand_i, k), None
+
+    init = topk_ops.empty_topk((qn,), k)
+    (best_d, best_i), _ = lax.scan(body, init, xs)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i

@@ -1,0 +1,171 @@
+"""Row-sharded distributed scan: per-chip top-k + ICI all-gather merge.
+
+The TPU-native replacement for "scan the whole table" when the index
+outgrows one chip's HBM (the reference's analog is simply SQLite streaming
+rows, src/engine.rs:375-383).  Rows shard over the mesh's ``data`` axis;
+every chip scans its resident shard with the same blocked MXU kernel used
+single-chip, keeps its local top-k, and the k·n_chips candidates —
+kilobytes, not the index — cross ICI in one ``all_gather``, then every
+chip deterministically merges (so the result is replicated and identical
+everywhere).
+
+The merge preserves the single-chip tie-break (ascending global row id
+within equal distances), so sharded and unsharded scans return identical
+results — tested against the oracle on a CPU-simulated 8-device mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from pixelbox_tpu.ops import topk as topk_ops
+from pixelbox_tpu.ops.packed import PackedSemanticIndex, PackedHammingIndex
+from pixelbox_tpu.ops.scan import cosine_scan_topk, hamming_scan_topk
+
+
+def shard_semantic_index(
+    index: PackedSemanticIndex, mesh: Mesh, axis: str = "data"
+) -> PackedSemanticIndex:
+    """Lay the packed index out row-sharded across the mesh.
+
+    Capacity must divide evenly by the axis size (stores pad in block
+    multiples; choose block_rows ≥ a multiple of the mesh size).
+    """
+    n = index.capacity
+    n_shards = mesh.shape[axis]
+    assert n % n_shards == 0, (n, n_shards)
+    row_sharding = NamedSharding(mesh, P(axis))
+    mat_sharding = NamedSharding(mesh, P(axis, None))
+    return PackedSemanticIndex(
+        jax.device_put(index.data, mat_sharding),
+        jax.device_put(index.row_sum, row_sharding),
+        jax.device_put(index.row_mag2, row_sharding),
+        jax.device_put(index.valid, row_sharding),
+    )
+
+
+def shard_hamming_index(
+    index: PackedHammingIndex, mesh: Mesh, axis: str = "data"
+) -> PackedHammingIndex:
+    n = index.capacity
+    assert n % mesh.shape[axis] == 0, (n, mesh.shape[axis])
+    return PackedHammingIndex(
+        jax.device_put(index.data, NamedSharding(mesh, P(axis, None))),
+        jax.device_put(index.valid, NamedSharding(mesh, P(axis))),
+    )
+
+
+def _merge_gathered(g_dist, g_idx, k: int):
+    """[n_shards, Q, k] gathered candidates → replicated [Q, k] merge."""
+    nd, qn, _ = g_dist.shape
+    flat_d = jnp.moveaxis(g_dist, 0, 1).reshape(qn, nd * k)
+    flat_i = jnp.moveaxis(g_idx, 0, 1).reshape(qn, nd * k)
+    # Sort by (dist, idx): stable sort with idx as second operand would
+    # keep shard order, but shards are already ascending-id, so sorting by
+    # distance with num_keys=2 (dist then idx) gives the global tie-break.
+    d_s, i_s = lax.sort((flat_d, flat_i), num_keys=2, dimension=-1)
+    return d_s[:, :k], i_s[:, :k]
+
+
+def sharded_cosine_scan_topk(
+    query_u8: jnp.ndarray,
+    index: PackedSemanticIndex,
+    mesh: Mesh,
+    k: int = 100,
+    max_distance: float = 1e3,
+    block_rows: Optional[int] = None,
+    axis: str = "data",
+):
+    """Distributed top-k cosine scan (replicated result on every chip).
+
+    ``index`` should be laid out with :func:`shard_semantic_index`.
+    """
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    n_shards = mesh.shape[axis]
+    local_rows = index.capacity // n_shards
+    if block_rows is None:
+        block_rows = min(32768, local_rows)
+    md = jnp.float32(max_distance)
+
+    index_specs = PackedSemanticIndex(P(axis, None), P(axis), P(axis), P(axis))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), index_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def scan_shard(q, local_index):
+        local_d, local_i = cosine_scan_topk(
+            q, local_index, k=k, max_distance=md, block_rows=block_rows
+        )
+        shard_id = lax.axis_index(axis)
+        offset = shard_id.astype(jnp.int32) * jnp.int32(local_rows)
+        global_i = jnp.where(local_i >= 0, local_i + offset, -1)
+        # k·n_shards candidates cross ICI — not the index.
+        g_d = lax.all_gather(local_d, axis)
+        g_i = lax.all_gather(global_i, axis)
+        return _merge_gathered(g_d, g_i, k)
+
+    best_d, best_i = scan_shard(query_u8, index)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i
+
+
+def sharded_hamming_scan_topk(
+    query_u8: jnp.ndarray,
+    index: PackedHammingIndex,
+    mesh: Mesh,
+    k: int = 100,
+    max_distance: float = 1e3,
+    block_rows: Optional[int] = None,
+    axis: str = "data",
+    wrap_u8: bool = False,
+):
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    n_shards = mesh.shape[axis]
+    local_rows = index.capacity // n_shards
+    if block_rows is None:
+        block_rows = min(32768, local_rows)
+    md = jnp.float32(max_distance)
+
+    index_specs = PackedHammingIndex(P(axis, None), P(axis))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), index_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def scan_shard(q, local_index):
+        local_d, local_i = hamming_scan_topk(
+            q, local_index, k=k, max_distance=md, block_rows=block_rows,
+            wrap_u8=wrap_u8,
+        )
+        offset = lax.axis_index(axis).astype(jnp.int32) * jnp.int32(local_rows)
+        global_i = jnp.where(local_i >= 0, local_i + offset, -1)
+        g_d = lax.all_gather(local_d, axis)
+        g_i = lax.all_gather(global_i, axis)
+        return _merge_gathered(g_d, g_i, k)
+
+    best_d, best_i = scan_shard(query_u8, index)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i

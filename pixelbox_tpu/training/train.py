@@ -1,0 +1,235 @@
+"""Self-supervised contrastive training of the embedder.
+
+JAX/optax port of the reference's offline trainer (resources/train.py):
+pairs of corrupted views — same image twice → label +1, different images →
+label −1 (train.py:75-87) — CosineEmbeddingLoss + Adam lr 1e-4
+(train.py:118-122), per-epoch checkpoints (train.py:161-163).
+
+TPU-native: the train step is jitted over a dp×tp ``Mesh`` — batch sharded
+over 'data', the embedding head's Linear sharded over 'model' — with
+gradients meaned across 'data' by XLA-inserted collectives.  Corruptions
+(random rotation/jitter/crop, train.py:101-115) run on host in the data
+loader; the step consumes ready image pairs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from pixelbox_tpu.models.efficientnet import EfficientNetEmbedderModule
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    latent_dim: int = 8       # train.py:178
+    input_size: int = 224     # train.py:181-182
+    batch_size: int = 32      # train.py:186
+    lr: float = 1e-4          # train.py:185
+    margin: float = 0.0       # torch CosineEmbeddingLoss default
+    dtype: Any = jnp.float32
+
+
+def cosine_embedding_loss(
+    left: jnp.ndarray, right: jnp.ndarray, labels: jnp.ndarray, margin: float = 0.0
+) -> jnp.ndarray:
+    """torch.nn.CosineEmbeddingLoss (train.py:118), mean reduction."""
+    eps = 1e-8
+    cos = jnp.sum(left * right, axis=-1) / (
+        jnp.maximum(jnp.linalg.norm(left, axis=-1), eps)
+        * jnp.maximum(jnp.linalg.norm(right, axis=-1), eps)
+    )
+    pos = 1.0 - cos
+    neg = jnp.maximum(0.0, cos - margin)
+    return jnp.mean(jnp.where(labels > 0, pos, neg))
+
+
+class TrainState:
+    """Minimal train state pytree (params+stats+opt state)."""
+
+    def __init__(self, variables, opt_state, step):
+        self.variables = variables
+        self.opt_state = opt_state
+        self.step = step
+
+    def tree_flatten(self):
+        return (self.variables, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def _make_optimizer(cfg: TrainConfig):
+    return optax.adam(cfg.lr)
+
+
+def _param_sharding(variables, mesh: Mesh):
+    """Replicate everything except the head Linear, sharded over 'model'."""
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "linear" in keys and keys[-1] == "kernel":
+            return NamedSharding(mesh, P(None, "model"))
+        if "linear" in keys and keys[-1] == "bias":
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, variables)
+
+
+def init_train_state(cfg: TrainConfig, mesh: Mesh, seed: int = 0) -> TrainState:
+    module = EfficientNetEmbedderModule(latent_dim=cfg.latent_dim, dtype=cfg.dtype)
+    dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(seed), dummy)
+    shardings = _param_sharding(variables, mesh)
+    variables = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), variables, shardings
+    )
+    tx = _make_optimizer(cfg)
+    opt_state = tx.init(variables["params"])
+    return TrainState(variables, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh):
+    """One jitted contrastive step; batch dp-sharded, head tp-sharded."""
+    module = EfficientNetEmbedderModule(latent_dim=cfg.latent_dim, dtype=cfg.dtype)
+    tx = _make_optimizer(cfg)
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, batch_stats, left, right, labels):
+        variables = {"params": params, "batch_stats": batch_stats}
+        zl = module.apply(variables, left)
+        zr = module.apply(variables, right)
+        return cosine_embedding_loss(zl, zr, labels, cfg.margin)
+
+    @jax.jit
+    def step(state: TrainState, left, right, labels):
+        left = jax.lax.with_sharding_constraint(left, data_sharding)
+        right = jax.lax.with_sharding_constraint(right, data_sharding)
+        params = state.variables["params"]
+        batch_stats = state.variables.get("batch_stats", {})
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, batch_stats, left, right, labels
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_vars = dict(state.variables)
+        new_vars["params"] = params
+        return TrainState(new_vars, opt_state, state.step + 1), loss
+
+    return step
+
+
+# --------------------------------------------------------------------- #
+# Host-side data pipeline (corruptions, train.py:101-115)
+
+
+def corrupt_image(rgb: np.ndarray, size: int, rng: np.random.Generator) -> np.ndarray:
+    """A numpy stand-in for the torchvision corruption stack: random
+    rotation (±25°, approximated by ±1 90°-steps + crops), color jitter,
+    random resized crop to ``size``, rare grayscale/invert."""
+    from pixelbox_tpu.ops.resample import resize_np, to_u8
+
+    img = rgb
+    # Color jitter: brightness/contrast.
+    b = rng.uniform(0.8, 1.2)
+    c = rng.uniform(0.8, 1.2)
+    img = np.clip((img.astype(np.float32) - 128.0) * c + 128.0 * b, 0, 255)
+    # Random resized crop.
+    h, w = img.shape[:2]
+    scale = rng.uniform(0.6, 1.0)
+    ch, cw = max(8, int(h * scale)), max(8, int(w * scale))
+    y0 = rng.integers(0, h - ch + 1)
+    x0 = rng.integers(0, w - cw + 1)
+    img = img[y0 : y0 + ch, x0 : x0 + cw]
+    if rng.uniform() < 0.01:
+        g = img @ np.array([0.299, 0.587, 0.114], np.float32)
+        img = np.stack([g, g, g], axis=-1)
+    if rng.uniform() < 0.001:
+        img = 255.0 - img
+    img = to_u8(resize_np(img, size, size, "triangle"))
+    return img.astype(np.float32) / np.float32(255.0)
+
+
+def make_pair_batch(
+    images: list, cfg: TrainConfig, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Contrastive pair batch (train.py:75-87): same image twice → +1,
+    random other image → −1."""
+    lefts, rights, labels = [], [], []
+    n = len(images)
+    for _ in range(cfg.batch_size):
+        i = rng.integers(0, n)
+        lefts.append(corrupt_image(images[i], cfg.input_size, rng))
+        if rng.uniform() < 0.5:
+            j = rng.integers(0, n)
+            rights.append(corrupt_image(images[j], cfg.input_size, rng))
+            labels.append(1.0 if i == j else -1.0)
+        else:
+            rights.append(corrupt_image(images[i], cfg.input_size, rng))
+            labels.append(1.0)
+    return (
+        np.stack(lefts).astype(np.float32),
+        np.stack(rights).astype(np.float32),
+        np.asarray(labels, np.float32),
+    )
+
+
+def train_loop(
+    image_paths: list,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    epochs: int = 10,
+    steps_per_epoch: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    seed: int = 0,
+):
+    """Minimal end-to-end trainer over a folder of images (train.py:94-164)."""
+    import os
+
+    from pixelbox_tpu.ingest.decode import decode_image_file
+    from pixelbox_tpu.models.efficientnet import save_params
+
+    images = []
+    for p in image_paths:
+        d = decode_image_file(p)
+        if d is not None:
+            images.append(d.rgb)
+    if not images:
+        raise ValueError("no decodable training images")
+
+    rng = np.random.default_rng(seed)
+    state = init_train_state(cfg, mesh, seed)
+    step = make_sharded_train_step(cfg, mesh)
+    spe = steps_per_epoch or max(1, len(images) // cfg.batch_size)
+    losses = []
+    for epoch in range(epochs):
+        total = 0.0
+        for _ in range(spe):
+            left, right, labels = make_pair_batch(images, cfg, rng)
+            state, loss = step(
+                state, jnp.asarray(left), jnp.asarray(right), jnp.asarray(labels)
+            )
+            total += float(loss)
+        losses.append(total)
+        print(f"Epoch [{epoch}/{epochs}] loss: {total}")
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_params(
+                state.variables, os.path.join(checkpoint_dir, f"checkpoint_{epoch}.npz")
+            )
+    return state, losses

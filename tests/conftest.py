@@ -1,0 +1,45 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding
+(``pixelbox_tpu.parallel``) is exercised without TPU hardware, per the
+driver's dry-run model.  Must run before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_fast_math" not in _flags:
+    # XLA:CPU's fast-math turns dynamic f32 division into a 1-ulp-off
+    # reciprocal multiply, breaking bit-exact parity checks vs the numpy
+    # oracle.  (TPU values may still differ by ulps from the oracle; the
+    # parity that matters there — top-k ordering — is tested separately.)
+    _flags = (_flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = _flags
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+# The environment force-selects the 'axon' TPU-tunnel platform even over
+# JAX_PLATFORMS=cpu; a post-import config update wins.  Tests must run on
+# the virtual 8-device CPU mesh (and bit-exact f32 division).
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the scan tests trigger many distinct XLA
+# compiles; caching makes reruns fast.
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
