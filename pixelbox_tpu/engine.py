@@ -71,10 +71,15 @@ class Engine:
         embedder_kwargs: Optional[dict] = None,
         dim: Optional[int] = None,
         phash_compat: bool = True,
+        blip: bool = False,
+        blip_kwargs: Optional[dict] = None,
     ):
         self.catalog = Catalog(db_path, create=create)
         self.db_path = db_path
         self.phash_compat = phash_compat
+        self._blip_enabled = blip
+        self._blip_kwargs = dict(blip_kwargs or {})
+        self._blip_searcher = None
 
         self._embedder_name = embedder
         self._embedder_kwargs = dict(embedder_kwargs or {})
@@ -97,6 +102,9 @@ class Engine:
         self._ph_store: Optional[VectorStore] = None
         self._ph_image_ids: List[int] = []
         self._ph_row_by_image: dict = {}
+        self._blip_store: Optional[VectorStore] = None
+        self._blip_image_ids: List[int] = []
+        self._blip_row_by_image: dict = {}
         self._load_stores()
 
         # Indexing state.
@@ -142,12 +150,40 @@ class Engine:
             self._ph_store.append(mat)
             self._ph_image_ids = [i for i, _ in ph]
             self._ph_row_by_image = {img: r for r, img in enumerate(self._ph_image_ids)}
+        bl = list(self.catalog.iter_hashes("blip_hashes"))
+        if bl:
+            dim = len(bl[0][1])
+            self._blip_store = VectorStore(dim=dim, kind="semantic")
+            rows = np.frombuffer(b"".join(h for _, h in bl), dtype=np.uint8)
+            self._blip_store.append(rows.reshape(len(bl), dim))
+            self._blip_image_ids = [i for i, _ in bl]
+            self._blip_row_by_image = {
+                img: r for r, img in enumerate(self._blip_image_ids)
+            }
 
     @property
     def embedder(self):
         if self._embedder is None:
             self._embedder = get_embedder(self._embedder_name, **self._embedder_kwargs)
         return self._embedder
+
+    @property
+    def blip_searcher(self):
+        """BLIP text→image searcher (None unless blip=True)."""
+        if not self._blip_enabled:
+            return None
+        if self._blip_searcher is None:
+            from pixelbox_tpu.models.blip import BlipSearcher
+
+            self._blip_searcher = BlipSearcher(**self._blip_kwargs)
+            self.catalog.ensure_aux_hash_table("blip_hashes")
+        return self._blip_searcher
+
+    def enable_blip(self, **blip_kwargs) -> None:
+        self._blip_enabled = True
+        if blip_kwargs:
+            self._blip_kwargs = dict(blip_kwargs)
+            self._blip_searcher = None
 
     # ------------------------------------------------------------------ #
     # Index size (engine.rs:157-171)
@@ -217,10 +253,16 @@ class Engine:
         )
         if image_id is None:
             return None
+        if record.blip_hash is not None:
+            self.catalog.ensure_aux_hash_table("blip_hashes")
+            self.catalog.insert_hash(
+                "blip_hashes", image_id, record.blip_hash.tobytes()
+            )
         self._append_hashes(
             image_id,
             record.visual_hash,
             record.phash,
+            record.blip_hash,
         )
         self._cached_index_size = None
         with self._recent_lock:
@@ -228,7 +270,13 @@ class Engine:
             del self._recently_indexed[:-RECENT_IMAGES_TO_SHOW]
         return image_id
 
-    def _append_hashes(self, image_id, visual_hash, phash) -> None:
+    def _append_hashes(self, image_id, visual_hash, phash, blip_hash=None) -> None:
+        if blip_hash is not None:
+            if self._blip_store is None:
+                self._blip_store = VectorStore(dim=len(blip_hash), kind="semantic")
+            row = int(self._blip_store.append(blip_hash[None, :])[0])
+            self._blip_image_ids.append(image_id)
+            self._blip_row_by_image[image_id] = row
         if visual_hash is not None:
             if self._sem_store is None:
                 self._sem_store = VectorStore(dim=len(visual_hash), kind="semantic")
@@ -324,6 +372,11 @@ class Engine:
                     # Remember the path as typed for the staleness compare.
                     record.path = parsed.similar_path
 
+        # `text:` — semantic text→image modality over the BLIP index.
+        if parsed.text_query is not None:
+            self._query_text_filtered(parsed)
+            return
+
         # Candidate rows: text filters via the catalog; INNER JOIN
         # semantic_hashes semantics — only images with embeddings match.
         if parsed.has_filter:
@@ -356,6 +409,83 @@ class Engine:
 
         self._cached_search_results = self._build_results(sel, sel_dists)
         print(f"{len(self._cached_search_results)} results")
+
+    def _query_text_filtered(self, parsed) -> None:
+        """text: modality, honoring any catalog filters in the same query."""
+        searcher = self.blip_searcher
+        if searcher is None:
+            self.last_query_error = (
+                "text: search requires a BLIP index (Engine(blip=True))"
+            )
+            self._cached_search_results = []
+            return
+        if self._blip_store is None or self._blip_store.size == 0:
+            self._cached_search_results = []
+            return
+        if parsed.has_filter:
+            ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
+            rows = np.array(
+                [self._blip_row_by_image[i] for i in ids if i in self._blip_row_by_image],
+                dtype=np.int64,
+            )
+        else:
+            rows = np.arange(len(self._blip_image_ids), dtype=np.int64)
+        if not len(rows):
+            self._cached_search_results = []
+            return
+        q_hash = searcher.text_hashes([parsed.text_query])[0]
+        k = int(self.max_search_results)
+        db_rows = self._blip_store.get_rows(rows)
+        with timed("engine.text_to_image_scan"):
+            dists = np.asarray(
+                cosine_distance(jnp.asarray(q_hash)[None, :], jnp.asarray(db_rows))
+            )
+        order = np.argsort(dists, kind="stable")[:k]
+        results = []
+        for row, d in zip(rows[order], dists[order]):
+            image_id = self._blip_image_ids[int(row)]
+            rec = self._record_from_catalog(image_id)
+            if rec is not None:
+                rec.distance_from_query = float(d)
+                results.append(rec)
+        self._cached_search_results = results
+        print(f"{len(results)} results")
+
+    def query_by_text(self, text: str) -> None:
+        """Direct text→image search API (bypasses the query language)."""
+        from pixelbox_tpu.query.parser import ParsedQuery
+
+        self._cached_search_results = None
+        self._query_text_filtered(ParsedQuery(text_query=text))
+
+    def index_blip_hashes(self, batch_size: int = 16) -> int:
+        """Backfill BLIP latents for indexed images missing them (decodes
+        originals from disk).  Returns the number embedded."""
+        searcher = self.blip_searcher
+        if searcher is None:
+            raise RuntimeError("Engine(blip=True) required")
+        from pixelbox_tpu.ingest.decode import decode_image_file
+
+        done = set(self._blip_image_ids)
+        todo = []
+        conn = self.catalog._connect()
+        for image_id, path in conn.execute("SELECT id, path FROM images"):
+            if image_id not in done:
+                todo.append((image_id, path))
+        count = 0
+        for start in range(0, len(todo), batch_size):
+            chunk = todo[start : start + batch_size]
+            decoded = [(i, decode_image_file(p)) for i, p in chunk]
+            decoded = [(i, d) for i, d in decoded if d is not None]
+            if not decoded:
+                continue
+            hashes = searcher.image_hashes([d.rgb for _, d in decoded])
+            for (image_id, _), h in zip(decoded, hashes):
+                self.catalog.ensure_aux_hash_table("blip_hashes")
+                self.catalog.insert_hash("blip_hashes", image_id, h.tobytes())
+                self._append_hashes(image_id, None, None, h)
+                count += 1
+        return count
 
     # ------------------------------------------------------------------ #
     # Visual similarity query (engine.rs:352-396)

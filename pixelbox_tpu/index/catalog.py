@@ -221,20 +221,57 @@ class Catalog:
     # ------------------------------------------------------------------ #
     # Hashes (durable mirror of the device stores)
 
+    _HASH_TABLES = ("phashes", "semantic_hashes", "blip_hashes")
+
     def iter_hashes(self, table: str) -> Iterable[Tuple[int, bytes]]:
-        assert table in ("phashes", "semantic_hashes"), table
+        assert table in self._HASH_TABLES, table
         conn = self._connect()
+        if not self._table_exists(table):
+            return
         yield from conn.execute(
             f"SELECT image_id, hash FROM {table} ORDER BY image_id"
         )
 
     def get_hash(self, table: str, image_id: int) -> Optional[bytes]:
-        assert table in ("phashes", "semantic_hashes"), table
+        assert table in self._HASH_TABLES, table
         conn = self._connect()
+        if not self._table_exists(table):
+            return None
         row = conn.execute(
             f"SELECT hash FROM {table} WHERE image_id = ?", (image_id,)
         ).fetchone()
         return None if row is None else row[0]
+
+    def _table_exists(self, table: str) -> bool:
+        conn = self._connect()
+        return (
+            conn.execute(
+                "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                (table,),
+            ).fetchone()
+            is not None
+        )
+
+    def ensure_aux_hash_table(self, table: str) -> None:
+        """Create an additional hash table from the reference's template
+        (engine.rs:48) — used for the BLIP text→image index, an additive
+        extension to the reference schema."""
+        assert table in self._HASH_TABLES, table
+        conn = self._connect()
+        with self._lock:
+            if not self._table_exists(table):
+                conn.execute(HASH_TABLE_SCHEMA_V1.format(tablename=table))
+                conn.commit()
+
+    def insert_hash(self, table: str, image_id: int, hash_bytes: bytes) -> None:
+        assert table in self._HASH_TABLES, table
+        conn = self._connect()
+        with self._lock:
+            conn.execute(
+                f"INSERT OR IGNORE INTO {table} (image_id, hash) VALUES (?, ?)",
+                (image_id, sqlite3.Binary(hash_bytes)),
+            )
+            conn.commit()
 
     # ------------------------------------------------------------------ #
     # Tracked folders (engine.rs:404-439)

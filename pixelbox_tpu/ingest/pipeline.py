@@ -51,6 +51,7 @@ _SENTINEL = None
 class _Item:
     record: IndexedImage
     preprocessed: np.ndarray  # f32 [S, S, 3]
+    preprocessed_blip: Optional[np.ndarray] = None  # f32 [Sb, Sb, 3]
 
 
 class IngestPipeline:
@@ -142,6 +143,12 @@ class IngestPipeline:
                     decoded.rgb, aspect_preserving=engine.phash_compat
                 )
                 pre = preprocess_host(decoded.rgb, engine.embedder.input_size)
+                blip = getattr(engine, "blip_searcher", None)
+                pre_blip = (
+                    preprocess_host(decoded.rgb, blip.input_size)
+                    if blip is not None
+                    else None
+                )
                 record = IndexedImage(
                     filename=decoded.filename,
                     path=decoded.path,
@@ -150,7 +157,7 @@ class IngestPipeline:
                     tags=decoded.tags,
                     phash=ph,
                 )
-                item = _Item(record=record, preprocessed=pre)
+                item = _Item(record=record, preprocessed=pre, preprocessed_blip=pre_blip)
                 while not self._stop.is_set():
                     try:
                         self._item_q.put(item, timeout=0.25)
@@ -199,6 +206,17 @@ class IngestPipeline:
             stacked = jnp.asarray(np.stack([it.preprocessed for it in batch]))
             latents = self.engine.embedder.embed_preprocessed(stacked)
             hashes = np.asarray(quantize_embedding(latents))
+        blip = getattr(self.engine, "blip_searcher", None)
+        if blip is not None and all(it.preprocessed_blip is not None for it in batch):
+            with timed("ingest.blip_embed_batch"):
+                stacked_b = jnp.asarray(
+                    np.stack([it.preprocessed_blip for it in batch])
+                )
+                blip_hashes = np.asarray(
+                    quantize_embedding(blip.embed_image_batch(stacked_b))
+                )
+            for it, bh in zip(batch, blip_hashes):
+                it.record.blip_hash = bh
         for it, vh in zip(batch, hashes):
             it.record.visual_hash = vh
             if self.engine.insert_image_from_memory(it.record) is not None:

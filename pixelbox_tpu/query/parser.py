@@ -16,6 +16,10 @@ Operators (prefix split on the FIRST ':'; prefix is lowercased):
   AND tags.value LIKE %value%; with no second ':' matches name OR value
   (engine.rs:539-547).
 - ``all:<text>`` — tags.value OR filename OR path (engine.rs:549-553).
+- ``text:<words>`` — semantic text→image search over the BLIP index (the
+  capability the reference staged via models/blip-config.json but never
+  wired — reference README.md:35 roadmap).  Multiple ``text:`` tokens
+  join with spaces.  Contributes no WHERE clause, like ``similar:``.
 - ``filename:<text>`` — filename LIKE %text%.  NOTE: the reference has an
   apparent bug here (engine.rs:556-558 interpolates the WHOLE token
   including the ``filename:`` prefix, so the operator can never match);
@@ -42,6 +46,7 @@ class ParsedQuery:
     where_sql: str = ""          # AND-joined parameterized fragments ('' = no filter)
     params: List[str] = field(default_factory=list)
     similar_path: Optional[str] = None  # from `similar:<path>`, last one wins
+    text_query: Optional[str] = None    # from `text:<words>` tokens, space-joined
     tokens: List[str] = field(default_factory=list)
 
     @property
@@ -59,6 +64,7 @@ def parse_query(user_input: str) -> ParsedQuery:
     clauses: List[str] = []
     params: List[str] = []
     similar_path: Optional[str] = None
+    text_parts: List[str] = []
 
     for token in tokens:
         if ":" in token:
@@ -66,6 +72,8 @@ def parse_query(user_input: str) -> ParsedQuery:
             magic_prefix = magic_prefix.lower()
             if magic_prefix == "similar":
                 similar_path = remaining
+            elif magic_prefix == "text":
+                text_parts.append(remaining)
             elif magic_prefix in ("exif", "tag"):
                 if ":" in remaining:
                     tag, target = remaining.split(":", 1)
@@ -99,5 +107,6 @@ def parse_query(user_input: str) -> ParsedQuery:
         where_sql=" AND ".join(clauses),
         params=params,
         similar_path=similar_path,
+        text_query=" ".join(text_parts) if text_parts else None,
         tokens=tokens,
     )

@@ -22,6 +22,7 @@ class IndexedImage:
     tags: Dict[str, str] = field(default_factory=dict)
     phash: Optional[np.ndarray] = None        # uint8 bytes
     visual_hash: Optional[np.ndarray] = None  # uint8 embedding
+    blip_hash: Optional[np.ndarray] = None    # uint8 BLIP ITC latent (text search)
     distance_from_query: Optional[float] = None
 
     def get_thumbnail(self) -> Tuple[np.ndarray, Tuple[int, int]]:

@@ -1,0 +1,98 @@
+"""BLIP retrieval towers (tiny config) + WordPiece tokenizer."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pixelbox_tpu.models.blip import BlipConfig, BlipSearcher
+from pixelbox_tpu.models.wordpiece import WordPieceTokenizer
+
+from fixtures import textured_image
+
+
+class TestWordPiece:
+    def test_greedy_longest_match(self):
+        tok = WordPieceTokenizer.toy(words=["cat", "##s"])
+        ids = tok.encode("cats", add_special=False)
+        assert [tok.inv_vocab[i] for i in ids] == ["cat", "##s"]
+
+    def test_unknown_chars_to_unk(self):
+        tok = WordPieceTokenizer.toy()
+        ids = tok.encode("日本", add_special=False)
+        assert ids == [tok.unk_id]
+
+    def test_specials_and_padding(self):
+        tok = WordPieceTokenizer.toy(words=["hello"])
+        ids, mask = tok.encode_batch(["hello", ""], max_len=8)
+        assert ids.shape == (2, 8)
+        assert ids[0, 0] == tok.cls_id
+        assert tok.sep_id in ids[0]
+        assert mask[0].sum() == 3  # CLS + hello + SEP
+        assert mask[1].sum() == 2  # CLS + SEP
+
+    def test_punctuation_split_and_lowercase(self):
+        tok = WordPieceTokenizer.toy(words=["hi", "!"])
+        ids = tok.encode("Hi!", add_special=False)
+        assert [tok.inv_vocab[i] for i in ids] == ["hi", "!"]
+
+    def test_loads_reference_asset_format(self, tmp_path):
+        """Parses a HF tokenizer.json structure (what the reference ships)."""
+        import json
+
+        blob = {
+            "version": "1.0",
+            "normalizer": {"type": "BertNormalizer", "lowercase": True},
+            "model": {"type": "WordPiece", "vocab": {"[PAD]": 0, "[UNK]": 1,
+                                                     "[CLS]": 2, "[SEP]": 3,
+                                                     "hello": 4, "##!": 5}},
+        }
+        p = tmp_path / "tok.json"
+        p.write_text(json.dumps(blob))
+        tok = WordPieceTokenizer.from_tokenizer_json(str(p))
+        assert tok.encode("hello", add_special=False) == [4]
+
+
+class TestBlipTiny:
+    @pytest.fixture(scope="class")
+    def searcher(self):
+        return BlipSearcher(cfg=BlipConfig.tiny(), max_text_len=16, seed=0)
+
+    def test_image_embeddings_normalized(self, searcher):
+        imgs = [textured_image(seed=s, size=(64, 64)) for s in (1, 2)]
+        z = np.asarray(searcher.embed_image_batch(
+            jnp.asarray(np.stack(imgs).astype(np.float32) / 255.0)
+        ))
+        assert z.shape == (2, 32)
+        np.testing.assert_allclose(np.linalg.norm(z, axis=-1), 1.0, atol=1e-5)
+
+    def test_text_embeddings_normalized(self, searcher):
+        z = np.asarray(searcher.embed_text_batch(["a cat", "a dog photo"]))
+        assert z.shape == (2, 32)
+        np.testing.assert_allclose(np.linalg.norm(z, axis=-1), 1.0, atol=1e-5)
+
+    def test_padding_invariance(self, searcher):
+        """Mask must make embeddings independent of pad length."""
+        z1 = np.asarray(searcher.embed_text_batch(["cat"]))
+        # Same text among longer batch entries (same max_len, more padding
+        # used by the longer sibling).
+        z2 = np.asarray(searcher.embed_text_batch(["cat", "a much longer text here"]))[:1]
+        np.testing.assert_allclose(z1, z2, atol=1e-5)
+
+    def test_hashes_u8(self, searcher):
+        h = searcher.image_hashes([textured_image(seed=3, size=(80, 80))])
+        assert h.dtype == np.uint8 and h.shape == (1, 32)
+        t = searcher.text_hashes(["sunset on the beach"])
+        assert t.dtype == np.uint8 and t.shape == (1, 32)
+
+    def test_deterministic(self, searcher):
+        a = searcher.text_hashes(["same text"])
+        b = searcher.text_hashes(["same text"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_config_from_reference_json(self):
+        cfg = BlipConfig.from_json("/root/reference/models/blip-config.json")
+        assert cfg.vision.hidden_size == 1024
+        assert cfg.vision.num_layers == 24
+        assert cfg.vision.image_size == 384
+        assert cfg.text.hidden_size == 768
+        assert cfg.projection_dim == 256
