@@ -11,6 +11,7 @@ vs_baseline is measured dot-products/s divided by the 1e9/s north star
 """
 
 import json
+from functools import partial
 import sys
 import time
 
@@ -34,50 +35,39 @@ def bench_scan(n=1_000_000, d=128, q=256, k=100, iters=10, block_rows=2**17):
         jnp.asarray(data), jnp.asarray(row_sum), jnp.asarray(row_mag2),
         jnp.asarray(valid),
     )
-    # Distinct query batches per iteration: identical dispatches can be
-    # merged/cached by the runtime, which fabricates impossible numbers.
-    query_sets = [
-        jnp.asarray(rng.integers(0, 256, size=(q, d), dtype=np.uint8))
-        for _ in range(iters)
-    ]
+    # Timing methodology: host↔device roundtrips (or async-dispatch
+    # semantics on tunneled platforms) can dominate or fabricate numbers,
+    # so all `iters` scans run back-to-back ON DEVICE inside one jitted
+    # lax.scan over DISTINCT query batches, with a single tiny
+    # device→host fetch as the barrier.  Device time = total / iters.
+    all_queries = jnp.asarray(
+        rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8)
+    )
 
-    # Warmup (compile).
-    dist, idx = cosine_scan_topk(query_sets[0], index, k=k, block_rows=block_rows)
-    jax.block_until_ready((dist, idx))
+    @partial(jax.jit, static_argnames=())
+    def multi_scan(qs, index):
+        def body(carry, qi):
+            dist, idx = cosine_scan_topk(qi, index, k=k, block_rows=block_rows)
+            # Consume results so nothing is dead-code-eliminated.
+            return carry + jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0]), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), qs)
+        return acc
 
-    # Blocking per call (honest per-batch latency).  block_until_ready is
-    # not a reliable barrier on tunneled platforms — force a device→host
-    # fetch of a tiny slice instead.
+    # Warmup (compile + one full pass).
+    float(np.asarray(multi_scan(all_queries, index)))
+
     t0 = time.perf_counter()
-    sink = 0.0
-    for i in range(iters):
-        dist, idx = cosine_scan_topk(query_sets[i], index, k=k, block_rows=block_rows)
-        sink += float(np.asarray(dist[0, 0]))
-    dt_block = (time.perf_counter() - t0) / iters
+    sink = float(np.asarray(multi_scan(all_queries, index)))
+    dt = (time.perf_counter() - t0) / iters
 
-    # Pipelined (submit all, sync once at the end) — throughput upper bound.
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        outs.append(
-            cosine_scan_topk(query_sets[i], index, k=k, block_rows=block_rows)
-        )
-    sink += sum(float(np.asarray(d[0, 0])) for d, _ in outs)
-    dt_pipe = (time.perf_counter() - t0) / iters
-
-    # Headline uses the conservative blocking number.
-    dt = dt_block
     dots_per_sec = n * q / dt
     qps = q / dt
 
-    # Single-query latency (blocking).
-    q1 = query_sets[0][:1]
-    d1, i1 = cosine_scan_topk(q1, index, k=k, block_rows=block_rows)
-    jax.block_until_ready((d1, i1))
+    # Single-query scan, same methodology.
+    q1 = all_queries[:, :1, :]
+    float(np.asarray(multi_scan(q1, index)))
     t0 = time.perf_counter()
-    for i in range(iters):
-        d1, i1 = cosine_scan_topk(query_sets[i][:1], index, k=k, block_rows=block_rows)
-        sink += float(np.asarray(d1[0, 0]))
+    sink += float(np.asarray(multi_scan(q1, index)))
     lat_ms = (time.perf_counter() - t0) / iters * 1e3
 
     return {
@@ -86,9 +76,9 @@ def bench_scan(n=1_000_000, d=128, q=256, k=100, iters=10, block_rows=2**17):
         "batch_q": q,
         "n": n,
         "d": d,
-        "scan_ms_per_batch_blocking": dt_block * 1e3,
-        "scan_ms_per_batch_pipelined": dt_pipe * 1e3,
+        "scan_ms_per_batch": dt * 1e3,
         "single_query_ms": lat_ms,
+        "checksum": sink,
     }
 
 

@@ -1,0 +1,70 @@
+"""Alternative ViT embedder — the reference's staged-but-unused "nomic" path.
+
+The reference compiles a second ``mlhash`` implementation against
+``nomic_embed_vision_v1_5_int8.onnx`` (a 224×224 ViT emitting a 197×768
+token grid ≈ 151k-d latent) but does not re-export it
+(src/image_hashes/nomic.rs; src/image_hashes/mod.rs:4 declares it, mod.rs:7
+exports efficientnet's).  This mirrors that component: a ViT tower with the
+same input geometry whose pooled latent follows the same
+quantize-contract, registered as ``nomic`` in the embedder registry but
+not the default anywhere.
+
+Rather than the reference's unwieldy raw 197×768 token dump (151k bytes per
+image!), the latent is mean-pooled over tokens and tanh-bounded to a
+configurable width — the sane TPU-native variant of the same tower.
+Weights are random-init unless provided (the reference's .onnx is
+gitignored too).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pixelbox_tpu.models.base import Embedder
+from pixelbox_tpu.models.blip import BlipVisionConfig, BlipVisionTower
+from pixelbox_tpu.models.registry import register_embedder
+import flax.linen as nn
+
+
+class NomicVisionModule(nn.Module):
+    """ViT-B/16-ish tower (hidden 768, 12 layers) + pooled tanh head."""
+
+    latent_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = BlipVisionConfig(
+            hidden_size=768, num_layers=12, num_heads=12,
+            intermediate_size=3072, image_size=224, patch_size=16,
+        )
+        h = BlipVisionTower(cfg, self.dtype, name="vit")(x)  # CLS token
+        h = h.astype(jnp.float32)
+        z = nn.Dense(self.latent_dim, dtype=jnp.float32, name="head")(h)
+        return jnp.tanh(z)
+
+
+@register_embedder("nomic")
+class NomicEmbedder(Embedder):
+    def __init__(
+        self,
+        dim: int = 128,
+        input_size: int = 224,  # nomic.rs:8-9
+        params: Optional[dict] = None,
+        seed: int = 0,
+        dtype: Any = jnp.float32,
+    ):
+        self.dim = int(dim)
+        self.input_size = int(input_size)
+        self.module = NomicVisionModule(latent_dim=self.dim, dtype=dtype)
+        if params is None:
+            dummy = jnp.zeros((1, self.input_size, self.input_size, 3), jnp.float32)
+            params = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = params
+        self._fwd = jax.jit(lambda v, x: self.module.apply(v, x))
+
+    def embed_preprocessed(self, batch: jnp.ndarray) -> jnp.ndarray:
+        return self._fwd(self.variables, batch)

@@ -119,6 +119,42 @@ def popcount_u8(x: jnp.ndarray) -> jnp.ndarray:
     return (x + (x >> 4)) & 0x0F
 
 
+def popcount_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-word popcount of a uint32 array, as uint32 (SWAR).
+
+    Processing the hash 4 bytes at a time quarters the VPU op count of the
+    Hamming scan; see :func:`xor_popcount_bits`.
+    """
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (
+        (x & jnp.uint32(0xFF))
+        + ((x >> 8) & jnp.uint32(0xFF))
+        + ((x >> 16) & jnp.uint32(0xFF))
+        + (x >> 24)
+    )
+
+
+def pack_u8_words(x: jnp.ndarray) -> jnp.ndarray:
+    """u8 [..., H] → uint32 [..., H/4] (little-endian word packing).
+
+    Requires H % 4 == 0; xor distributes over the packing, so Hamming
+    distances computed on words equal those computed on bytes.
+    """
+    h = x.shape[-1]
+    assert h % 4 == 0, h
+    grouped = x.reshape(x.shape[:-1] + (h // 4, 4))
+    return jax.lax.bitcast_convert_type(grouped, jnp.uint32)
+
+
+def xor_popcount_bits(a_words: jnp.ndarray, b_words: jnp.ndarray) -> jnp.ndarray:
+    """Total differing bits between word-packed hashes, int32, last axis."""
+    return jnp.sum(
+        popcount_u32(jnp.bitwise_xor(a_words, b_words)), axis=-1
+    ).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("wrap_u8",))
 def hamming_distance(
     a: jnp.ndarray, b: jnp.ndarray, *, wrap_u8: bool = False

@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: fused int8-GEMM cosine scan with in-kernel exact top-k.
+
+The XLA path (``ops.scan``) computes per-block distances with the MXU and
+merges top-k with XLA's TopK custom call per block.  This kernel fuses the
+entire scan — int8 GEMM, exact-integer epilogue, threshold filter, and the
+running top-k — into ONE pass over the index: distances never leave VMEM,
+and the only HBM traffic is the int8 index itself (+ row metadata).
+
+TopK/sort primitives don't exist in Mosaic, so the kernel maintains the
+running top-K as a SORTED [Q, K] vector in VMEM and merges candidates by
+**threshold-filtered extract-min + vectorized sorted insertion**:
+
+  per row tile:
+    dist[Q, T] = reciprocal-cosine epilogue(int8 GEMM)      (MXU + VPU)
+    while any(min(dist) < current kth-best):
+      m      = per-query min                                 (VPU reduce)
+      insert m into the sorted carry with roll+select        (3 VPU ops)
+      mask m out of dist
+  final tile → carry written to the output refs
+
+The expected number of insertions over a whole scan is K + k·ln(N/T)
+(≈ a few hundred for N=1M), so almost every tile costs exactly one
+compare+reduce beyond its GEMM.  The loop is synchronized across the Q
+queries in the batch, which makes this kernel ideal for SMALL query
+batches (the interactive drag-drop path, reference src/ui/search.rs:28-31)
+— for large batches the XLA path's per-block TopK amortizes better; the
+engine picks per batch size.
+
+Exactness: same integer moments and f32 epilogue spec as ``ops.distances``
+(oracle-identical up to TPU sqrt/div ulps), ties broken by ascending row
+id exactly like the oracle (extract-min picks the smallest column;
+insertion goes after equal values; tiles ascend).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pixelbox_tpu.ops.packed import PackedSemanticIndex
+
+# numpy scalars (NOT jnp arrays — pallas kernels may not close over
+# traced constants).
+_INF = np.float32(np.inf)
+_COSINE_FLOOR = np.float32(1e-6)
+_MAG_EPS = np.float32(1e-6)
+_RECIP_65025 = np.float32(1.0 / (255.0 * 255.0))
+
+
+def build_row_meta(index: PackedSemanticIndex) -> jnp.ndarray:
+    """[2, N] int32: row 0 = centered row sums; row 1 = row mag2, with 0
+    marking invalid rows (real rows always have mag2 >= D > 0)."""
+    mag2 = jnp.where(index.valid, index.row_mag2, 0)
+    return jnp.stack([index.row_sum, mag2], axis=0).astype(jnp.int32)
+
+
+def _fused_scan_kernel(
+    md_ref,       # SMEM [1, 1] f32: max_distance
+    q_ref,        # VMEM [Q, D] int8
+    data_ref,     # VMEM [T, D] int8 (current tile)
+    meta_ref,     # VMEM [2, T] int32 (current tile)
+    best_d_ref,   # VMEM [Q, K] f32 out (sorted ascending)
+    best_i_ref,   # VMEM [Q, K] i32 out
+    *,
+    tile_rows: int,
+    k_lanes: int,
+    dim: int,
+):
+    t = pl.program_id(0)
+    qn = q_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        best_d_ref[:] = jnp.full((qn, k_lanes), _INF, jnp.float32)
+        best_i_ref[:] = jnp.full((qn, k_lanes), -1, jnp.int32)
+
+    q_i8 = q_ref[:]
+    q_i32 = q_i8.astype(jnp.int32)
+    q_sum = jnp.sum(q_i32, axis=1, keepdims=True)                  # [Q,1]
+    qc = 2 * q_i32 + 1                                             # centered 2q-255
+    q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+
+    dot8 = lax.dot_general(
+        q_i8,
+        data_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                              # [Q,T]
+    row_sum = meta_ref[0, :][None, :]                              # [1,T]
+    row_mag2 = meta_ref[1, :][None, :]                             # [1,T]
+    dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
+    mag2_b = row_mag2.astype(jnp.float32)
+    sp = jnp.sqrt(q_mag2 * mag2_b)                                 # [Q,T]
+    mag = sp * _RECIP_65025
+    cos = dot_c.astype(jnp.float32) / sp
+    dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+    dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
+    # Validity + strict threshold (engine.rs:375-383 WHERE dist < ?).
+    md = md_ref[0, 0]
+    dist = jnp.where((row_mag2 > 0) & (dist < md), dist, _INF)
+
+    base = t * tile_rows
+    col = lax.broadcasted_iota(jnp.int32, (qn, tile_rows), 1)
+    lane = lax.broadcasted_iota(jnp.int32, (qn, k_lanes), 1)
+    big_col = jnp.int32(2 ** 30)
+
+    def insert_round(state):
+        dist, _ = state
+        m = jnp.min(dist, axis=1, keepdims=True)                   # [Q,1]
+        theta = best_d_ref[:, k_lanes - 1 : k_lanes]               # [Q,1]
+        ins = m < theta                                            # [Q,1]
+        midx = jnp.min(
+            jnp.where(dist == m, col, big_col), axis=1, keepdims=True
+        )                                                          # [Q,1]
+        gidx = (base + midx).astype(jnp.int32)
+        cur_d = best_d_ref[:]
+        cur_i = best_i_ref[:]
+        # Insert after equal values → ascending-row-id tie-break.
+        pos = jnp.sum((cur_d <= m).astype(jnp.int32), axis=1, keepdims=True)
+        sh_d = pltpu.roll(cur_d, shift=1, axis=1)
+        sh_i = pltpu.roll(cur_i, shift=1, axis=1)
+        new_d = jnp.where(lane < pos, cur_d, jnp.where(lane == pos, m, sh_d))
+        new_i = jnp.where(lane < pos, cur_i, jnp.where(lane == pos, gidx, sh_i))
+        best_d_ref[:] = jnp.where(ins, new_d, cur_d)
+        best_i_ref[:] = jnp.where(ins, new_i, cur_i)
+        # Mask the extracted minima (for every row: guarantees progress).
+        dist = jnp.where(col == midx, _INF, dist)
+        more = jnp.any(
+            jnp.min(dist, axis=1, keepdims=True)
+            < best_d_ref[:, k_lanes - 1 : k_lanes]
+        )
+        return dist, more
+
+    init_more = jnp.any(
+        jnp.min(dist, axis=1, keepdims=True)
+        < best_d_ref[:, k_lanes - 1 : k_lanes]
+    )
+    lax.while_loop(lambda s: s[1], insert_round, (dist, init_more))
+
+
+@partial(jax.jit, static_argnames=("k", "tile_rows"))
+def pallas_cosine_scan_topk(
+    query_u8: jnp.ndarray,
+    index: PackedSemanticIndex,
+    row_meta: jnp.ndarray,
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    tile_rows: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-scan top-k.  Returns (dist [Q, k] f32, idx [Q, k] i32), same
+    result semantics as ``ops.scan.cosine_scan_topk``.
+
+    ``row_meta`` comes from :func:`build_row_meta` (cache it alongside the
+    index).  Best for small Q (interactive queries); the carry holds
+    ceil(k/128)*128 lanes, so k up to a few hundred is fine.
+    """
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, d = query_u8.shape
+    n_pad = index.capacity
+    assert n_pad % tile_rows == 0, (n_pad, tile_rows)
+    n_tiles = n_pad // tile_rows
+    k_lanes = max(128, -(-k // 128) * 128)
+
+    # Pad queries to the f32 sublane minimum.
+    q_pad = max(8, -(-qn // 8) * 8)
+    if q_pad != qn:
+        query_u8 = jnp.pad(query_u8, ((0, q_pad - qn), (0, 0)))
+    q_i8 = (query_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+
+    md = jnp.asarray(max_distance, jnp.float32).reshape(1, 1)
+
+    kernel = partial(
+        _fused_scan_kernel, tile_rows=tile_rows, k_lanes=k_lanes, dim=d
+    )
+    best_d, best_i = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.int32),
+        ),
+    )(md, q_i8, index.data, row_meta)
+
+    best_d = best_d[:qn, :k]
+    best_i = best_i[:qn, :k]
+    keep = jnp.isfinite(best_d)
+    best_i = jnp.where(keep, best_i, -1)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i

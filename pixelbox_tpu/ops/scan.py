@@ -30,7 +30,9 @@ from jax import lax
 
 from pixelbox_tpu.ops.distances import (
     _cosine_distance_from_moments,
+    pack_u8_words,
     popcount_u8,
+    xor_popcount_bits,
 )
 from pixelbox_tpu.ops.packed import (
     PackedHammingIndex,
@@ -142,12 +144,24 @@ def hamming_scan_topk(
         jnp.arange(nb, dtype=jnp.int32) * block_rows,
     )
 
+    # Word-packed SWAR popcount processes 4 hash bytes per VPU op.
+    words = h % 4 == 0
+    q_packed = pack_u8_words(query_u8) if words else query_u8
+
     def body(carry, x):
         best_d, best_i = carry
         blk, blk_valid, base = x
-        x_q = query_u8[:, None, :]          # [Q, 1, H]
-        x_b = blk[None, :, :]               # [1, B, H]
-        bits = jnp.sum(popcount_u8(jnp.bitwise_xor(x_q, x_b)), axis=-1)
+        if words:
+            bits = xor_popcount_bits(
+                q_packed[:, None, :], pack_u8_words(blk)[None, :, :]
+            )
+        else:
+            bits = jnp.sum(
+                popcount_u8(
+                    jnp.bitwise_xor(query_u8[:, None, :], blk[None, :, :])
+                ),
+                axis=-1,
+            )
         if wrap_u8:
             bits = bits % 256
         dist = bits.astype(jnp.float32) / jnp.float32(8.0 * h)
