@@ -1,31 +1,58 @@
-"""Benchmark harness — headline: u8 cosine-scan throughput on one chip.
+"""Benchmark harness — the five BASELINE.json configs.
 
-Measures the BASELINE.json configs on the hot path the reference bottlenecks
-on (SQLite per-row UDF scan, reference src/engine.rs:375-383): batched
-top-k cosine search over a 1M×128-d u8 index resident in HBM.
+Headline (always printed as the final JSON line): batched u8 cosine-scan
+throughput over a 1M×128 index — the hot path the reference bottlenecks on
+(SQLite per-row UDF scan, reference src/engine.rs:375-383).
 
-Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline is measured dot-products/s divided by the 1e9/s north star
-(BASELINE.md), i.e. >1.0 beats the target.
+
+vs_baseline = measured dot-products/s ÷ the 1e9/s north star (BASELINE.md);
+>1.0 beats the target.
+
+Default run: configs 1+2 (cosine scan w/ recall@10 parity check, hamming
+scan).  ``--full`` adds 3 (EfficientNet embedding), 4 (end-to-end
+drag-drop @1M), 5 (BLIP text→image) — each pays a first-time jit compile.
+
+Timing methodology: host↔device roundtrips (or async-dispatch semantics on
+tunneled platforms) can dominate or fabricate numbers, so iterations run
+back-to-back ON DEVICE inside one jitted lax.scan over distinct inputs,
+with a single tiny device→host fetch as the barrier.
 """
 
 import json
-from functools import partial
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
+NORTH_STAR_DOTS_PER_SEC = 1e9
+NORTH_STAR_INGEST_PER_SEC = 5e3
 
-def bench_scan(n=1_000_000, d=128, q=256, k=100, iters=10, block_rows=2**17):
+
+def _device_loop(fn, inputs, iters):
+    """Time `fn` over `iters` stacked inputs entirely on device."""
     import jax
     import jax.numpy as jnp
 
-    from pixelbox_tpu.ops.packed import PackedSemanticIndex, semantic_rows_from_u8
-    from pixelbox_tpu.ops.scan import cosine_scan_topk
+    @jax.jit
+    def multi(xs):
+        def body(c, x):
+            return c + fn(x), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+        return acc
 
-    rng = np.random.default_rng(0)
+    float(np.asarray(multi(inputs)))  # warmup/compile
+    t0 = time.perf_counter()
+    sink = float(np.asarray(multi(inputs)))
+    return (time.perf_counter() - t0) / iters, sink
+
+
+def build_semantic_index(n, d, rng, block_rows):
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops.packed import PackedSemanticIndex, semantic_rows_from_u8
+
     n_pad = -(-n // block_rows) * block_rows
     db = rng.integers(0, 256, size=(n_pad, d), dtype=np.uint8)
     data, row_sum, row_mag2 = semantic_rows_from_u8(db)
@@ -35,61 +62,233 @@ def bench_scan(n=1_000_000, d=128, q=256, k=100, iters=10, block_rows=2**17):
         jnp.asarray(data), jnp.asarray(row_sum), jnp.asarray(row_mag2),
         jnp.asarray(valid),
     )
-    # Timing methodology: host↔device roundtrips (or async-dispatch
-    # semantics on tunneled platforms) can dominate or fabricate numbers,
-    # so all `iters` scans run back-to-back ON DEVICE inside one jitted
-    # lax.scan over DISTINCT query batches, with a single tiny
-    # device→host fetch as the barrier.  Device time = total / iters.
-    all_queries = jnp.asarray(
-        rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8)
-    )
+    return db[:n], index
 
-    @partial(jax.jit, static_argnames=())
-    def multi_scan(qs, index):
-        def body(carry, qi):
-            dist, idx = cosine_scan_topk(qi, index, k=k, block_rows=block_rows)
-            # Consume results so nothing is dead-code-eliminated.
-            return carry + jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0]), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), qs)
-        return acc
 
-    # Warmup (compile + one full pass).
-    float(np.asarray(multi_scan(all_queries, index)))
+def bench_cosine_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
+                      block_rows=2**17, rng=None):
+    """Config 1 scaled to 1M (headline) — batched scan throughput."""
+    import jax.numpy as jnp
 
-    t0 = time.perf_counter()
-    sink = float(np.asarray(multi_scan(all_queries, index)))
-    dt = (time.perf_counter() - t0) / iters
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
 
-    dots_per_sec = n * q / dt
-    qps = q / dt
+    rng = rng or np.random.default_rng(0)
+    _, index = build_semantic_index(n, d, rng, block_rows)
+    qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8))
 
-    # Single-query scan, same methodology.
-    q1 = all_queries[:, :1, :]
-    float(np.asarray(multi_scan(q1, index)))
-    t0 = time.perf_counter()
-    sink += float(np.asarray(multi_scan(q1, index)))
-    lat_ms = (time.perf_counter() - t0) / iters * 1e3
+    def one(qi):
+        dist, idx = cosine_scan_topk(qi, index, k=k, block_rows=block_rows)
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
 
+    dt, _ = _device_loop(one, qs, iters)
+    q1 = qs[:, :1, :]
+    dt1, _ = _device_loop(one, q1, iters)
     return {
-        "dots_per_sec": dots_per_sec,
-        "qps_batch": qps,
+        "dots_per_sec": n * q / dt,
+        "qps_batch": q / dt,
         "batch_q": q,
         "n": n,
         "d": d,
         "scan_ms_per_batch": dt * 1e3,
-        "single_query_ms": lat_ms,
-        "checksum": sink,
+        "single_query_ms": dt1 * 1e3,
+    }
+
+
+def bench_recall_parity(n=10_000, d=128, q=16, k=10, rng=None):
+    """Config 1 exact form: top-10 parity vs the exact CPU oracle at 10k."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops.oracle import cosine_scan_topk_np
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    rng = rng or np.random.default_rng(1)
+    db, index = build_semantic_index(n, d, rng, block_rows=2048)
+    queries = rng.integers(0, 256, size=(q, d), dtype=np.uint8)
+    dist, idx = cosine_scan_topk(jnp.asarray(queries), index, k=k, block_rows=2048)
+    idx = np.asarray(idx)
+    exp_d, exp_i = cosine_scan_topk_np(queries, db, k=k)
+    hits = sum(
+        len(set(idx[i]) & set(exp_i[i])) / k for i in range(q)
+    ) / q
+    return {"recall_at_10_vs_oracle": hits, "n": n, "queries": q}
+
+
+def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
+                  block_rows=2**16, rng=None):
+    """Config 2: perceptual-hash Hamming search."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops.packed import PackedHammingIndex
+    from pixelbox_tpu.ops.scan import hamming_scan_topk
+
+    rng = rng or np.random.default_rng(2)
+    n_pad = -(-n // block_rows) * block_rows
+    db = rng.integers(0, 256, size=(n_pad, h), dtype=np.uint8)
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+    index = PackedHammingIndex(jnp.asarray(db), jnp.asarray(valid))
+    qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, h), dtype=np.uint8))
+
+    def one(qi):
+        dist, idx = hamming_scan_topk(qi, index, k=k, block_rows=block_rows)
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
+
+    dt, _ = _device_loop(one, qs, iters)
+    return {
+        "hashes_per_sec": n * q / dt,
+        "qps_batch": q / dt,
+        "n": n,
+        "hash_bytes": h,
+        "scan_ms_per_batch": dt * 1e3,
+    }
+
+
+def bench_embedding(batch=64, iters=8, size=224, dim=128, rng=None):
+    """Config 3: batched EfficientNet embedding extraction (images/s)."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.models import get_embedder
+    from pixelbox_tpu.ops.quantize import quantize_embedding
+
+    rng = rng or np.random.default_rng(3)
+    emb = get_embedder("efficientnet", dim=dim, input_size=size)
+    xs = jnp.asarray(
+        rng.uniform(0, 1, size=(iters, batch, size, size, 3)).astype(np.float32)
+    )
+
+    def one(x):
+        z = emb.embed_preprocessed(x)
+        return jnp.sum(quantize_embedding(z).astype(jnp.float32))
+
+    dt, _ = _device_loop(one, xs, iters)
+    return {
+        "images_per_sec": batch / dt,
+        "batch": batch,
+        "input_size": size,
+        "latent_dim": dim,
+        "ms_per_batch": dt * 1e3,
+        "vs_ingest_north_star": batch / dt / NORTH_STAR_INGEST_PER_SEC,
+    }
+
+
+def bench_e2e_dragdrop(n=1_000_000, d=128, iters=5, rng=None):
+    """Config 4: end-to-end drag-drop query at 1M vectors:
+    decode → preprocess → embed → quantize → top-k (wall clock)."""
+    import io
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from pixelbox_tpu.models import get_embedder
+    from pixelbox_tpu.ops.preprocess import preprocess_host
+    from pixelbox_tpu.ops.quantize import quantize_embedding
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    rng = rng or np.random.default_rng(4)
+    _, index = build_semantic_index(n, d, rng, block_rows=2**17)
+    emb = get_embedder("efficientnet", dim=d, input_size=224)
+
+    # A realistic on-disk JPEG to decode each iteration.
+    img = (rng.uniform(0, 255, size=(960, 1280, 3))).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90)
+    jpeg_bytes = buf.getvalue()
+
+    def query_once(noise):
+        t0 = time.perf_counter()
+        decoded = np.asarray(Image.open(io.BytesIO(jpeg_bytes)).convert("RGB"))
+        decoded = np.clip(decoded.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+        pre = preprocess_host(decoded, 224)
+        z = emb.embed_preprocessed(jnp.asarray(pre[None]))
+        hq = quantize_embedding(z)
+        dist, idx = cosine_scan_topk(hq[0], index, k=100, block_rows=2**17)
+        _ = float(np.asarray(dist[0]))
+        return time.perf_counter() - t0
+
+    query_once(0)  # compile
+    times = [query_once(i + 1) for i in range(iters)]
+    return {
+        "e2e_ms_median": float(np.median(times) * 1e3),
+        "e2e_ms_best": float(np.min(times) * 1e3),
+        "n": n,
+    }
+
+
+def bench_blip_text(n=100_000, iters=8, q=32, rng=None):
+    """Config 5: BLIP text→image search (text embed + scan)."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.models.blip import BlipConfig, BlipSearcher
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    rng = rng or np.random.default_rng(5)
+    searcher = BlipSearcher(cfg=BlipConfig(), max_text_len=32)
+    d = searcher.dim
+    _, index = build_semantic_index(n, d, rng, block_rows=2**14)
+
+    texts = ["a photo of a %s on a %s" % (a, b)
+             for a in ("cat", "dog", "car", "tree")
+             for b in ("beach", "street", "table", "hill")][:q]
+    t0 = time.perf_counter()
+    hashes = searcher.text_hashes(texts)  # includes compile
+    compile_and_embed_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    hashes = searcher.text_hashes(texts)
+    text_embed_s = time.perf_counter() - t0
+
+    qs = jnp.asarray(np.broadcast_to(hashes, (iters, q, d)).copy())
+
+    def one(qi):
+        dist, idx = cosine_scan_topk(qi, index, k=100, block_rows=2**14)
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
+
+    dt, _ = _device_loop(one, qs, iters)
+    return {
+        "text_embed_ms_per_batch": text_embed_s * 1e3,
+        "texts_per_sec": q / text_embed_s,
+        "scan_qps": q / dt,
+        "n": n,
+        "proj_dim": d,
+        "first_call_s": compile_and_embed_s,
     }
 
 
 def main():
-    res = bench_scan()
+    full = "--full" in sys.argv
+    from pixelbox_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    detail = {}
+    rng = np.random.default_rng(0)
+
+    res = bench_cosine_scan(rng=rng)
+    detail["cosine_scan_1Mx128"] = res
+    for name, fn in [
+        ("recall_parity_10k", bench_recall_parity),
+        ("hamming_scan_1Mx32", bench_hamming),
+    ] + (
+        [
+            ("efficientnet_embedding", bench_embedding),
+            ("e2e_dragdrop_1M", bench_e2e_dragdrop),
+            ("blip_text_search", bench_blip_text),
+        ]
+        if full
+        else []
+    ):
+        try:
+            detail[name] = fn()
+        except Exception as e:  # noqa: BLE001
+            detail[name] = {"error": f"{type(e).__name__}: {e}"}
+
     out = {
         "metric": "u8_cosine_scan_dot_products_per_sec_1Mx128",
         "value": res["dots_per_sec"],
         "unit": "dot-products/s/chip",
-        "vs_baseline": res["dots_per_sec"] / 1e9,
-        "detail": res,
+        "vs_baseline": res["dots_per_sec"] / NORTH_STAR_DOTS_PER_SEC,
+        "detail": detail,
     }
     print(json.dumps(out))
 

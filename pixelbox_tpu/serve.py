@@ -87,7 +87,14 @@ document.getElementById('q').addEventListener('keydown', e=>{if(e.key=='Enter')s
 </script></body></html>"""
 
 
-def _results_json(engine):
+def _results_json(engine, offset: int = 0, limit: int = 0):
+    """Serialize cached results; offset/limit implement the pagination the
+    reference stubbed but never wired (reference src/ui/mod.rs:61-82)."""
+    results = engine.get_query_results() or []
+    if offset:
+        results = results[offset:]
+    if limit:
+        results = results[:limit]
     return [
         {
             "id": r.id,
@@ -97,7 +104,7 @@ def _results_json(engine):
             "distance": r.distance_from_query,
             "tags": r.tags,
         }
-        for r in (engine.get_query_results() or [])
+        for r in results
     ]
 
 
@@ -125,9 +132,11 @@ def make_handler(engine, lock: threading.Lock):
                     return self._send(200, _PAGE, "text/html")
                 if parsed.path == "/api/search":
                     q = qs.get("q", [""])[0]
+                    offset = int(qs.get("offset", ["0"])[0])
+                    limit = int(qs.get("limit", ["0"])[0])
                     with lock:
                         engine.query(q)
-                        return self._send(200, _results_json(engine))
+                        return self._send(200, _results_json(engine, offset, limit))
                 if parsed.path == "/api/similar":
                     image_id = int(qs["id"][0])
                     info = engine.catalog.get_image(image_id)

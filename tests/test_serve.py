@@ -1,0 +1,144 @@
+"""Web UI / JSON API end-to-end over real HTTP."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixelbox_tpu.engine import Engine
+from pixelbox_tpu.serve import make_handler
+
+from fixtures import textured_image
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    photos = tmp_path_factory.mktemp("photos")
+    for s in (1, 2):
+        Image.fromarray(textured_image(seed=s, size=(64, 64))).save(
+            photos / f"img{s}.png"
+        )
+    db = tmp_path_factory.mktemp("db") / "srv.db"
+    eng = Engine.new(str(db), embedder="stub", embedder_kwargs={"dim": 16})
+    eng.add_tracked_folder(str(photos))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(eng, threading.Lock())
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, eng, photos
+    httpd.shutdown()
+
+
+def get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        ct = r.headers.get("Content-Type", "")
+        body = r.read()
+    return ct, body
+
+
+def get_json(base, path):
+    ct, body = get(base, path)
+    assert "json" in ct
+    return json.loads(body)
+
+
+def post(base, path, data=b"", expect_error=False):
+    req = urllib.request.Request(base + path, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        if not expect_error:
+            raise
+        return e.code, json.loads(e.read())
+
+
+def test_index_page(server):
+    base, _, _ = server
+    ct, body = get(base, "/")
+    assert "html" in ct
+    assert b"pixelbox-tpu" in body
+
+
+def test_status(server):
+    base, _, _ = server
+    s = get_json(base, "/api/status")
+    assert s["images"] == 2
+    assert s["indexing"] is False
+
+
+def test_search(server):
+    base, _, _ = server
+    res = get_json(base, "/api/search?q=img1")
+    assert len(res) == 1
+    assert res[0]["filename"] == "img1.png"
+
+
+def test_search_pagination(server):
+    base, _, _ = server
+    allr = get_json(base, "/api/search?q=img")
+    assert len(allr) == 2
+    page = get_json(base, "/api/search?q=img&offset=1&limit=1")
+    assert len(page) == 1
+    assert page[0]["id"] == allr[1]["id"]
+
+
+def test_thumbnail_png(server):
+    base, _, _ = server
+    res = get_json(base, "/api/search?q=img1")
+    ct, body = get(base, f"/api/thumbnail?id={res[0]['id']}")
+    assert ct == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_similar_by_id(server):
+    base, _, _ = server
+    res = get_json(base, "/api/search?q=img1")
+    sim = get_json(base, f"/api/similar?id={res[0]['id']}")
+    assert sim[0]["filename"] == "img1.png"
+    assert sim[0]["distance"] < 1e-5
+
+
+def test_similar_upload(server, tmp_path):
+    base, _, photos = server
+    data = (photos / "img2.png").read_bytes()
+    status, res = post(base, "/api/similar", data)
+    assert status == 200
+    assert res[0]["filename"] == "img2.png"
+
+
+def test_similar_upload_garbage(server):
+    base, _, _ = server
+    status, res = post(base, "/api/similar", b"not an image", expect_error=True)
+    assert status == 400
+    assert "error" in res
+
+
+def test_folders_and_settings(server):
+    base, eng, photos = server
+    folders = get_json(base, "/api/folders")
+    assert str(photos) in folders
+    status, _ = post(
+        base, "/api/settings",
+        json.dumps({"max_search_results": 7}).encode(),
+    )
+    assert status == 200
+    assert eng.max_search_results == 7
+
+
+def test_unknown_route_404(server):
+    base, _, _ = server
+    try:
+        get(base, "/api/nope")
+        assert False, "should 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
