@@ -29,12 +29,28 @@ from pixelbox_tpu.ops.resample import (
 MODEL_INPUT_SIZE = 224  # efficientnet.rs:6-7
 
 
-def preprocess_host(img_rgb: np.ndarray, size: int = MODEL_INPUT_SIZE) -> np.ndarray:
+def preprocess_host(
+    img_rgb: np.ndarray, size: int = MODEL_INPUT_SIZE, exact: bool = False
+) -> np.ndarray:
     """One image HxWx3 u8 → f32 [size, size, 3] in [0, 1] (reference semantics).
 
     Matches efficientnet.rs:19-29 except layout (HWC here, CHW there).
+    Default path runs PIL's SIMD triangle resampler (same kernel family);
+    ``exact=True`` uses the numpy matmul resampler that is bit-compatible
+    with the device path's weights.
     """
-    filled = to_u8(resize_to_fill_np(np.asarray(img_rgb), size, size, "triangle"))
+    img = np.asarray(img_rgb)
+    if exact:
+        filled = to_u8(resize_to_fill_np(img, size, size, "triangle"))
+    else:
+        from pixelbox_tpu.ops.resample import resize_dimensions, resize_pil
+
+        h, w = img.shape[:2]
+        out_w, out_h = resize_dimensions(w, h, size, size, fill=True)
+        big = resize_pil(img, out_w, out_h)
+        x0 = (out_w - size) // 2
+        y0 = (out_h - size) // 2
+        filled = big[y0 : y0 + size, x0 : x0 + size]
     return filled.astype(np.float32) / np.float32(255.0)
 
 

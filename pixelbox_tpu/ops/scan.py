@@ -103,7 +103,7 @@ def cosine_scan_topk(
         dist = jnp.where(keep, dist, jnp.inf)
         idx = _block_iota(base, block_rows, qn)
         cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
-        return topk_ops.merge_topk(best_d, best_i, cand_d, cand_i, k), None
+        return topk_ops.merge_sorted_topk(best_d, best_i, cand_d, cand_i, k), None
 
     init = topk_ops.empty_topk((qn,), k)
     (best_d, best_i), _ = lax.scan(body, init, xs)
@@ -164,12 +164,13 @@ def hamming_scan_topk(
             )
         if wrap_u8:
             bits = bits % 256
-        dist = bits.astype(jnp.float32) / jnp.float32(8.0 * h)
+        # Multiply-by-reciprocal: canonical constant-scale spec (distances.py).
+        dist = bits.astype(jnp.float32) * jnp.float32(1.0 / (8.0 * h))
         keep = blk_valid[None, :] & (dist < max_distance)
         dist = jnp.where(keep, dist, jnp.inf)
         idx = _block_iota(base, block_rows, qn)
         cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
-        return topk_ops.merge_topk(best_d, best_i, cand_d, cand_i, k), None
+        return topk_ops.merge_sorted_topk(best_d, best_i, cand_d, cand_i, k), None
 
     init = topk_ops.empty_topk((qn,), k)
     (best_d, best_i), _ = lax.scan(body, init, xs)

@@ -34,11 +34,63 @@ def merge_topk(dist_a, idx_a, dist_b, idx_b, k: int):
 
     ``a`` entries sort before ``b`` entries at equal distance (pass the
     running carry as ``a`` so earlier rows win ties).
+
+    General (unsorted inputs) but slow on TPU — lax.sort lowers to a long
+    compare-exchange network.  The blocked scans use
+    :func:`merge_sorted_topk` instead.
     """
     d = jnp.concatenate([dist_a, dist_b], axis=-1)
     i = jnp.concatenate([idx_a, idx_b], axis=-1)
     d_s, i_s = lax.sort((d, i), num_keys=1, dimension=-1, is_stable=True)
     return d_s[..., :k], i_s[..., :k]
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def merge_sorted_topk(dist_a, idx_a, dist_b, idx_b, k: int):
+    """Merge two ASCENDING-sorted candidate lists into the k smallest.
+
+    O(log k) bitonic-merge stages of vectorized compare-exchanges — far
+    cheaper on TPU than a general sort.  Ties order by ascending idx
+    (lexicographic (dist, idx) exchange predicate), so results match the
+    oracle's ascending-row-id tie-break exactly.
+
+    Inputs [..., k] must each be sorted ascending by (dist, idx) — which
+    ``lax.top_k``-produced candidates and previous merge outputs are.
+    Output is fully sorted ascending.
+    """
+    kp = _next_pow2(k)
+    pad = [(0, 0)] * (dist_a.ndim - 1) + [(0, kp - k)]
+    if kp != k:
+        dist_a = jnp.pad(dist_a, pad, constant_values=jnp.inf)
+        dist_b = jnp.pad(dist_b, pad, constant_values=jnp.inf)
+        idx_a = jnp.pad(idx_a, pad, constant_values=jnp.int32(2 ** 31 - 1))
+        idx_b = jnp.pad(idx_b, pad, constant_values=jnp.int32(2 ** 31 - 1))
+    # concat(A asc, reverse(B asc)) is bitonic; merging sorts it.
+    d = jnp.concatenate([dist_a, jnp.flip(dist_b, axis=-1)], axis=-1)
+    i = jnp.concatenate([idx_a, jnp.flip(idx_b, axis=-1)], axis=-1)
+    n = 2 * kp
+    batch = d.shape[:-1]
+    stride = kp
+    while stride >= 1:
+        dr = d.reshape(*batch, n // (2 * stride), 2, stride)
+        ir = i.reshape(*batch, n // (2 * stride), 2, stride)
+        d_lo, d_hi = dr[..., 0, :], dr[..., 1, :]
+        i_lo, i_hi = ir[..., 0, :], ir[..., 1, :]
+        swap = (d_hi < d_lo) | ((d_hi == d_lo) & (i_hi < i_lo))
+        new_lo_d = jnp.where(swap, d_hi, d_lo)
+        new_hi_d = jnp.where(swap, d_lo, d_hi)
+        new_lo_i = jnp.where(swap, i_hi, i_lo)
+        new_hi_i = jnp.where(swap, i_lo, i_hi)
+        d = jnp.stack([new_lo_d, new_hi_d], axis=-2).reshape(*batch, n)
+        i = jnp.stack([new_lo_i, new_hi_i], axis=-2).reshape(*batch, n)
+        stride //= 2
+    return d[..., :k], i[..., :k]
 
 
 def empty_topk(batch_shape, k: int):

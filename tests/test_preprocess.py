@@ -69,10 +69,19 @@ class TestPreprocess:
         assert out.dtype == np.float32
         assert 0.0 <= out.min() and out.max() <= 1.0
 
+    def test_fast_and_exact_paths_agree(self):
+        img = textured_image(size=(150, 210))
+        fast = preprocess_host(img)
+        exact = preprocess_host(img, exact=True)
+        # PIL triangle vs matmul triangle: same kernel family, u8-grid
+        # rounding differences only.
+        np.testing.assert_allclose(fast, exact, atol=2 / 255.0 + 1e-6)
+
     def test_batch_tpu_matches_host(self):
         imgs = np.stack([textured_image(seed=s, size=(120, 160)) for s in (1, 2)])
         got = np.asarray(preprocess_batch_tpu(jnp.asarray(imgs), size=64))
-        exp = np.stack([preprocess_host(im, 64) for im in imgs])
+        # exact=True: the matmul path shares weights with the device path.
+        exp = np.stack([preprocess_host(im, 64, exact=True) for im in imgs])
         # Same weights; f32 einsum vs numpy f64 path — tiny tolerance, and
         # both round back to the same u8 grid almost everywhere.
         assert np.mean(np.abs(got - exp) > 1e-6) < 0.01
