@@ -94,6 +94,61 @@ def bench_cosine_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     }
 
 
+def bench_fast_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
+                    block_rows=2**17, rng=None):
+    """Fast-mode (approx_min_k) batched scan + recall vs the exact C++ oracle."""
+    import ctypes
+
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.native import load_native
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    rng = rng or np.random.default_rng(0)
+    db, index = build_semantic_index(n, d, rng, block_rows)
+    qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8))
+
+    def one(qi):
+        dist, idx = cosine_scan_topk(
+            qi, index, k=k, block_rows=block_rows, mode="fast"
+        )
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
+
+    dt, _ = _device_loop(one, qs, iters)
+    out = {
+        "dots_per_sec": n * q / dt,
+        "qps_batch": q / dt,
+        "scan_ms_per_batch": dt * 1e3,
+    }
+
+    lib = load_native()
+    if lib is not None:
+        nq = 16
+        queries = np.asarray(qs[0][:nq])
+        _, got_i = cosine_scan_topk(
+            jnp.asarray(queries), index, k=k, block_rows=block_rows, mode="fast"
+        )
+        got_i = np.asarray(got_i)
+        exp_d = np.empty((nq, k), np.float32)
+        exp_i = np.empty((nq, k), np.int32)
+        lib.cpu_cosine_scan_topk(
+            db.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, d,
+            queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nq, k,
+            1e3, 8,
+            exp_d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            exp_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        out["recall_at_100"] = float(
+            np.mean([len(set(got_i[i]) & set(exp_i[i])) / k for i in range(nq)])
+        )
+        out["recall_at_10"] = float(
+            np.mean(
+                [len(set(got_i[i][:10]) & set(exp_i[i][:10])) / 10 for i in range(nq)]
+            )
+        )
+    return out
+
+
 def bench_recall_parity(n=10_000, d=128, q=16, k=10, rng=None):
     """Config 1 exact form: top-10 parity vs the exact CPU oracle at 10k."""
     import jax.numpy as jnp
@@ -267,6 +322,7 @@ def main():
     res = bench_cosine_scan(rng=rng)
     detail["cosine_scan_1Mx128"] = res
     for name, fn in [
+        ("cosine_scan_fast_mode_1Mx128", bench_fast_scan),
         ("recall_parity_10k", bench_recall_parity),
         ("hamming_scan_1Mx32", bench_hamming),
     ] + (

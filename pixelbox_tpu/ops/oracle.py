@@ -68,9 +68,19 @@ def _scan_topk_np(dist: np.ndarray, k: int, max_distance: float):
 def cosine_scan_topk_np(
     query_u8: np.ndarray, db_u8: np.ndarray, k: int = 100, max_distance: float = 1e3
 ):
-    """Oracle for ``ops.scan.cosine_scan_topk`` over raw u8 db rows [N, D]."""
+    """Oracle for ``ops.scan.cosine_scan_topk`` over raw u8 db rows [N, D].
+
+    Memory-bounded: computes the [Q, N] distance matrix in query chunks
+    (the naive broadcast materializes Q×N×D int64).
+    """
     q = np.atleast_2d(np.asarray(query_u8, dtype=np.uint8))
-    dist = cosine_distance_np(q[:, None, :], np.asarray(db_u8, dtype=np.uint8)[None, :, :])
+    db = np.asarray(db_u8, dtype=np.uint8)
+    n, dim = db.shape
+    chunk = max(1, (1 << 27) // max(1, n * dim))  # ~128M element partials
+    dist = np.empty((q.shape[0], n), dtype=np.float32)
+    for s in range(0, q.shape[0], chunk):
+        e = min(s + chunk, q.shape[0])
+        dist[s:e] = cosine_distance_np(q[s:e, None, :], db[None, :, :])
     return _scan_topk_np(dist, k, max_distance)
 
 

@@ -49,20 +49,33 @@ def _block_iota(base: jnp.ndarray, b: int, q: int) -> jnp.ndarray:
     return base + jax.lax.broadcasted_iota(jnp.int32, (q, b), dimension=1)
 
 
-@partial(jax.jit, static_argnames=("k", "block_rows"))
+@partial(jax.jit, static_argnames=("k", "block_rows", "mode", "recall_target"))
 def cosine_scan_topk(
     query_u8: jnp.ndarray,
     index: PackedSemanticIndex,
     k: int = 100,
     max_distance: jnp.ndarray | float = 1e3,
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    mode: str = "exact",
+    recall_target: float = 0.99,
 ):
     """Top-k smallest reciprocal-cosine distances of queries against the index.
 
     query_u8: uint8 [Q, D] (or [D], auto-promoted).
     Returns (dist [Q, k] f32, idx [Q, k] int32); idx == -1 marks entries
     excluded by ``dist < max_distance`` or an index smaller than k.
+
+    mode:
+      - "exact" (default): bit-exact reference parity; per-block selection
+        uses XLA TopK (O(k·elems) on TPU — the scan's dominant cost for
+        large query batches).
+      - "fast": per-block selection via the TPU-native PartialReduce
+        (``lax.approx_min_k``) at ``recall_target`` expected recall —
+        near-HBM-roofline throughput for batched queries, recall@k
+        typically ≥0.99 (measure with bench.py).  Distances of returned
+        rows are still exact; only the candidate SELECTION is approximate.
     """
+    assert mode in ("exact", "fast"), mode
     squeeze = query_u8.ndim == 1
     if squeeze:
         query_u8 = query_u8[None, :]
@@ -101,9 +114,37 @@ def cosine_scan_topk(
         )
         keep = blk_valid[None, :] & (dist < max_distance)
         dist = jnp.where(keep, dist, jnp.inf)
-        idx = _block_iota(base, block_rows, qn)
-        cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
-        return topk_ops.merge_sorted_topk(best_d, best_i, cand_d, cand_i, k), None
+
+        if mode == "fast":
+            # TPU PartialReduce: O(elems) approximate selection; merged
+            # candidates keep their exact distances.
+            cand_d, sel = lax.approx_min_k(
+                dist, k, recall_target=recall_target
+            )
+            idx = _block_iota(base, block_rows, qn)
+            cand_i = jnp.take_along_axis(idx, sel, axis=-1)
+            cand_i = jnp.where(jnp.isfinite(cand_d), cand_i, -1)
+            return (
+                topk_ops.merge_sorted_topk(best_d, best_i, cand_d, cand_i, k),
+                None,
+            )
+
+        # Threshold gate: XLA's TopK dominates the scan cost, so run the
+        # block selection ONLY when some distance beats the current k-th
+        # best (exact: a tie at theta keeps the earlier row, matching the
+        # ascending-row-id tie-break).  With small query batches (the
+        # interactive path) most blocks skip; large batches almost always
+        # merge, so use mode="fast" for batched throughput.
+        theta = best_d[:, -1:]
+        need = jnp.any(jnp.min(dist, axis=1, keepdims=True) < theta)
+
+        def do_merge(c):
+            bd, bi = c
+            idx = _block_iota(base, block_rows, qn)
+            cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+            return topk_ops.merge_sorted_topk(bd, bi, cand_d, cand_i, k)
+
+        return lax.cond(need, do_merge, lambda c: c, (best_d, best_i)), None
 
     init = topk_ops.empty_topk((qn,), k)
     (best_d, best_i), _ = lax.scan(body, init, xs)
@@ -168,9 +209,18 @@ def hamming_scan_topk(
         dist = bits.astype(jnp.float32) * jnp.float32(1.0 / (8.0 * h))
         keep = blk_valid[None, :] & (dist < max_distance)
         dist = jnp.where(keep, dist, jnp.inf)
-        idx = _block_iota(base, block_rows, qn)
-        cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
-        return topk_ops.merge_sorted_topk(best_d, best_i, cand_d, cand_i, k), None
+
+        # Threshold-gated selection (see cosine body).
+        theta = best_d[:, -1:]
+        need = jnp.any(jnp.min(dist, axis=1, keepdims=True) < theta)
+
+        def do_merge(c):
+            bd, bi = c
+            idx = _block_iota(base, block_rows, qn)
+            cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+            return topk_ops.merge_sorted_topk(bd, bi, cand_d, cand_i, k)
+
+        return lax.cond(need, do_merge, lambda c: c, (best_d, best_i)), None
 
     init = topk_ops.empty_topk((qn,), k)
     (best_d, best_i), _ = lax.scan(body, init, xs)
