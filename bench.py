@@ -270,6 +270,52 @@ def bench_e2e_dragdrop(n=1_000_000, d=128, iters=5, rng=None):
     }
 
 
+def bench_ingest(n_images=200, workers=8, rng=None):
+    """Ingest pipeline end-to-end: crawl → decode → thumbnail/phash →
+    device embed/quantize → append (images/s vs the 5k/s north star)."""
+    import shutil
+    import tempfile
+
+    from PIL import Image
+
+    from pixelbox_tpu.engine import Engine
+
+    rng = rng or np.random.default_rng(6)
+    tmp = tempfile.mkdtemp(prefix="pxbench_")
+    try:
+        photo_dir = f"{tmp}/photos"
+        import os
+
+        os.makedirs(photo_dir)
+        base = rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+        img = np.asarray(Image.fromarray(base).resize((1280, 960), Image.BILINEAR))
+        for i in range(n_images):
+            jig = np.clip(img.astype(np.int16) + int(i % 17) - 8, 0, 255).astype(
+                np.uint8
+            )
+            Image.fromarray(jig).save(f"{photo_dir}/img{i:04d}.jpg", quality=88)
+
+        eng = Engine.new(
+            f"{tmp}/bench.db", embedder="stub", embedder_kwargs={"dim": 128}
+        )
+        eng.add_tracked_folder(photo_dir)
+        t0 = time.perf_counter()
+        eng.start_indexing(num_workers=workers)
+        eng.wait_for_indexing()
+        dt = time.perf_counter() - t0
+        count = eng.get_num_indexed_images()
+        eng.close()
+        return {
+            "images_per_sec": count / dt,
+            "images": count,
+            "workers": workers,
+            "total_s": dt,
+            "vs_ingest_north_star": count / dt / NORTH_STAR_INGEST_PER_SEC,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_blip_text(n=100_000, iters=8, q=32, rng=None):
     """Config 5: BLIP text→image search (text embed + scan)."""
     import jax.numpy as jnp
@@ -316,6 +362,16 @@ def main():
 
     enable_compilation_cache()
 
+    # Overall deadline: first-time jit compiles over a TPU tunnel can take
+    # minutes per config; always emit the headline JSON line even if later
+    # configs must be skipped (they hit the persistent compile cache on
+    # the next run).
+    import os
+
+    deadline = time.monotonic() + float(
+        os.environ.get("PIXELBOX_BENCH_DEADLINE_S", "480")
+    )
+
     detail = {}
     rng = np.random.default_rng(0)
 
@@ -328,12 +384,16 @@ def main():
     ] + (
         [
             ("efficientnet_embedding", bench_embedding),
+            ("ingest_pipeline", bench_ingest),
             ("e2e_dragdrop_1M", bench_e2e_dragdrop),
             ("blip_text_search", bench_blip_text),
         ]
         if full
         else []
     ):
+        if time.monotonic() > deadline:
+            detail[name] = {"skipped": "bench deadline reached (compile cache cold)"}
+            continue
         try:
             detail[name] = fn()
         except Exception as e:  # noqa: BLE001

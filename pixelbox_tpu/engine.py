@@ -90,6 +90,10 @@ class Engine:
         # Searching and filtering (public fields, engine.rs:91-92).
         self.max_search_results: int = DEFAULT_MAX_SEARCH_RESULTS
         self.max_distance_from_query: float = DEFAULT_MAX_QUERY_DISTANCE
+        #: "exact" = bit-parity with the reference scan; "fast" = TPU
+        #: PartialReduce candidate selection (~6x throughput, recall≈0.99,
+        #: exact distances) — see ops.scan.cosine_scan_topk.
+        self.scan_mode: str = "exact"
         self._cached_search_results: Optional[List[IndexedImage]] = None
         self._cached_image_search: Optional[IndexedImage] = None
         self.last_query_error: Optional[str] = None
@@ -516,6 +520,7 @@ class Engine:
                 self._sem_store.device_index,
                 k=k,
                 max_distance=float(self.max_distance_from_query),
+                mode=self.scan_mode,
             )
         dist = np.asarray(dist)
         idx = np.asarray(idx)

@@ -129,22 +129,28 @@ def cosine_scan_topk(
                 None,
             )
 
-        # Threshold gate: XLA's TopK dominates the scan cost, so run the
-        # block selection ONLY when some distance beats the current k-th
-        # best (exact: a tie at theta keeps the earlier row, matching the
-        # ascending-row-id tie-break).  With small query batches (the
-        # interactive path) most blocks skip; large batches almost always
-        # merge, so use mode="fast" for batched throughput.
-        theta = best_d[:, -1:]
-        need = jnp.any(jnp.min(dist, axis=1, keepdims=True) < theta)
+        # Threshold gate (small batches only): XLA's TopK dominates the
+        # scan cost, so skip the block selection when no distance beats
+        # the current k-th best (exact: a tie at theta keeps the earlier
+        # row, matching the ascending-row-id tie-break).  The gate is a
+        # trace-time choice: with many concurrent queries SOME query
+        # always triggers the merge, so the cond only buys compile time —
+        # large batches take the straight-line path (or mode="fast").
+        if qn <= 32:
+            theta = best_d[:, -1:]
+            need = jnp.any(jnp.min(dist, axis=1, keepdims=True) < theta)
 
-        def do_merge(c):
-            bd, bi = c
-            idx = _block_iota(base, block_rows, qn)
-            cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
-            return topk_ops.merge_sorted_topk(bd, bi, cand_d, cand_i, k)
+            def do_merge(c):
+                bd, bi = c
+                idx = _block_iota(base, block_rows, qn)
+                cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+                return topk_ops.merge_sorted_topk(bd, bi, cand_d, cand_i, k)
 
-        return lax.cond(need, do_merge, lambda c: c, (best_d, best_i)), None
+            return lax.cond(need, do_merge, lambda c: c, (best_d, best_i)), None
+
+        idx = _block_iota(base, block_rows, qn)
+        cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+        return topk_ops.merge_sorted_topk(best_d, best_i, cand_d, cand_i, k), None
 
     init = topk_ops.empty_topk((qn,), k)
     (best_d, best_i), _ = lax.scan(body, init, xs)
@@ -210,17 +216,22 @@ def hamming_scan_topk(
         keep = blk_valid[None, :] & (dist < max_distance)
         dist = jnp.where(keep, dist, jnp.inf)
 
-        # Threshold-gated selection (see cosine body).
-        theta = best_d[:, -1:]
-        need = jnp.any(jnp.min(dist, axis=1, keepdims=True) < theta)
+        # Threshold-gated selection for small batches (see cosine body).
+        if qn <= 32:
+            theta = best_d[:, -1:]
+            need = jnp.any(jnp.min(dist, axis=1, keepdims=True) < theta)
 
-        def do_merge(c):
-            bd, bi = c
-            idx = _block_iota(base, block_rows, qn)
-            cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
-            return topk_ops.merge_sorted_topk(bd, bi, cand_d, cand_i, k)
+            def do_merge(c):
+                bd, bi = c
+                idx = _block_iota(base, block_rows, qn)
+                cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+                return topk_ops.merge_sorted_topk(bd, bi, cand_d, cand_i, k)
 
-        return lax.cond(need, do_merge, lambda c: c, (best_d, best_i)), None
+            return lax.cond(need, do_merge, lambda c: c, (best_d, best_i)), None
+
+        idx = _block_iota(base, block_rows, qn)
+        cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+        return topk_ops.merge_sorted_topk(best_d, best_i, cand_d, cand_i, k), None
 
     init = topk_ops.empty_topk((qn,), k)
     (best_d, best_i), _ = lax.scan(body, init, xs)
