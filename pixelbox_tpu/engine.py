@@ -50,7 +50,11 @@ from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
 from pixelbox_tpu.models import get_embedder
 from pixelbox_tpu.ops import phash as phash_ops
 from pixelbox_tpu.ops.distances import cosine_distance
-from pixelbox_tpu.ops.scan import cosine_scan_topk, hamming_scan_topk
+from pixelbox_tpu.ops.scan import (
+    cosine_scan_topk,
+    cosine_scan_topk_auto,
+    hamming_scan_topk,
+)
 from pixelbox_tpu.query import parse_query
 from pixelbox_tpu.records import IndexedImage
 from pixelbox_tpu.utils.timing import timed
@@ -90,10 +94,11 @@ class Engine:
         # Searching and filtering (public fields, engine.rs:91-92).
         self.max_search_results: int = DEFAULT_MAX_SEARCH_RESULTS
         self.max_distance_from_query: float = DEFAULT_MAX_QUERY_DISTANCE
-        #: "exact" = bit-parity with the reference scan; "fast" = TPU
-        #: PartialReduce candidate selection (~6x throughput, recall≈0.99,
-        #: exact distances) — see ops.scan.cosine_scan_topk.
-        self.scan_mode: str = "exact"
+        #: "auto" (default) = fast scan + exact verification with fallback
+        #: (guaranteed reference-exact results at ~4x direct-exact speed);
+        #: "exact" = direct bit-parity scan; "fast" = TPU PartialReduce
+        #: selection (recall≈0.99+, exact distances, no guarantee).
+        self.scan_mode: str = "auto"
         self._cached_search_results: Optional[List[IndexedImage]] = None
         self._cached_image_search: Optional[IndexedImage] = None
         self.last_query_error: Optional[str] = None
@@ -515,13 +520,21 @@ class Engine:
         t0 = time.perf_counter()
         k = int(self.max_search_results)
         with timed("engine.similarity_scan"):
-            dist, idx = cosine_scan_topk(
-                jnp.asarray(record.visual_hash),
-                self._sem_store.device_index,
-                k=k,
-                max_distance=float(self.max_distance_from_query),
-                mode=self.scan_mode,
-            )
+            if self.scan_mode == "auto":
+                dist, idx = cosine_scan_topk_auto(
+                    record.visual_hash,
+                    self._sem_store.device_index,
+                    k=k,
+                    max_distance=float(self.max_distance_from_query),
+                )
+            else:
+                dist, idx = cosine_scan_topk(
+                    jnp.asarray(record.visual_hash),
+                    self._sem_store.device_index,
+                    k=k,
+                    max_distance=float(self.max_distance_from_query),
+                    mode=self.scan_mode,
+                )
         dist = np.asarray(dist)
         idx = np.asarray(idx)
         keep = idx >= 0

@@ -36,7 +36,7 @@ from pixelbox_tpu.ingest.crawler import crawl
 from pixelbox_tpu.ingest.decode import decode_image_file
 from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
 from pixelbox_tpu.ops import phash as phash_ops
-from pixelbox_tpu.ops.preprocess import preprocess_host
+from pixelbox_tpu.ops.preprocess import fill_resize_u8, preprocess_host
 from pixelbox_tpu.ops.quantize import quantize_embedding
 from pixelbox_tpu.records import IndexedImage
 from pixelbox_tpu.utils.timing import timed
@@ -50,7 +50,7 @@ _SENTINEL = None
 @dataclass
 class _Item:
     record: IndexedImage
-    preprocessed: np.ndarray  # f32 [S, S, 3]
+    preprocessed: np.ndarray  # f32 [S,S,3] (classic) or u8 frame (turbo)
     preprocessed_blip: Optional[np.ndarray] = None  # f32 [Sb, Sb, 3]
 
 
@@ -61,11 +61,18 @@ class IngestPipeline:
         folders: List[str],
         num_workers: Optional[int] = None,
         batch_size: int = DEFAULT_BATCH_SIZE,
+        turbo: Optional[bool] = None,
     ):
         self.engine = engine
         self.folders = list(folders)
         self.num_workers = num_workers or PARALLEL_FILE_PROCESSORS
         self.batch_size = batch_size
+        # Turbo: one host resize per image; phash (square mode) + embed
+        # preprocessing run batched on device.  Requires compat-off phash
+        # (the aspect-preserving variable-length hash is host-only).
+        self.turbo = (
+            turbo if turbo is not None else not getattr(engine, "phash_compat", True)
+        )
         self._stop = threading.Event()
         self._path_q: "queue.Queue" = queue.Queue()
         self._item_q: "queue.Queue" = queue.Queue(maxsize=MAX_PENDING_TX)
@@ -139,10 +146,18 @@ class IngestPipeline:
                     self.images_skipped += 1
                     continue
                 thumb = qoi_encode(make_thumbnail(decoded.rgb))
-                ph = phash_ops.phash(
-                    decoded.rgb, aspect_preserving=engine.phash_compat
-                )
-                pre = preprocess_host(decoded.rgb, engine.embedder.input_size)
+                if self.turbo:
+                    # One host resize; phash + normalize + embed happen
+                    # batched on device (see _embed_and_insert).
+                    ph = None
+                    pre = fill_resize_u8(
+                        decoded.rgb, engine.embedder.input_size
+                    )
+                else:
+                    ph = phash_ops.phash(
+                        decoded.rgb, aspect_preserving=engine.phash_compat
+                    )
+                    pre = preprocess_host(decoded.rgb, engine.embedder.input_size)
                 blip = getattr(engine, "blip_searcher", None)
                 pre_blip = (
                     preprocess_host(decoded.rgb, blip.input_size)
@@ -204,6 +219,12 @@ class IngestPipeline:
     def _embed_and_insert(self, batch: List[_Item]) -> None:
         with timed("ingest.embed_batch"):
             stacked = jnp.asarray(np.stack([it.preprocessed for it in batch]))
+            if self.turbo:
+                frames_u8 = stacked  # u8 [B, S, S, 3]
+                phashes = np.asarray(phash_ops.phash_batch_tpu(frames_u8))
+                stacked = frames_u8.astype(jnp.float32) / jnp.float32(255.0)
+                for it, ph in zip(batch, phashes):
+                    it.record.phash = ph
             latents = self.engine.embedder.embed_preprocessed(stacked)
             hashes = np.asarray(quantize_embedding(latents))
         blip = getattr(self.engine, "blip_searcher", None)

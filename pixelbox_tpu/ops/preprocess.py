@@ -54,6 +54,23 @@ def preprocess_host(
     return filled.astype(np.float32) / np.float32(255.0)
 
 
+def fill_resize_u8(img_rgb: np.ndarray, size: int = MODEL_INPUT_SIZE) -> np.ndarray:
+    """Cover-resize + center-crop to a square u8 frame (PIL fast path).
+
+    The turbo ingest pipeline's single host resize: the resulting frame is
+    both the embedder input (÷255 on device) and the device-phash input.
+    """
+    from pixelbox_tpu.ops.resample import resize_dimensions, resize_pil
+
+    img = np.asarray(img_rgb)
+    h, w = img.shape[:2]
+    out_w, out_h = resize_dimensions(w, h, size, size, fill=True)
+    big = resize_pil(img, out_w, out_h)
+    x0 = (out_w - size) // 2
+    y0 = (out_h - size) // 2
+    return np.ascontiguousarray(big[y0 : y0 + size, x0 : x0 + size])
+
+
 @lru_cache(maxsize=64)
 def _fill_weights(h: int, w: int, size: int):
     """Weight matrices implementing cover-resize + center-crop for HxW → size²."""

@@ -49,6 +49,29 @@ def _block_iota(base: jnp.ndarray, b: int, q: int) -> jnp.ndarray:
     return base + jax.lax.broadcasted_iota(jnp.int32, (q, b), dimension=1)
 
 
+def _cosine_block_dist(
+    q_i8, q_sum, q_mag2_f, blk, blk_sum, blk_mag2, blk_valid, max_distance, d
+):
+    """Distances of one row block: int8 GEMM + exact epilogue + filtering.
+
+    Returns [Q, B] f32 with +inf marking invalid/over-threshold rows.
+    """
+    dot8 = lax.dot_general(
+        q_i8,
+        blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dot_c = 4 * dot8 + 2 * (q_sum[:, None] + blk_sum[None, :]) + jnp.int32(d)
+    dist = _cosine_distance_from_moments(
+        dot_c.astype(jnp.float32),
+        q_mag2_f,
+        blk_mag2.astype(jnp.float32)[None, :],
+    )
+    keep = blk_valid[None, :] & (dist < max_distance)
+    return jnp.where(keep, dist, jnp.inf)
+
+
 @partial(jax.jit, static_argnames=("k", "block_rows", "mode", "recall_target"))
 def cosine_scan_topk(
     query_u8: jnp.ndarray,
@@ -100,20 +123,10 @@ def cosine_scan_topk(
     def body(carry, x):
         best_d, best_i = carry
         blk, blk_sum, blk_mag2, blk_valid, base = x
-        dot8 = lax.dot_general(
-            q_i8,
-            blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+        dist = _cosine_block_dist(
+            q_i8, q_sum, q_mag2_f, blk, blk_sum, blk_mag2, blk_valid,
+            max_distance, d,
         )
-        dot_c = 4 * dot8 + 2 * (q_sum[:, None] + blk_sum[None, :]) + jnp.int32(d)
-        dist = _cosine_distance_from_moments(
-            dot_c.astype(jnp.float32),
-            q_mag2_f,
-            blk_mag2.astype(jnp.float32)[None, :],
-        )
-        keep = blk_valid[None, :] & (dist < max_distance)
-        dist = jnp.where(keep, dist, jnp.inf)
 
         if mode == "fast":
             # TPU PartialReduce: O(elems) approximate selection; merged
@@ -158,6 +171,102 @@ def cosine_scan_topk(
     if squeeze:
         return best_d[0], best_i[0]
     return best_d, best_i
+
+
+@partial(jax.jit, static_argnames=("k", "block_rows", "recall_target"))
+def _fast_scan_with_verification(
+    query_u8: jnp.ndarray,
+    index: PackedSemanticIndex,
+    k: int,
+    max_distance,
+    block_rows: int,
+    recall_target: float = 0.99,
+):
+    """Fast-mode scan + an exact verification pass.
+
+    Returns (dist, idx, exact_per_query).  ``exact[q]`` is True iff the
+    fast candidates for query q provably equal the exact top-k: a second
+    (pure GEMM+epilogue, roofline-speed) pass counts every element with
+    dist <= theta-hat (the worst kept candidate); if the global count
+    matches the candidate count, nothing was missed at or below the
+    boundary, so selection AND tie-break are exact.
+    """
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, d = query_u8.shape
+    n_pad = index.capacity
+    block_rows = min(block_rows, n_pad)
+    nb = n_pad // block_rows
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+
+    best_d, best_i = cosine_scan_topk(
+        query_u8, index, k=k, max_distance=md, block_rows=block_rows,
+        mode="fast", recall_target=recall_target,
+    )
+
+    q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+    # theta-hat: worst kept candidate (+inf when fewer than k survived —
+    # then the count check verifies NO passing element was missed at all).
+    theta = jnp.where(
+        jnp.isfinite(best_d[:, -1]), best_d[:, -1], jnp.inf
+    )[:, None]
+
+    xs = (
+        index.data.reshape(nb, block_rows, d),
+        index.row_sum.reshape(nb, block_rows),
+        index.row_mag2.reshape(nb, block_rows),
+        index.valid.reshape(nb, block_rows),
+    )
+
+    def body(count, x):
+        blk, blk_sum, blk_mag2, blk_valid = x
+        dist = _cosine_block_dist(
+            q_i8, q_sum, q_mag2_f, blk, blk_sum, blk_mag2, blk_valid, md, d
+        )
+        c = jnp.sum(
+            (dist <= theta) & jnp.isfinite(dist), axis=1
+        ).astype(jnp.int32)
+        return count + c, None
+
+    count_all, _ = lax.scan(body, jnp.zeros((qn,), jnp.int32), xs)
+    count_cand = jnp.sum(
+        jnp.isfinite(best_d) & (best_d <= theta), axis=1
+    ).astype(jnp.int32)
+    exact = count_all == count_cand
+    if squeeze:
+        return best_d[0], best_i[0], exact[0]
+    return best_d, best_i, exact
+
+
+def cosine_scan_topk_auto(
+    query_u8,
+    index: PackedSemanticIndex,
+    k: int = 100,
+    max_distance: float = 1e3,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    recall_target: float = 0.99,
+):
+    """Guaranteed-exact scan at fast-mode speed (host-level fallback).
+
+    Runs the PartialReduce fast scan plus a roofline-speed verification
+    pass (~4x faster than the direct exact scan); on the rare verification
+    failure, reruns the direct exact scan.  Not jittable (host branch);
+    the engine's eager query path uses this.
+    """
+    import numpy as np
+
+    best_d, best_i, exact = _fast_scan_with_verification(
+        jnp.asarray(query_u8), index, k, max_distance, block_rows,
+        recall_target,
+    )
+    if bool(np.asarray(exact).all()):
+        return best_d, best_i
+    return cosine_scan_topk(
+        jnp.asarray(query_u8), index, k=k, max_distance=max_distance,
+        block_rows=block_rows, mode="exact",
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "block_rows", "wrap_u8"))
