@@ -31,7 +31,14 @@ def _open_engine(args, create=False):
         kwargs["embedder"] = args.embedder
     if getattr(args, "dim", None):
         kwargs["dim"] = args.dim
-    return Engine(args.db, create=create, **kwargs)
+    if getattr(args, "blip", False):
+        kwargs["blip"] = True
+    if getattr(args, "scan_mode", None):
+        pass  # applied post-construction below
+    eng = Engine(args.db, create=create, **kwargs)
+    if getattr(args, "scan_mode", None):
+        eng.scan_mode = args.scan_mode
+    return eng
 
 
 def _print_results(engine, as_json=False):
@@ -74,8 +81,17 @@ def main(argv=None) -> int:
     def add_db_cmd(name, **kw):
         sp = sub.add_parser(name, **kw)
         sp.add_argument("db", help="catalog database path")
-        sp.add_argument("--embedder", default="stub", help="stub|efficientnet|blip")
+        sp.add_argument("--embedder", default="stub", help="stub|efficientnet|nomic")
         sp.add_argument("--dim", type=int, default=None, help="embedding width")
+        sp.add_argument(
+            "--blip", action="store_true",
+            help="enable the BLIP text->image index (text: queries)",
+        )
+        sp.add_argument(
+            "--scan-mode", dest="scan_mode", default=None,
+            choices=("auto", "exact", "fast"),
+            help="similarity scan mode (default auto: verified-exact)",
+        )
         return sp
 
     add_db_cmd("init", help="create a new library database")
