@@ -212,29 +212,45 @@ def _fast_scan_with_verification(
     theta = jnp.where(
         jnp.isfinite(best_d[:, -1]), best_d[:, -1], jnp.inf
     )[:, None]
+    # Distances are quantized (integer dot moments), so exact-equal values
+    # at the theta boundary are common; the check is tie-aware:
+    #   exact ⟺ every element with d < theta is a candidate, AND every
+    #   element with d == theta and id <= (largest tied candidate id) is a
+    #   candidate — i.e. the kept tied rows are exactly the smallest-id ones.
+    tied_cand = jnp.isfinite(best_d) & (best_d == theta)
+    boundary_id = jnp.max(
+        jnp.where(tied_cand, best_i, -1), axis=1, keepdims=True
+    )  # [-1 when theta == inf]
 
     xs = (
         index.data.reshape(nb, block_rows, d),
         index.row_sum.reshape(nb, block_rows),
         index.row_mag2.reshape(nb, block_rows),
         index.valid.reshape(nb, block_rows),
+        jnp.arange(nb, dtype=jnp.int32) * block_rows,
     )
 
-    def body(count, x):
-        blk, blk_sum, blk_mag2, blk_valid = x
+    def body(carry, x):
+        c_lt, c_eq = carry
+        blk, blk_sum, blk_mag2, blk_valid, base = x
         dist = _cosine_block_dist(
             q_i8, q_sum, q_mag2_f, blk, blk_sum, blk_mag2, blk_valid, md, d
         )
-        c = jnp.sum(
-            (dist <= theta) & jnp.isfinite(dist), axis=1
+        ids = _block_iota(base, block_rows, qn)
+        finite = jnp.isfinite(dist)
+        c_lt = c_lt + jnp.sum((dist < theta) & finite, axis=1).astype(jnp.int32)
+        c_eq = c_eq + jnp.sum(
+            (dist == theta) & finite & (ids <= boundary_id), axis=1
         ).astype(jnp.int32)
-        return count + c, None
+        return (c_lt, c_eq), None
 
-    count_all, _ = lax.scan(body, jnp.zeros((qn,), jnp.int32), xs)
-    count_cand = jnp.sum(
-        jnp.isfinite(best_d) & (best_d <= theta), axis=1
+    zeros = jnp.zeros((qn,), jnp.int32)
+    (lt_all, eq_all), _ = lax.scan(body, (zeros, zeros), xs)
+    lt_cand = jnp.sum(
+        jnp.isfinite(best_d) & (best_d < theta), axis=1
     ).astype(jnp.int32)
-    exact = count_all == count_cand
+    eq_cand = jnp.sum(tied_cand, axis=1).astype(jnp.int32)
+    exact = (lt_all == lt_cand) & (eq_all == eq_cand)
     if squeeze:
         return best_d[0], best_i[0], exact[0]
     return best_d, best_i, exact
