@@ -335,6 +335,42 @@ class Engine:
             visual_hash=vh,
         )
 
+    def remove_image(self, image_id: int) -> bool:
+        """Remove an image from the catalog and all device indexes.
+
+        (The reference stages but never implements removal —
+        engine.rs:414 'TODO: Remove images which exist inside the indexed
+        folder'.)  Device rows are tombstoned; ids stay stable.
+        """
+        if self.catalog.get_image(image_id) is None:
+            return False
+        self.catalog.remove_image(image_id)
+        for store, row_by_image in (
+            (self._sem_store, self._sem_row_by_image),
+            (self._ph_store, self._ph_row_by_image),
+            (self._blip_store, self._blip_row_by_image),
+        ):
+            row = row_by_image.pop(image_id, None)
+            if store is not None and row is not None:
+                store.delete([row])
+        self._cached_index_size = None
+        return True
+
+    def remove_tracked_folder_and_images(self, folder_glob: str) -> int:
+        """Remove a folder AND everything indexed under it."""
+        self.remove_tracked_folder(folder_glob)
+        prefix = folder_glob.rstrip("/*")
+        conn = self.catalog._connect()
+        ids = [
+            r[0]
+            for r in conn.execute(
+                "SELECT id FROM images WHERE path LIKE ?", (prefix + "%",)
+            )
+        ]
+        for i in ids:
+            self.remove_image(i)
+        return len(ids)
+
     # ------------------------------------------------------------------ #
     # Tracked folders (engine.rs:404-439)
 

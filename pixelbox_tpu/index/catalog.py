@@ -299,6 +299,20 @@ class Catalog:
 
     # ------------------------------------------------------------------ #
 
+    def remove_image(self, image_id: int) -> None:
+        """Delete an image row + its tags/hashes (the reference leaves
+        this as a TODO at engine.rs:414)."""
+        conn = self._connect()
+        with self._lock:
+            conn.execute("DELETE FROM images WHERE id = ?", (image_id,))
+            conn.execute("DELETE FROM tags WHERE image_id = ?", (image_id,))
+            for table in self._HASH_TABLES:
+                if self._table_exists(table):
+                    conn.execute(
+                        f"DELETE FROM {table} WHERE image_id = ?", (image_id,)
+                    )
+            conn.commit()
+
     def filter_images(self, where_sql: str, params: Sequence) -> List[int]:
         """Image ids matching a parameterized WHERE over images⋈tags.
 
