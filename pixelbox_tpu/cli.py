@@ -125,11 +125,50 @@ def main(argv=None) -> int:
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8333)
 
+    sp = sub.add_parser(
+        "train", help="train the contrastive embedder (reference train.py port)"
+    )
+    sp.add_argument("data_dir", help="folder of training images")
+    sp.add_argument("--latent", type=int, default=8)
+    sp.add_argument("--input-size", type=int, default=224)
+    sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--checkpoint-dir", default="checkpoints")
+    sp.add_argument("--steps-per-epoch", type=int, default=None)
+
     args = p.parse_args(argv)
 
     from pixelbox_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.cmd == "train":
+        from pixelbox_tpu.ingest.crawler import crawl
+        from pixelbox_tpu.parallel.mesh import make_mesh
+        from pixelbox_tpu.training.train import TrainConfig, train_loop
+
+        import jax
+
+        paths = list(crawl([args.data_dir]))
+        if not paths:
+            print(f"error: no images under {args.data_dir}", file=sys.stderr)
+            return 1
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, axis_names=("data", "model"), shape=(n_dev, 1))
+        cfg = TrainConfig(
+            latent_dim=args.latent,
+            input_size=args.input_size,
+            batch_size=args.batch_size,
+            lr=args.lr,
+        )
+        train_loop(
+            paths, cfg, mesh,
+            epochs=args.epochs,
+            steps_per_epoch=args.steps_per_epoch,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        return 0
 
     if args.cmd == "init":
         engine = _open_engine(args, create=True)
