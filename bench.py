@@ -94,6 +94,57 @@ def bench_cosine_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     }
 
 
+def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
+                    block_rows=2**17, rng=None):
+    """Guaranteed-exact verified-fast scan (the engine's default mode).
+
+    Measured two ways: the jitted verified pass via the device loop
+    (device throughput + verification pass rate), and the full host-level
+    auto wrapper (end-to-end incl. per-query exact repair)."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops.scan import (
+        _fast_scan_with_verification,
+        cosine_scan_topk_auto,
+    )
+
+    rng = rng or np.random.default_rng(0)
+    _, index = build_semantic_index(n, d, rng, block_rows)
+    qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8))
+
+    def one(qi):
+        dist, idx, exact = _fast_scan_with_verification(
+            qi, index, k, 1e3, block_rows, 0.999
+        )
+        return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
+
+    dt, _ = _device_loop(one, qs, iters)
+
+    _, _, exact = _fast_scan_with_verification(qs[0], index, k, 1e3, block_rows, 0.999)
+    rate = float(np.asarray(exact).mean())
+
+    # End-to-end wrapper (host branch + repair), eager with fetch barrier.
+    d0, i0 = cosine_scan_topk_auto(qs[0], index, k=k, block_rows=block_rows)
+    float(np.asarray(d0[0, 0]))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        dd, ii = cosine_scan_topk_auto(qs[i], index, k=k, block_rows=block_rows)
+        float(np.asarray(dd[0, 0]))
+    dt_e2e = (time.perf_counter() - t0) / iters
+
+    return {
+        "dots_per_sec_device": n * q / dt,
+        "dots_per_sec_e2e": n * q / dt_e2e,
+        "qps_batch_e2e": q / dt_e2e,
+        "scan_ms_per_batch_device": dt * 1e3,
+        "scan_ms_per_batch_e2e": dt_e2e * 1e3,
+        "verification_pass_rate": rate,
+        "batch_q": q,
+        "n": n,
+        "d": d,
+    }
+
+
 def bench_fast_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
                     block_rows=2**17, rng=None):
     """Fast-mode (approx_min_k) batched scan + recall vs the exact C++ oracle."""
@@ -375,9 +426,14 @@ def main():
     detail = {}
     rng = np.random.default_rng(0)
 
-    res = bench_cosine_scan(rng=rng)
-    detail["cosine_scan_1Mx128"] = res
+    # Headline: the engine's default guaranteed-exact scan (verified-fast
+    # with per-query exact repair).  End-to-end number, exact semantics.
+    auto = bench_auto_scan(rng=rng)
+    detail["cosine_scan_auto_1Mx128"] = auto
+    headline = auto["dots_per_sec_e2e"]
+
     for name, fn in [
+        ("cosine_scan_direct_exact_1Mx128", bench_cosine_scan),
         ("cosine_scan_fast_mode_1Mx128", bench_fast_scan),
         ("recall_parity_10k", bench_recall_parity),
         ("hamming_scan_1Mx32", bench_hamming),
@@ -400,10 +456,10 @@ def main():
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
 
     out = {
-        "metric": "u8_cosine_scan_dot_products_per_sec_1Mx128",
-        "value": res["dots_per_sec"],
+        "metric": "u8_cosine_scan_exact_dot_products_per_sec_1Mx128",
+        "value": headline,
         "unit": "dot-products/s/chip",
-        "vs_baseline": res["dots_per_sec"] / NORTH_STAR_DOTS_PER_SEC,
+        "vs_baseline": headline / NORTH_STAR_DOTS_PER_SEC,
         "detail": detail,
     }
     print(json.dumps(out))
