@@ -117,6 +117,9 @@ class Engine:
         self._load_stores()
 
         # Indexing state.
+        #: Optional jax.sharding.Mesh: ingest embed batches shard their
+        #: batch dim over this mesh's 'data' axis (parallel/data_parallel).
+        self.mesh = None
         self._pipeline = None
         self._cached_index_size: Optional[int] = None
         self._recently_indexed: List[str] = []

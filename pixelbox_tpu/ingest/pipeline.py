@@ -225,7 +225,17 @@ class IngestPipeline:
                 stacked = frames_u8.astype(jnp.float32) / jnp.float32(255.0)
                 for it, ph in zip(batch, phashes):
                     it.record.phash = ph
-            latents = self.engine.embedder.embed_preprocessed(stacked)
+            mesh = getattr(self.engine, "mesh", None)
+            if mesh is not None:
+                from pixelbox_tpu.parallel.data_parallel import embed_batch_sharded
+
+                latents = jnp.asarray(
+                    embed_batch_sharded(
+                        self.engine.embedder, np.asarray(stacked), mesh
+                    )
+                )
+            else:
+                latents = self.engine.embedder.embed_preprocessed(stacked)
             hashes = np.asarray(quantize_embedding(latents))
         blip = getattr(self.engine, "blip_searcher", None)
         if blip is not None and all(it.preprocessed_blip is not None for it in batch):
