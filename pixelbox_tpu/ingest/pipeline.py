@@ -216,12 +216,24 @@ class IngestPipeline:
             dt = time.perf_counter() - self._started_at
             print(f"Indexing took {dt:.1f} seconds.")
 
+    def _pad_batch(self, arr: np.ndarray) -> np.ndarray:
+        """Pad to the fixed batch size: partial flushes must not create new
+        jit shapes (each distinct shape is a fresh compile)."""
+        m = arr.shape[0]
+        if m == self.batch_size:
+            return arr
+        pad = np.zeros((self.batch_size - m,) + arr.shape[1:], dtype=arr.dtype)
+        return np.concatenate([arr, pad], axis=0)
+
     def _embed_and_insert(self, batch: List[_Item]) -> None:
+        m = len(batch)
         with timed("ingest.embed_batch"):
-            stacked = jnp.asarray(np.stack([it.preprocessed for it in batch]))
+            stacked = jnp.asarray(
+                self._pad_batch(np.stack([it.preprocessed for it in batch]))
+            )
             if self.turbo:
                 frames_u8 = stacked  # u8 [B, S, S, 3]
-                phashes = np.asarray(phash_ops.phash_batch_tpu(frames_u8))
+                phashes = np.asarray(phash_ops.phash_batch_tpu(frames_u8))[:m]
                 stacked = frames_u8.astype(jnp.float32) / jnp.float32(255.0)
                 for it, ph in zip(batch, phashes):
                     it.record.phash = ph
@@ -236,16 +248,18 @@ class IngestPipeline:
                 )
             else:
                 latents = self.engine.embedder.embed_preprocessed(stacked)
-            hashes = np.asarray(quantize_embedding(latents))
+            hashes = np.asarray(quantize_embedding(latents))[:m]
         blip = getattr(self.engine, "blip_searcher", None)
         if blip is not None and all(it.preprocessed_blip is not None for it in batch):
             with timed("ingest.blip_embed_batch"):
                 stacked_b = jnp.asarray(
-                    np.stack([it.preprocessed_blip for it in batch])
+                    self._pad_batch(
+                        np.stack([it.preprocessed_blip for it in batch])
+                    )
                 )
                 blip_hashes = np.asarray(
                     quantize_embedding(blip.embed_image_batch(stacked_b))
-                )
+                )[: len(batch)]
             for it, bh in zip(batch, blip_hashes):
                 it.record.blip_hash = bh
         for it, vh in zip(batch, hashes):
