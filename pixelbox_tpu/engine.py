@@ -30,6 +30,7 @@ Deliberate divergences (reference bugs fixed, each noted inline):
 from __future__ import annotations
 
 import os
+import sys
 import threading
 import time
 from typing import List, Optional
@@ -413,7 +414,8 @@ class Engine:
                 t0 = time.perf_counter()
                 record = self.load_image(parsed.similar_path)
                 print(
-                    f"Time to compute image hash: {time.perf_counter()-t0:.3f}s"
+                    f"Time to compute image hash: {time.perf_counter()-t0:.3f}s",
+                    file=sys.stderr,
                 )
                 self._cached_image_search = record
                 if record is not None:
@@ -456,7 +458,7 @@ class Engine:
             sel_dists = np.zeros(len(sel), dtype=np.float32)
 
         self._cached_search_results = self._build_results(sel, sel_dists)
-        print(f"{len(self._cached_search_results)} results")
+        print(f"{len(self._cached_search_results)} results", file=sys.stderr)
 
     def _query_text_filtered(self, parsed) -> None:
         """text: modality, honoring any catalog filters in the same query."""
@@ -497,7 +499,7 @@ class Engine:
                 rec.distance_from_query = float(d)
                 results.append(rec)
         self._cached_search_results = results
-        print(f"{len(results)} results")
+        print(f"{len(results)} results", file=sys.stderr)
 
     def query_by_text(self, text: str) -> None:
         """Direct text→image search API (bypasses the query language)."""
@@ -542,7 +544,7 @@ class Engine:
         self._cached_search_results = None
         t0 = time.perf_counter()
         record = self.load_image(path)
-        print(f"Time to compute image hash: {time.perf_counter()-t0:.3f}s")
+        print(f"Time to compute image hash: {time.perf_counter()-t0:.3f}s", file=sys.stderr)
         if record is None:
             self.last_query_error = f"cannot decode image: {path}"
             return
@@ -550,7 +552,7 @@ class Engine:
 
     def query_by_image_hash_from_image(self, record: IndexedImage) -> None:
         if record.visual_hash is None:
-            print("TODO: IndexedImage is somehow missing a hash!")
+            print("TODO: IndexedImage is somehow missing a hash!", file=sys.stderr)
             return
         self._cached_search_results = None
         if self._sem_store is None or self._sem_store.size == 0:
@@ -579,7 +581,7 @@ class Engine:
         keep = idx >= 0
         self._cached_search_results = self._build_results(idx[keep], dist[keep])
         n = len(self._cached_search_results)
-        print(f"Time to search DB: {time.perf_counter()-t0:.3f}s  Results: {n}")
+        print(f"Time to search DB: {time.perf_counter()-t0:.3f}s  Results: {n}", file=sys.stderr)
 
     def query_by_phash(self, phash_bytes: np.ndarray, k: Optional[int] = None) -> None:
         """Perceptual-hash (Hamming) search — the capability behind the
