@@ -262,7 +262,7 @@ def cosine_scan_topk_auto(
     k: int = 100,
     max_distance: float = 1e3,
     block_rows: int = DEFAULT_BLOCK_ROWS,
-    recall_target: float = 0.999,
+    recall_target: float = 0.99,
 ):
     """Guaranteed-exact scan at fast-mode speed (host-level repair).
 
