@@ -283,6 +283,65 @@ class Engine:
             del self._recently_indexed[:-RECENT_IMAGES_TO_SHOW]
         return image_id
 
+    def insert_records_batch(self, records) -> List[Optional[int]]:
+        """Insert many fully-hashed records in one catalog transaction and
+        one device append per store (the ingest writer's hot path)."""
+        rows = [
+            {
+                "filename": r.filename,
+                "path": r.path,
+                "width": r.resolution[0],
+                "height": r.resolution[1],
+                "thumbnail": r.thumbnail,
+                "tags": r.tags,
+                "phash": None if r.phash is None else r.phash.tobytes(),
+                "semantic_hash": (
+                    None if r.visual_hash is None else r.visual_hash.tobytes()
+                ),
+            }
+            for r in records
+        ]
+        ids = self.catalog.insert_images_batch(rows)
+
+        new = [(i, r) for i, r in zip(ids, records) if i is not None]
+        if new:
+            sem = [(i, r.visual_hash) for i, r in new if r.visual_hash is not None]
+            if sem:
+                if self._sem_store is None:
+                    self._sem_store = VectorStore(dim=len(sem[0][1]), kind="semantic")
+                row_ids = self._sem_store.append(np.stack([h for _, h in sem]))
+                for (img_id, _), row in zip(sem, row_ids):
+                    self._sem_image_ids.append(img_id)
+                    self._sem_row_by_image[img_id] = int(row)
+            ph = [(i, r.phash) for i, r in new if r.phash is not None]
+            if ph:
+                if self._ph_store is None:
+                    self._ph_store = VectorStore(dim=len(ph[0][1]), kind="hamming")
+                w = self._ph_store.dim
+                mat = np.zeros((len(ph), w), dtype=np.uint8)
+                for j, (_, h) in enumerate(ph):
+                    mat[j, : min(len(h), w)] = h[:w]
+                row_ids = self._ph_store.append(mat)
+                for (img_id, _), row in zip(ph, row_ids):
+                    self._ph_image_ids.append(img_id)
+                    self._ph_row_by_image[img_id] = int(row)
+            bl = [(i, r.blip_hash) for i, r in new if r.blip_hash is not None]
+            if bl:
+                self.catalog.ensure_aux_hash_table("blip_hashes")
+                for img_id, h in bl:
+                    self.catalog.insert_hash("blip_hashes", img_id, h.tobytes())
+                if self._blip_store is None:
+                    self._blip_store = VectorStore(dim=len(bl[0][1]), kind="semantic")
+                row_ids = self._blip_store.append(np.stack([h for _, h in bl]))
+                for (img_id, _), row in zip(bl, row_ids):
+                    self._blip_image_ids.append(img_id)
+                    self._blip_row_by_image[img_id] = int(row)
+            with self._recent_lock:
+                self._recently_indexed.extend(r.path for _, r in new)
+                del self._recently_indexed[:-RECENT_IMAGES_TO_SHOW]
+        self._cached_index_size = None
+        return ids
+
     def _append_hashes(self, image_id, visual_hash, phash, blip_hash=None) -> None:
         if blip_hash is not None:
             if self._blip_store is None:

@@ -104,6 +104,9 @@ class Catalog:
         if conn is None:
             conn = sqlite3.connect(self.db_path, timeout=30.0)
             conn.execute("PRAGMA journal_mode=WAL")
+            # WAL + NORMAL: no fsync per commit (durability to the WAL,
+            # same crash-consistency class the reference relies on).
+            conn.execute("PRAGMA synchronous=NORMAL")
             _register_distance_udfs(conn)
             self._local.conn = conn
         return conn
@@ -164,6 +167,55 @@ class Catalog:
                 )
             conn.commit()
             return image_id
+
+    def insert_images_batch(self, rows: Sequence[dict]) -> List[Optional[int]]:
+        """Insert many images in ONE transaction (the ingest writer's path:
+        per-image commits fsync-bound the pipeline).  Each row dict has the
+        same keys as :meth:`insert_image` arguments.  Returns ids (None for
+        already-indexed paths)."""
+        conn = self._connect()
+        ids: List[Optional[int]] = []
+        with self._lock:
+            try:
+                for r in rows:
+                    cur = conn.execute(
+                        "INSERT OR IGNORE INTO images (filename, path,"
+                        " image_width, image_height, thumbnail)"
+                        " VALUES (?, ?, ?, ?, ?)",
+                        (
+                            r["filename"], r["path"], r["width"], r["height"],
+                            r.get("thumbnail"),
+                        ),
+                    )
+                    if cur.rowcount == 0:
+                        ids.append(None)
+                        continue
+                    image_id = cur.lastrowid
+                    tags = r.get("tags")
+                    if tags:
+                        conn.executemany(
+                            "INSERT OR IGNORE INTO tags (image_id, name, value)"
+                            " VALUES (?, ?, ?)",
+                            [(image_id, k, v) for k, v in tags.items()],
+                        )
+                    if r.get("phash") is not None:
+                        conn.execute(
+                            "INSERT OR IGNORE INTO phashes (image_id, hash)"
+                            " VALUES (?, ?)",
+                            (image_id, sqlite3.Binary(r["phash"])),
+                        )
+                    if r.get("semantic_hash") is not None:
+                        conn.execute(
+                            "INSERT OR IGNORE INTO semantic_hashes"
+                            " (image_id, hash) VALUES (?, ?)",
+                            (image_id, sqlite3.Binary(r["semantic_hash"])),
+                        )
+                    ids.append(image_id)
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+        return ids
 
     def get_image(self, image_id: int) -> Optional[dict]:
         conn = self._connect()

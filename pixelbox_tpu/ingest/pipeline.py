@@ -264,7 +264,9 @@ class IngestPipeline:
                 it.record.blip_hash = bh
         for it, vh in zip(batch, hashes):
             it.record.visual_hash = vh
-            if self.engine.insert_image_from_memory(it.record) is not None:
+        ids = self.engine.insert_records_batch([it.record for it in batch])
+        for i in ids:
+            if i is not None:
                 self.images_indexed += 1
             else:
                 self.images_skipped += 1
