@@ -95,6 +95,68 @@ def phash(
     return pack_bits_lsb_first(flat > mean)
 
 
+def dhash(img_rgb: np.ndarray, fast: bool = True) -> np.ndarray:
+    """Difference hash: 8 bytes (64 bits) of horizontal gradient signs.
+
+    Classic dHash: resize to 9×8 grayscale (triangle filter), bit[i,j] =
+    px[i,j] < px[i,j+1], packed LSB-first row-major.  The BASELINE's
+    perceptual-hash config names phash/dhash; the reference ships only
+    phash — dhash complements it (robust to uniform brightness shifts,
+    which flip mean-threshold phash bits).
+    """
+    img = np.asarray(img_rgb)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if fast:
+        h, w = img.shape[:2]
+        factor = max(1, min(h, w) // 1024)
+        if factor >= 2:
+            img = box_downsample_np(img, factor)
+    small = resize_np(img, 9, 8, "triangle")  # [8 rows, 9 cols]
+    grey = grayscale_np(to_u8(small))
+    bits = (grey[:, :-1] < grey[:, 1:]).astype(np.uint8)  # [8, 8]
+    return pack_bits_lsb_first(bits.ravel())
+
+
+@lru_cache(maxsize=64)
+def _dhash_resize_weights(h: int, w: int):
+    return (
+        resample_weights(h, 8, "triangle"),  # [8, H]
+        resample_weights(w, 9, "triangle"),  # [9, W]
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def _dhash_batch_kernel(imgs_f32, wv, wh, pack):
+    small = jnp.einsum(
+        "oh,bhwc,pw->bopc", wv, imgs_f32, wh, preferred_element_type=jnp.float32
+    )
+    small = jnp.clip(jnp.floor(small + 0.5), 0.0, 255.0)
+    grey = small @ jnp.asarray(SRGB_LUMA)          # [B, 8, 9]
+    bits = (grey[:, :, :-1] < grey[:, :, 1:]).astype(jnp.float32)
+    packed = bits.reshape(bits.shape[0], 64) @ pack
+    return packed.astype(jnp.uint8)
+
+
+@lru_cache(maxsize=2)
+def _dhash_pack_matrix():
+    m = np.zeros((64, 8), dtype=np.float32)
+    for i in range(64):
+        m[i, i // 8] = float(1 << (i % 8))
+    return m
+
+
+def dhash_batch_tpu(imgs_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [B, H, W, 3] → uint8 [B, 8] difference hashes on device."""
+    b, h, w, c = imgs_u8.shape
+    assert c == 3, imgs_u8.shape
+    wv, wh = _dhash_resize_weights(h, w)
+    return _dhash_batch_kernel(
+        imgs_u8.astype(jnp.float32), jnp.asarray(wv), jnp.asarray(wh),
+        jnp.asarray(_dhash_pack_matrix()),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Batched TPU path
 
