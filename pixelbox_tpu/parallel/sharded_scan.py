@@ -83,10 +83,14 @@ def sharded_cosine_scan_topk(
     max_distance: float = 1e3,
     block_rows: Optional[int] = None,
     axis: str = "data",
+    mode: str = "exact",
 ):
     """Distributed top-k cosine scan (replicated result on every chip).
 
     ``index`` should be laid out with :func:`shard_semantic_index`.
+    ``mode`` passes through to the per-shard scan ("exact" or "fast" —
+    see ops.scan.cosine_scan_topk); the cross-chip merge is exact either
+    way.
     """
     squeeze = query_u8.ndim == 1
     if squeeze:
@@ -108,7 +112,8 @@ def sharded_cosine_scan_topk(
     )
     def scan_shard(q, local_index):
         local_d, local_i = cosine_scan_topk(
-            q, local_index, k=k, max_distance=md, block_rows=block_rows
+            q, local_index, k=k, max_distance=md, block_rows=block_rows,
+            mode=mode,
         )
         shard_id = lax.axis_index(axis)
         offset = shard_id.astype(jnp.int32) * jnp.int32(local_rows)
