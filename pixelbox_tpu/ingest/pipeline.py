@@ -29,6 +29,7 @@ import time
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,11 @@ PARALLEL_FILE_PROCESSORS = 4  # engine.rs:22
 MAX_PENDING_TX = 128          # crawler.rs:8
 DEFAULT_BATCH_SIZE = 64
 _SENTINEL = None
+
+
+@jax.jit
+def _normalize_frames(frames_u8):
+    return frames_u8.astype(jnp.float32) / jnp.float32(255.0)
 
 
 @dataclass
@@ -146,18 +152,17 @@ class IngestPipeline:
                     self.images_skipped += 1
                     continue
                 thumb = qoi_encode(make_thumbnail(decoded.rgb))
-                if self.turbo:
-                    # One host resize; phash + normalize + embed happen
-                    # batched on device (see _embed_and_insert).
-                    ph = None
-                    pre = fill_resize_u8(
-                        decoded.rgb, engine.embedder.input_size
-                    )
-                else:
-                    ph = phash_ops.phash(
+                # Embed input always ships to the device as a u8 frame
+                # (4x less host->device transfer than f32; /255 happens on
+                # device).  Turbo additionally moves phash to the device.
+                pre = fill_resize_u8(decoded.rgb, engine.embedder.input_size)
+                ph = (
+                    None
+                    if self.turbo
+                    else phash_ops.phash(
                         decoded.rgb, aspect_preserving=engine.phash_compat
                     )
-                    pre = preprocess_host(decoded.rgb, engine.embedder.input_size)
+                )
                 blip = getattr(engine, "blip_searcher", None)
                 pre_blip = (
                     preprocess_host(decoded.rgb, blip.input_size)
@@ -228,15 +233,14 @@ class IngestPipeline:
     def _embed_and_insert(self, batch: List[_Item]) -> None:
         m = len(batch)
         with timed("ingest.embed_batch"):
-            stacked = jnp.asarray(
+            frames_u8 = jnp.asarray(
                 self._pad_batch(np.stack([it.preprocessed for it in batch]))
-            )
+            )  # u8 [B, S, S, 3]
             if self.turbo:
-                frames_u8 = stacked  # u8 [B, S, S, 3]
                 phashes = np.asarray(phash_ops.phash_batch_tpu(frames_u8))[:m]
-                stacked = frames_u8.astype(jnp.float32) / jnp.float32(255.0)
                 for it, ph in zip(batch, phashes):
                     it.record.phash = ph
+            stacked = _normalize_frames(frames_u8)
             mesh = getattr(self.engine, "mesh", None)
             if mesh is not None:
                 from pixelbox_tpu.parallel.data_parallel import embed_batch_sharded
