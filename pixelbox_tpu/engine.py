@@ -121,6 +121,12 @@ class Engine:
         #: Optional jax.sharding.Mesh: ingest embed batches shard their
         #: batch dim over this mesh's 'data' axis (parallel/data_parallel).
         self.mesh = None
+        #: Optional jax.sharding.Mesh for QUERIES: the semantic index is
+        #: laid out row-sharded across chips and scans merge per-chip
+        #: top-k over ICI (parallel/sharded_scan).  Set via serve_on_mesh().
+        self.scan_mesh = None
+        self._sharded_index = None
+        self._sharded_at_n = -1
         self._pipeline = None
         self._cached_index_size: Optional[int] = None
         self._recently_indexed: List[str] = []
@@ -596,6 +602,32 @@ class Engine:
                 count += 1
         return count
 
+    def serve_on_mesh(self, mesh=None, axis: str = "data") -> None:
+        """Serve similarity queries from a row-sharded multi-chip index.
+
+        Each chip holds 1/n of the packed index; queries scan all shards
+        in parallel and merge k candidates per chip over ICI.  Re-sharding
+        happens lazily after appends.
+        """
+        from pixelbox_tpu.parallel.mesh import make_mesh
+
+        self.scan_mesh = mesh or make_mesh(axis_names=(axis,))
+        self._sharded_index = None
+        self._sharded_at_n = -1
+
+    def _get_sharded_index(self):
+        from pixelbox_tpu.parallel.sharded_scan import shard_semantic_index
+
+        if (
+            self._sharded_index is None
+            or self._sharded_at_n != self._sem_store.n
+        ):
+            self._sharded_index = shard_semantic_index(
+                self._sem_store.device_index, self.scan_mesh
+            )
+            self._sharded_at_n = self._sem_store.n
+        return self._sharded_index
+
     # ------------------------------------------------------------------ #
     # Visual similarity query (engine.rs:352-396)
 
@@ -620,7 +652,20 @@ class Engine:
         t0 = time.perf_counter()
         k = int(self.max_search_results)
         with timed("engine.similarity_scan"):
-            if self.scan_mode == "auto":
+            if self.scan_mesh is not None:
+                from pixelbox_tpu.parallel.sharded_scan import (
+                    sharded_cosine_scan_topk,
+                )
+
+                dist, idx = sharded_cosine_scan_topk(
+                    jnp.asarray(record.visual_hash),
+                    self._get_sharded_index(),
+                    self.scan_mesh,
+                    k=k,
+                    max_distance=float(self.max_distance_from_query),
+                    mode="exact" if self.scan_mode == "auto" else self.scan_mode,
+                )
+            elif self.scan_mode == "auto":
                 dist, idx = cosine_scan_topk_auto(
                     record.visual_hash,
                     self._sem_store.device_index,
