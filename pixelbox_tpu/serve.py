@@ -108,7 +108,35 @@ def _results_json(engine, offset: int = 0, limit: int = 0):
     ]
 
 
+class _ThumbCache:
+    """Small LRU of encoded PNG thumbnails — the server-side analog of the
+    reference's per-image-id texture cache (src/ui/mod.rs:50-59)."""
+
+    def __init__(self, capacity: int = 512):
+        from collections import OrderedDict
+
+        self._od = OrderedDict()
+        self._cap = capacity
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        with self._lock:
+            if key in self._od:
+                self._od.move_to_end(key)
+                return self._od[key]
+        return None
+
+    def put(self, key, value):
+        with self._lock:
+            self._od[key] = value
+            self._od.move_to_end(key)
+            while len(self._od) > self._cap:
+                self._od.popitem(last=False)
+
+
 def make_handler(engine, lock: threading.Lock):
+    thumb_cache = _ThumbCache()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -150,6 +178,9 @@ def make_handler(engine, lock: threading.Lock):
                         return self._send(200, _results_json(engine))
                 if parsed.path == "/api/thumbnail":
                     image_id = int(qs["id"][0])
+                    cached = thumb_cache.get(image_id)
+                    if cached is not None:
+                        return self._send(200, cached, "image/png")
                     info = engine.catalog.get_image(image_id)
                     if info is None or not info["thumbnail"]:
                         return self._send(404, {"error": "no thumbnail"})
@@ -160,7 +191,9 @@ def make_handler(engine, lock: threading.Lock):
                     rgb, _ = qoi_decode(info["thumbnail"])
                     buf = io.BytesIO()
                     Image.fromarray(rgb).save(buf, "PNG")
-                    return self._send(200, buf.getvalue(), "image/png")
+                    png = buf.getvalue()
+                    thumb_cache.put(image_id, png)
+                    return self._send(200, png, "image/png")
                 if parsed.path == "/api/folders":
                     return self._send(200, engine.get_tracked_folders())
                 if parsed.path == "/api/status":
