@@ -689,7 +689,10 @@ class Engine:
 
     def query_by_phash(self, phash_bytes: np.ndarray, k: Optional[int] = None) -> None:
         """Perceptual-hash (Hamming) search — the capability behind the
-        reference's phash table + hamming UDF (engine.rs:594-663)."""
+        reference's phash table + hamming UDF (engine.rs:594-663).
+
+        Runs on the MXU via the bit-unpacked ±1 GEMM formulation
+        (ops.hamming_gemm), derived lazily from the packed store."""
         self._cached_search_results = None
         if self._ph_store is None or self._ph_store.size == 0:
             self._cached_search_results = []
@@ -697,11 +700,23 @@ class Engine:
         q = np.zeros(self._ph_store.dim, dtype=np.uint8)
         ph = np.asarray(phash_bytes, dtype=np.uint8)
         q[: min(len(ph), len(q))] = ph[: len(q)]
-        dist, idx = hamming_scan_topk(
+        from pixelbox_tpu.ops.hamming_gemm import (
+            build_hamming_gemm_index,
+            hamming_gemm_scan_topk,
+        )
+
+        if (
+            getattr(self, "_ph_gemm", None) is None
+            or self._ph_gemm_at_n != self._ph_store.n
+        ):
+            self._ph_gemm = build_hamming_gemm_index(self._ph_store.device_index)
+            self._ph_gemm_at_n = self._ph_store.n
+        dist, idx = hamming_gemm_scan_topk(
             jnp.asarray(q),
-            self._ph_store.device_index,
+            self._ph_gemm,
             k=int(k or self.max_search_results),
             max_distance=float(self.max_distance_from_query),
+            mode="fast" if self.scan_mode == "fast" else "exact",
         )
         dist = np.asarray(dist)
         idx = np.asarray(idx)
