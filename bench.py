@@ -249,12 +249,30 @@ def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
         return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
 
     dt, _ = _device_loop(one, qs, iters)
+
+    # MXU GEMM formulation (bit-unpacked ±1), fast selection.
+    from pixelbox_tpu.ops.hamming_gemm import (
+        build_hamming_gemm_index,
+        hamming_gemm_scan_topk,
+    )
+
+    gidx = build_hamming_gemm_index(index)
+
+    def one_gemm(qi):
+        dist, idx = hamming_gemm_scan_topk(
+            qi, gidx, k=k, block_rows=block_rows, mode="fast"
+        )
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
+
+    dt_g, _ = _device_loop(one_gemm, qs, iters)
     return {
-        "hashes_per_sec": n * q / dt,
-        "qps_batch": q / dt,
+        "hashes_per_sec_xor_exact": n * q / dt,
+        "hashes_per_sec_gemm_fast": n * q / dt_g,
+        "qps_batch_gemm_fast": q / dt_g,
         "n": n,
         "hash_bytes": h,
-        "scan_ms_per_batch": dt * 1e3,
+        "scan_ms_xor_exact": dt * 1e3,
+        "scan_ms_gemm_fast": dt_g * 1e3,
     }
 
 
