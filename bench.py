@@ -30,21 +30,27 @@ NORTH_STAR_DOTS_PER_SEC = 1e9
 NORTH_STAR_INGEST_PER_SEC = 5e3
 
 
-def _device_loop(fn, inputs, iters):
-    """Time `fn` over `iters` stacked inputs entirely on device."""
+def _device_loop(fn, inputs, iters, *consts):
+    """Time `fn(x, *consts)` over `iters` stacked inputs entirely on device.
+
+    Large arrays (the index) MUST be passed via ``consts``, not closed
+    over: closed-over device arrays are embedded as literal constants in
+    the compiled program (hundreds of MB shipped per compile — remote
+    compile services reject them outright).
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def multi(xs):
+    def multi(xs, *cs):
         def body(c, x):
-            return c + fn(x), None
+            return c + fn(x, *cs), None
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
         return acc
 
-    float(np.asarray(multi(inputs)))  # warmup/compile
+    float(np.asarray(multi(inputs, *consts)))  # warmup/compile
     t0 = time.perf_counter()
-    sink = float(np.asarray(multi(inputs)))
+    sink = float(np.asarray(multi(inputs, *consts)))
     return (time.perf_counter() - t0) / iters, sink
 
 
@@ -76,13 +82,13 @@ def bench_cosine_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     _, index = build_semantic_index(n, d, rng, block_rows)
     qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8))
 
-    def one(qi):
+    def one(qi, index):
         dist, idx = cosine_scan_topk(qi, index, k=k, block_rows=block_rows)
         return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
 
-    dt, _ = _device_loop(one, qs, iters)
+    dt, _ = _device_loop(one, qs, iters, index)
     q1 = qs[:, :1, :]
-    dt1, _ = _device_loop(one, q1, iters)
+    dt1, _ = _device_loop(one, q1, iters, index)
     return {
         "dots_per_sec": n * q / dt,
         "qps_batch": q / dt,
@@ -112,13 +118,13 @@ def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     _, index = build_semantic_index(n, d, rng, block_rows)
     qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8))
 
-    def one(qi):
+    def one(qi, index):
         dist, idx, exact = _fast_scan_with_verification(
             qi, index, k, 1e3, block_rows, 0.99
         )
         return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
 
-    dt, _ = _device_loop(one, qs, iters)
+    dt, _ = _device_loop(one, qs, iters, index)
 
     _, _, exact = _fast_scan_with_verification(qs[0], index, k, 1e3, block_rows, 0.99)
     rate = float(np.asarray(exact).mean())
@@ -129,13 +135,13 @@ def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
 
     repair_q = 32
 
-    def repair_one(qi):
+    def repair_one(qi, index):
         dd, ii = cosine_scan_topk(
             qi[:repair_q], index, k=k, block_rows=block_rows, mode="exact"
         )
         return jnp.sum(dd[:, 0]) + jnp.sum(ii[:, 0])
 
-    dt_repair, _ = _device_loop(repair_one, qs, iters)
+    dt_repair, _ = _device_loop(repair_one, qs, iters, index)
     # Exact-guaranteed throughput: verified pass + repair whenever any
     # query in the batch fails verification (conservative: at q=256 and
     # ~96% per-query pass rate, effectively every batch repairs).
@@ -168,13 +174,13 @@ def bench_fast_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     db, index = build_semantic_index(n, d, rng, block_rows)
     qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8))
 
-    def one(qi):
+    def one(qi, index):
         dist, idx = cosine_scan_topk(
             qi, index, k=k, block_rows=block_rows, mode="fast"
         )
         return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
 
-    dt, _ = _device_loop(one, qs, iters)
+    dt, _ = _device_loop(one, qs, iters, index)
     out = {
         "dots_per_sec": n * q / dt,
         "qps_batch": q / dt,
@@ -244,11 +250,11 @@ def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
     index = PackedHammingIndex(jnp.asarray(db), jnp.asarray(valid))
     qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, h), dtype=np.uint8))
 
-    def one(qi):
+    def one(qi, index):
         dist, idx = hamming_scan_topk(qi, index, k=k, block_rows=block_rows)
         return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
 
-    dt, _ = _device_loop(one, qs, iters)
+    dt, _ = _device_loop(one, qs, iters, index)
 
     # MXU GEMM formulation (bit-unpacked ±1), fast selection.
     from pixelbox_tpu.ops.hamming_gemm import (
@@ -258,13 +264,13 @@ def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
 
     gidx = build_hamming_gemm_index(index)
 
-    def one_gemm(qi):
+    def one_gemm(qi, gidx):
         dist, idx = hamming_gemm_scan_topk(
             qi, gidx, k=k, block_rows=block_rows, mode="fast"
         )
         return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
 
-    dt_g, _ = _device_loop(one_gemm, qs, iters)
+    dt_g, _ = _device_loop(one_gemm, qs, iters, gidx)
     return {
         "hashes_per_sec_xor_exact": n * q / dt,
         "hashes_per_sec_gemm_fast": n * q / dt_g,
