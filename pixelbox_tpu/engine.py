@@ -425,6 +425,38 @@ class Engine:
         self._cached_index_size = None
         return True
 
+    def compact(self) -> None:
+        """Drop tombstoned rows from the device stores and renumber the
+        row↔image mappings (call after bulk removals)."""
+
+        def compact_store(store, image_ids, row_by_image):
+            if store is None or store.n_deleted == 0:
+                return image_ids, row_by_image
+            mapping = store.compact()
+            new_ids = [0] * store.n
+            new_rows = {}
+            for old_row, img_id in enumerate(image_ids):
+                new_row = mapping[old_row] if old_row < len(mapping) else -1
+                if new_row >= 0:
+                    new_ids[int(new_row)] = img_id
+                    new_rows[img_id] = int(new_row)
+            return new_ids, new_rows
+
+        self._sem_image_ids, self._sem_row_by_image = compact_store(
+            self._sem_store, self._sem_image_ids, self._sem_row_by_image
+        )
+        self._ph_image_ids, self._ph_row_by_image = compact_store(
+            self._ph_store, self._ph_image_ids, self._ph_row_by_image
+        )
+        self._blip_image_ids, self._blip_row_by_image = compact_store(
+            self._blip_store, self._blip_image_ids, self._blip_row_by_image
+        )
+        # Derived/sharded layouts are stale now.
+        self._sharded_index = None
+        self._sharded_at_n = -1
+        self._ph_gemm = None
+        self._ph_gemm_at_n = -1
+
     def remove_tracked_folder_and_images(self, folder_glob: str) -> int:
         """Remove a folder AND everything indexed under it."""
         self.remove_tracked_folder(folder_glob)

@@ -56,6 +56,27 @@ def test_remove_idempotent(engine):
     assert engine.remove_image(rec.id) is False
 
 
+def test_compact_after_removal(engine):
+    engine.query("r3")
+    (rec,) = engine.get_query_results()
+    engine.remove_image(rec.id)
+    deleted_before = engine._sem_store.n_deleted
+    assert deleted_before > 0
+    engine.compact()
+    assert engine._sem_store.n_deleted == 0
+    # Mappings renumbered consistently: every surviving image still
+    # searchable by its own hash at distance ~0.
+    engine.query("r1")
+    results = engine.get_query_results()
+    if results:  # r1 may have been removed by earlier tests in this module
+        from pixelbox_tpu.records import IndexedImage
+
+        hr = IndexedImage(visual_hash=results[0].visual_hash)
+        engine.query_by_image_hash_from_image(hr)
+        assert engine.get_query_results()[0].filename == "r1.png"
+        assert engine.get_query_results()[0].distance_from_query < 1e-5
+
+
 def test_remove_folder_and_images(engine, tmp_path):
     sub = str(tmp_path / "photos" / "sub")
     n = engine.remove_tracked_folder_and_images(sub)
