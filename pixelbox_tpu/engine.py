@@ -45,7 +45,6 @@ from pixelbox_tpu.ingest.decode import (
     DecodedImage,
     decode_image_bytes,
     decode_image_file,
-    stringify_filepath,
 )
 from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
 from pixelbox_tpu.models import get_embedder
@@ -54,7 +53,6 @@ from pixelbox_tpu.ops.distances import cosine_distance
 from pixelbox_tpu.ops.scan import (
     cosine_scan_topk,
     cosine_scan_topk_auto,
-    hamming_scan_topk,
 )
 from pixelbox_tpu.query import parse_query
 from pixelbox_tpu.records import IndexedImage

@@ -8,7 +8,7 @@ QOI-compressed, stored in the catalog's ``images.thumbnail`` blob column
 from __future__ import annotations
 
 import ctypes
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -8,7 +8,6 @@ f32 latents out → quantized u8 via ``ops.quantize.quantize_embedding``.
 from __future__ import annotations
 
 import abc
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ Squeeze-excitation reduces to max(1, block_input_channels//4).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -9,7 +9,6 @@ ships no ONNX weights either — .gitignore:6).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

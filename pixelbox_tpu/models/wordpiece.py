@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import unicodedata
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
 

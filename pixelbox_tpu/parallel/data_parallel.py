@@ -9,7 +9,6 @@ no collectives until the gather of the small latents.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ loader; the step consumes ready image pairs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
