@@ -137,7 +137,7 @@ def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
 
     def repair_one(qi, index):
         dd, ii = cosine_scan_topk(
-            qi[:repair_q], index, k=k, block_rows=block_rows, mode="exact"
+            qi[:repair_q], index, k=k, block_rows=block_rows, mode="exact", gate=False
         )
         return jnp.sum(dd[:, 0]) + jnp.sum(ii[:, 0])
 

@@ -72,7 +72,10 @@ def _cosine_block_dist(
     return jnp.where(keep, dist, jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("k", "block_rows", "mode", "recall_target"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "mode", "recall_target", "gate"),
+)
 def cosine_scan_topk(
     query_u8: jnp.ndarray,
     index: PackedSemanticIndex,
@@ -81,6 +84,7 @@ def cosine_scan_topk(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     mode: str = "exact",
     recall_target: float = 0.99,
+    gate: bool = True,
 ):
     """Top-k smallest reciprocal-cosine distances of queries against the index.
 
@@ -149,7 +153,7 @@ def cosine_scan_topk(
         # trace-time choice: with many concurrent queries SOME query
         # always triggers the merge, so the cond only buys compile time —
         # large batches take the straight-line path (or mode="fast").
-        if qn <= 32:
+        if gate and qn <= 32:
             theta = best_d[:, -1:]
             need = jnp.any(jnp.min(dist, axis=1, keepdims=True) < theta)
 
@@ -296,7 +300,7 @@ def cosine_scan_topk_auto(
         repair[: len(bad)] = q_np[bad]
         rd, ri = cosine_scan_topk(
             jnp.asarray(repair), index, k=k, max_distance=max_distance,
-            block_rows=block_rows, mode="exact",
+            block_rows=block_rows, mode="exact", gate=False,
         )
         best_d[bad] = np.asarray(rd)[: len(bad)]
         best_i[bad] = np.asarray(ri)[: len(bad)]
@@ -307,7 +311,7 @@ def cosine_scan_topk_auto(
     return best_d, best_i
 
 
-@partial(jax.jit, static_argnames=("k", "block_rows", "wrap_u8"))
+@partial(jax.jit, static_argnames=("k", "block_rows", "wrap_u8", "gate"))
 def hamming_scan_topk(
     query_u8: jnp.ndarray,
     index: PackedHammingIndex,
@@ -315,6 +319,7 @@ def hamming_scan_topk(
     max_distance: jnp.ndarray | float = 1e3,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     wrap_u8: bool = False,
+    gate: bool = True,
 ):
     """Top-k smallest normalized Hamming distances (phash search).
 
@@ -364,7 +369,7 @@ def hamming_scan_topk(
         dist = jnp.where(keep, dist, jnp.inf)
 
         # Threshold-gated selection for small batches (see cosine body).
-        if qn <= 32:
+        if gate and qn <= 32:
             theta = best_d[:, -1:]
             need = jnp.any(jnp.min(dist, axis=1, keepdims=True) < theta)
 
