@@ -1,0 +1,150 @@
+"""Micro-batching scan service — production query serving.
+
+The scan is far more efficient batched (one 256-query pass costs barely
+more than one 1-query pass — see PERF.md), but interactive clients arrive
+one query at a time.  This service coalesces concurrent requests into
+device batches: callers block on :meth:`submit`; a collector thread drains
+the queue up to ``max_batch`` (or ``max_wait_ms``), pads to a bucketed
+batch shape (bounded compile cache), runs ONE scan, and distributes
+per-query results.
+
+The reference has no serving story at all (single-user desktop app); this
+is the piece that makes the engine deployable behind a fleet of frontends.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pixelbox_tpu.ops.packed import PackedSemanticIndex
+from pixelbox_tpu.ops.scan import cosine_scan_topk, cosine_scan_topk_auto
+from pixelbox_tpu.utils.timing import timed
+
+_BUCKETS = (1, 8, 32, 128, 256)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+@dataclass
+class _Request:
+    query: np.ndarray
+    event: threading.Event = field(default_factory=threading.Event)
+    dist: Optional[np.ndarray] = None
+    idx: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+
+
+class BatchingScanService:
+    """Coalesces concurrent similarity queries into single device scans."""
+
+    def __init__(
+        self,
+        index_provider,
+        k: int = 100,
+        max_distance: float = 1e3,
+        max_batch: int = 256,
+        max_wait_ms: float = 2.0,
+        mode: str = "auto",
+    ):
+        """``index_provider``: zero-arg callable returning the current
+        PackedSemanticIndex (so appends are picked up between batches)."""
+        self._provider = (
+            index_provider if callable(index_provider) else (lambda: index_provider)
+        )
+        self.k = k
+        self.max_distance = max_distance
+        self.max_batch = min(max_batch, _BUCKETS[-1])
+        self.max_wait_s = max_wait_ms / 1e3
+        self.mode = mode
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._collector, name="pixelbox-scan-batcher", daemon=True
+        )
+        self._thread.start()
+        self.batches_run = 0
+        self.queries_served = 0
+
+    # ------------------------------------------------------------------ #
+
+    def submit(
+        self, query_u8: np.ndarray, timeout: Optional[float] = 60.0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking query: u8 [D] → (dist [k], idx [k])."""
+        req = _Request(query=np.asarray(query_u8, dtype=np.uint8))
+        self._q.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("scan service timed out")
+        if req.error is not None:
+            raise req.error
+        return req.dist, req.idx
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------ #
+
+    def _collector(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch: List[_Request] = [first]
+            deadline = self.max_wait_s
+            import time as _time
+
+            t0 = _time.monotonic()
+            while len(batch) < self.max_batch:
+                remaining = deadline - (_time.monotonic() - t0)
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: List[_Request]) -> None:
+        try:
+            m = len(batch)
+            d = batch[0].query.shape[0]
+            b = _bucket(m)
+            queries = np.zeros((b, d), dtype=np.uint8)
+            for i, r in enumerate(batch):
+                queries[i] = r.query
+            index = self._provider()
+            with timed("serving.batched_scan"):
+                if self.mode == "auto":
+                    dist, idx = cosine_scan_topk_auto(
+                        queries, index, k=self.k, max_distance=self.max_distance
+                    )
+                else:
+                    dist, idx = cosine_scan_topk(
+                        jnp.asarray(queries), index, k=self.k,
+                        max_distance=self.max_distance, mode=self.mode,
+                    )
+            dist = np.asarray(dist)
+            idx = np.asarray(idx)
+            for i, r in enumerate(batch):
+                r.dist = dist[i]
+                r.idx = idx[i]
+                r.event.set()
+            self.batches_run += 1
+            self.queries_served += m
+        except Exception as e:  # noqa: BLE001
+            for r in batch:
+                r.error = e
+                r.event.set()
