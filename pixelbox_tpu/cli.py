@@ -116,6 +116,14 @@ def main(argv=None) -> int:
     sp.add_argument("--limit", type=int, default=100)
     sp.add_argument("--max-distance", type=float, default=1e3)
 
+    sp = add_db_cmd(
+        "phash-similar", help="find near-duplicates by perceptual hash"
+    )
+    sp.add_argument("image")
+    sp.add_argument("--json", action="store_true")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.add_argument("--max-distance", type=float, default=1e3)
+
     sp = add_db_cmd("show", help="show one indexed image's metadata")
     sp.add_argument("id", type=int)
 
@@ -209,6 +217,20 @@ def main(argv=None) -> int:
             if engine.last_query_error:
                 print(f"error: {engine.last_query_error}", file=sys.stderr)
                 return 1
+            _print_results(engine, as_json=args.json)
+        elif args.cmd == "phash-similar":
+            from pixelbox_tpu.ingest.decode import decode_image_file
+            from pixelbox_tpu.ops.phash import phash as phash_fn
+
+            decoded = decode_image_file(args.image)
+            if decoded is None:
+                print(f"error: cannot decode image: {args.image}", file=sys.stderr)
+                return 1
+            engine.max_search_results = args.limit
+            engine.max_distance_from_query = args.max_distance
+            engine.query_by_phash(
+                phash_fn(decoded.rgb, aspect_preserving=engine.phash_compat)
+            )
             _print_results(engine, as_json=args.json)
         elif args.cmd == "show":
             info = engine.catalog.get_image(args.id)

@@ -84,3 +84,12 @@ def test_show(db, capsys):
 
 def test_show_missing_exits_1(db, capsys):
     assert main(["show", db, "999"]) == 1
+
+
+def test_phash_similar(db, photo_dir, capsys):
+    assert main(
+        ["phash-similar", db, str(photo_dir / "c1.png"), "--dim", "16", "--json"]
+    ) == 0
+    results = json.loads(capsys.readouterr().out)
+    assert results[0]["filename"] == "c1.png"
+    assert results[0]["distance"] == 0.0
