@@ -89,7 +89,7 @@ def main(argv=None) -> int:
         )
         sp.add_argument(
             "--scan-mode", dest="scan_mode", default=None,
-            choices=("auto", "exact", "fast"),
+            choices=("auto", "exact", "fast", "pallas"),
             help="similarity scan mode (default auto: verified-exact)",
         )
         return sp

@@ -96,8 +96,12 @@ class Engine:
         #: "auto" (default) = fast scan + exact verification with fallback
         #: (guaranteed reference-exact results at ~4x direct-exact speed);
         #: "exact" = direct bit-parity scan; "fast" = TPU PartialReduce
-        #: selection (recall≈0.99+, exact distances, no guarantee).
+        #: selection (recall≈0.99+, exact distances, no guarantee);
+        #: "pallas" = the fused single-pass Mosaic kernel (exact; best for
+        #: single interactive queries — see ops.pallas_scan).
         self.scan_mode: str = "auto"
+        self._pallas_meta = None
+        self._pallas_meta_at_n = -1
         self._cached_search_results: Optional[List[IndexedImage]] = None
         self._cached_image_search: Optional[IndexedImage] = None
         self.last_query_error: Optional[str] = None
@@ -694,6 +698,28 @@ class Engine:
                     k=k,
                     max_distance=float(self.max_distance_from_query),
                     mode="exact" if self.scan_mode == "auto" else self.scan_mode,
+                )
+            elif self.scan_mode == "pallas":
+                from pixelbox_tpu.ops.pallas_scan import (
+                    build_row_meta,
+                    pallas_cosine_scan_topk,
+                )
+
+                index = self._sem_store.device_index
+                if (
+                    self._pallas_meta is None
+                    or self._pallas_meta_at_n != self._sem_store.n
+                ):
+                    self._pallas_meta = build_row_meta(index)
+                    self._pallas_meta_at_n = self._sem_store.n
+                tile = min(2048, index.capacity)
+                dist, idx = pallas_cosine_scan_topk(
+                    jnp.asarray(record.visual_hash),
+                    index,
+                    self._pallas_meta,
+                    k=k,
+                    max_distance=float(self.max_distance_from_query),
+                    tile_rows=tile,
                 )
             elif self.scan_mode == "auto":
                 dist, idx = cosine_scan_topk_auto(

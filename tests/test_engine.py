@@ -153,3 +153,20 @@ def test_malformed_query_raises(engine):
 
     with pytest.raises(QueryTokenizeError):
         engine.query('broken "quote')
+
+
+def test_pallas_scan_mode(engine, photo_dir):
+    """Engine scan_mode='pallas' runs the fused Mosaic kernel (interpret
+    mode on CPU) and finds the exact duplicate pair."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    engine.scan_mode = "pallas"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            engine.query_by_image_hash_from_file(str(photo_dir / "tex1.png"))
+        results = engine.get_query_results()
+        names = {results[0].filename, results[1].filename}
+        assert names == {"tex1.png", "tex1_copy.png"}
+        assert results[0].distance_from_query < 1e-5
+    finally:
+        engine.scan_mode = "auto"
