@@ -542,16 +542,38 @@ class Engine:
         if sim is not None and sim.visual_hash is not None and len(rows):
             # Order by cosine distance to the cached image over the matched
             # subset; NO distance threshold on this path (engine.rs:294-315).
-            db_rows = self._sem_store.get_rows(rows)
-            with timed("engine.text_query_scan"):
-                dists = np.asarray(
-                    cosine_distance(
-                        jnp.asarray(sim.visual_hash)[None, :], jnp.asarray(db_rows)
+            if len(rows) > 16384:
+                # Broad filter: run the device scan with the filter folded
+                # into the validity mask (beats gathering the subset to
+                # host: one masked pass over the resident index).
+                index = self._sem_store.device_index
+                mask = jnp.zeros(index.capacity, dtype=bool).at[
+                    jnp.asarray(rows)
+                ].set(True)
+                masked = index._replace(valid=jnp.logical_and(index.valid, mask))
+                with timed("engine.text_query_scan"):
+                    dists, idxs = cosine_scan_topk(
+                        jnp.asarray(sim.visual_hash),
+                        masked,
+                        k=k,
+                        max_distance=np.inf,  # no threshold on this path
                     )
-                )
-            order = np.argsort(dists, kind="stable")[:k]
-            sel = rows[order]
-            sel_dists = dists[order]
+                dists = np.asarray(dists)
+                idxs = np.asarray(idxs)
+                keep = idxs >= 0
+                sel = idxs[keep]
+                sel_dists = dists[keep]
+            else:
+                db_rows = self._sem_store.get_rows(rows)
+                with timed("engine.text_query_scan"):
+                    dists = np.asarray(
+                        cosine_distance(
+                            jnp.asarray(sim.visual_hash)[None, :], jnp.asarray(db_rows)
+                        )
+                    )
+                order = np.argsort(dists, kind="stable")[:k]
+                sel = rows[order]
+                sel_dists = dists[order]
         else:
             sel = rows[:k]  # id order, dist 0.0 (engine.rs:291-293)
             sel_dists = np.zeros(len(sel), dtype=np.float32)
