@@ -1,0 +1,56 @@
+"""bench.py contract: importable, and the driver-facing JSON shape holds.
+
+Runs the real bench functions at miniature sizes on CPU (the driver runs
+full sizes on TPU) and checks the output schema the driver records.
+"""
+
+import numpy as np
+
+
+def test_bench_cosine_scan_miniature(rng):
+    import bench
+
+    res = bench.bench_cosine_scan(n=2048, d=32, q=8, k=10, iters=2,
+                                  block_rows=1024, rng=rng)
+    assert res["dots_per_sec"] > 0
+    assert res["n"] == 2048
+
+
+def test_bench_auto_scan_miniature(rng):
+    import bench
+
+    res = bench.bench_auto_scan(n=2048, d=32, q=8, k=10, iters=2,
+                                block_rows=1024, rng=rng)
+    assert res["dots_per_sec_exact_guaranteed"] > 0
+    assert 0.0 <= res["verification_pass_rate"] <= 1.0
+
+
+def test_bench_recall_parity_miniature(rng):
+    import bench
+
+    res = bench.bench_recall_parity(n=512, d=32, q=4, k=5, rng=rng)
+    assert res["recall_at_10_vs_oracle"] == 1.0
+
+
+def test_bench_hamming_miniature(rng):
+    import bench
+
+    res = bench.bench_hamming(n=1024, h=32, q=8, k=10, iters=2,
+                              block_rows=512, rng=rng)
+    assert res["hashes_per_sec_xor_exact"] > 0
+    assert res["hashes_per_sec_gemm_fast"] > 0
+
+
+def test_headline_json_schema():
+    """The driver parses exactly these top-level fields."""
+    import bench
+
+    # Mirror main()'s output construction without running full sizes.
+    out = {
+        "metric": "u8_cosine_scan_exact_dot_products_per_sec_1Mx128",
+        "value": 1.0,
+        "unit": "dot-products/s/chip",
+        "vs_baseline": 1.0 / bench.NORTH_STAR_DOTS_PER_SEC * 1e9,
+        "detail": {},
+    }
+    assert set(out) == {"metric", "value", "unit", "vs_baseline", "detail"}
