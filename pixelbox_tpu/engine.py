@@ -101,7 +101,7 @@ class Engine:
         #: single interactive queries — see ops.pallas_scan).
         self.scan_mode: str = "auto"
         self._pallas_meta = None
-        self._pallas_meta_at_n = -1
+        self._pallas_meta_at_ver = -1
         self._cached_search_results: Optional[List[IndexedImage]] = None
         self._cached_image_search: Optional[IndexedImage] = None
         self.last_query_error: Optional[str] = None
@@ -128,7 +128,7 @@ class Engine:
         #: top-k over ICI (parallel/sharded_scan).  Set via serve_on_mesh().
         self.scan_mesh = None
         self._sharded_index = None
-        self._sharded_at_n = -1
+        self._sharded_at_ver = -1
         self._pipeline = None
         self._cached_index_size: Optional[int] = None
         self._recently_indexed: List[str] = []
@@ -453,21 +453,39 @@ class Engine:
         self._blip_image_ids, self._blip_row_by_image = compact_store(
             self._blip_store, self._blip_image_ids, self._blip_row_by_image
         )
-        # Derived/sharded layouts are stale now.
+        # Derived/sharded layouts are stale now (version keys catch this
+        # too, but drop the references eagerly to free device memory).
         self._sharded_index = None
-        self._sharded_at_n = -1
+        self._sharded_at_ver = -1
         self._ph_gemm = None
-        self._ph_gemm_at_n = -1
+        self._ph_gemm_at_ver = -1
 
     def remove_tracked_folder_and_images(self, folder_glob: str) -> int:
-        """Remove a folder AND everything indexed under it."""
+        """Remove a folder AND everything indexed under it.
+
+        Only paths strictly INSIDE the directory match (``prefix/…``):
+        removing ``/photos/vacay`` must not touch ``/photos/vacation``.
+        LIKE wildcards in the folder path are escaped so ``%``/``_`` in
+        directory names cannot widen the match.
+        """
         self.remove_tracked_folder(folder_glob)
-        prefix = folder_glob.rstrip("/*")
+        # Strip the glob tail the crawler appends (crawler.rs:36-40 adds
+        # /**/*.* itself), then the trailing separator, leaving a bare dir.
+        prefix = folder_glob
+        while prefix.endswith(("/*.*", "/**", "/*")):
+            prefix = prefix[: prefix.rindex("/")]
+        prefix = prefix.rstrip(os.sep + "/")
+        if not prefix:
+            return 0
+        escaped = (
+            prefix.replace("!", "!!").replace("%", "!%").replace("_", "!_")
+        )
         conn = self.catalog._connect()
         ids = [
             r[0]
             for r in conn.execute(
-                "SELECT id FROM images WHERE path LIKE ?", (prefix + "%",)
+                "SELECT id FROM images WHERE path LIKE ? ESCAPE '!'",
+                (escaped + os.sep + "%",),
             )
         ]
         for i in ids:
@@ -612,13 +630,8 @@ class Engine:
                 cosine_distance(jnp.asarray(q_hash)[None, :], jnp.asarray(db_rows))
             )
         order = np.argsort(dists, kind="stable")[:k]
-        results = []
-        for row, d in zip(rows[order], dists[order]):
-            image_id = self._blip_image_ids[int(row)]
-            rec = self._record_from_catalog(image_id)
-            if rec is not None:
-                rec.distance_from_query = float(d)
-                results.append(rec)
+        ids = [self._blip_image_ids[int(row)] for row in rows[order]]
+        results = self._results_from_image_ids(ids, dists[order])
         self._cached_search_results = results
         print(f"{len(results)} results", file=sys.stderr)
 
@@ -669,19 +682,19 @@ class Engine:
 
         self.scan_mesh = mesh or make_mesh(axis_names=(axis,))
         self._sharded_index = None
-        self._sharded_at_n = -1
+        self._sharded_at_ver = -1
 
     def _get_sharded_index(self):
         from pixelbox_tpu.parallel.sharded_scan import shard_semantic_index
 
         if (
             self._sharded_index is None
-            or self._sharded_at_n != self._sem_store.n
+            or self._sharded_at_ver != self._sem_store.version
         ):
             self._sharded_index = shard_semantic_index(
                 self._sem_store.device_index, self.scan_mesh
             )
-            self._sharded_at_n = self._sem_store.n
+            self._sharded_at_ver = self._sem_store.version
         return self._sharded_index
 
     # ------------------------------------------------------------------ #
@@ -730,10 +743,10 @@ class Engine:
                 index = self._sem_store.device_index
                 if (
                     self._pallas_meta is None
-                    or self._pallas_meta_at_n != self._sem_store.n
+                    or self._pallas_meta_at_ver != self._sem_store.version
                 ):
                     self._pallas_meta = build_row_meta(index)
-                    self._pallas_meta_at_n = self._sem_store.n
+                    self._pallas_meta_at_ver = self._sem_store.version
                 tile = min(2048, index.capacity)
                 dist, idx = pallas_cosine_scan_topk(
                     jnp.asarray(record.visual_hash),
@@ -785,10 +798,10 @@ class Engine:
 
         if (
             getattr(self, "_ph_gemm", None) is None
-            or self._ph_gemm_at_n != self._ph_store.n
+            or self._ph_gemm_at_ver != self._ph_store.version
         ):
             self._ph_gemm = build_hamming_gemm_index(self._ph_store.device_index)
-            self._ph_gemm_at_n = self._ph_store.n
+            self._ph_gemm_at_ver = self._ph_store.version
         dist, idx = hamming_gemm_scan_topk(
             jnp.asarray(q),
             self._ph_gemm,
@@ -799,14 +812,10 @@ class Engine:
         dist = np.asarray(dist)
         idx = np.asarray(idx)
         keep = idx >= 0
-        results = []
-        for row, d in zip(idx[keep], dist[keep]):
-            image_id = self._ph_image_ids[int(row)]
-            rec = self._record_from_catalog(image_id)
-            if rec is not None:
-                rec.distance_from_query = float(d)
-                results.append(rec)
-        self._cached_search_results = results
+        ids = [self._ph_image_ids[int(row)] for row in idx[keep]]
+        self._cached_search_results = self._results_from_image_ids(
+            ids, dist[keep]
+        )
 
     # ------------------------------------------------------------------ #
     # Results (engine.rs:398-402)
@@ -818,29 +827,50 @@ class Engine:
         self._cached_search_results = None
 
     def _build_results(self, rows, dists) -> List[IndexedImage]:
+        ids = [self._sem_image_ids[int(row)] for row in rows]
+        infos = self.catalog.get_images_with_tags(ids)
         out = []
-        for row, d in zip(rows, dists):
-            image_id = self._sem_image_ids[int(row)]
-            rec = self._record_from_catalog(image_id)
-            if rec is None:
+        for row, image_id, d in zip(rows, ids, dists):
+            info = infos.get(image_id)
+            if info is None:
                 continue
+            rec = self._record_from_info(info)
             rec.visual_hash = self._sem_store.get_rows([int(row)])[0]
             rec.distance_from_query = float(d)
             out.append(rec)
         return out
 
-    def _record_from_catalog(self, image_id: int) -> Optional[IndexedImage]:
-        info = self.catalog.get_image(image_id)
-        if info is None:
-            return None
+    def _results_from_image_ids(self, ids, dists) -> List[IndexedImage]:
+        """Batched catalog assembly for non-semantic result paths
+        (phash / BLIP): one IN-list query pair instead of 2 per hit."""
+        infos = self.catalog.get_images_with_tags(ids)
+        out = []
+        for image_id, d in zip(ids, dists):
+            info = infos.get(image_id)
+            if info is None:
+                continue
+            rec = self._record_from_info(info)
+            rec.distance_from_query = float(d)
+            out.append(rec)
+        return out
+
+    @staticmethod
+    def _record_from_info(info: dict) -> IndexedImage:
         return IndexedImage(
             id=info["id"],
             filename=info["filename"],
             path=info["path"],
             resolution=info["resolution"],
             thumbnail=info["thumbnail"],
-            tags=self.catalog.get_tags(image_id),
+            tags=info["tags"],
         )
+
+    def _record_from_catalog(self, image_id: int) -> Optional[IndexedImage]:
+        info = self.catalog.get_image(image_id)
+        if info is None:
+            return None
+        info["tags"] = self.catalog.get_tags(image_id)
+        return self._record_from_info(info)
 
     # ------------------------------------------------------------------ #
 

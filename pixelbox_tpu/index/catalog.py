@@ -231,6 +231,38 @@ class Catalog:
     def get_images(self, image_ids: Sequence[int]) -> List[Optional[dict]]:
         return [self.get_image(i) for i in image_ids]
 
+    def get_images_with_tags(self, image_ids: Sequence[int]) -> Dict[int, dict]:
+        """Batched image+tags lookup: two IN-list queries total, replacing
+        per-hit SELECT pairs (the reference assembles one JOIN with
+        JSON_GROUP_OBJECT for the same reason, engine.rs:294-315).
+
+        Returns {image_id: rowdict} with a ``"tags"`` dict per row; ids not
+        found are absent.
+        """
+        conn = self._connect()
+        out: Dict[int, dict] = {}
+        ids = [int(i) for i in image_ids]
+        # SQLite caps bound parameters (999 classically); chunk the IN list.
+        for start in range(0, len(ids), 500):
+            chunk = ids[start : start + 500]
+            marks = ",".join("?" * len(chunk))
+            for row in conn.execute(
+                "SELECT id, filename, path, image_width, image_height,"
+                f" thumbnail FROM images WHERE id IN ({marks})",
+                chunk,
+            ):
+                d = self._image_rowdict(row)
+                d["tags"] = {}
+                out[d["id"]] = d
+            for image_id, name, value in conn.execute(
+                "SELECT image_id, name, value FROM tags WHERE image_id"
+                f" IN ({marks})",
+                chunk,
+            ):
+                if image_id in out:
+                    out[image_id]["tags"][name] = value
+        return out
+
     @staticmethod
     def _image_rowdict(row) -> dict:
         return {

@@ -67,6 +67,11 @@ class VectorStore:
         self.device = device
         self.n = 0  # live row count (including tombstones)
         self.n_deleted = 0
+        #: Mutation counter: bumps on every append/delete/compact/grow.
+        #: Derived layouts (hamming-GEMM unpack, pallas row meta, sharded
+        #: copies) key their caches on this — NOT on ``n``, which does not
+        #: change on tombstone deletes.
+        self.version = 0
         # Host mirrors (uint8 raw rows; authoritative for checkpoint/repack).
         self._host_rows = np.zeros((0, self.dim), dtype=np.uint8)
         self._host_valid = np.zeros((0,), dtype=bool)
@@ -134,6 +139,7 @@ class VectorStore:
         self._host_rows[start:new_n] = rows_u8
         self._host_valid[start:new_n] = True
         self.n = new_n
+        self.version += 1
 
         if self._device_arrays is None or new_n > self._capacity:
             self._alloc(self._target_capacity(new_n))
@@ -166,6 +172,7 @@ class VectorStore:
         fresh = self._host_valid[row_ids]
         self._host_valid[row_ids] = False
         self.n_deleted += int(np.count_nonzero(fresh))
+        self.version += 1
         if self._device_arrays is not None:
             a = self._device_arrays
             new_valid = a.valid.at[jnp.asarray(row_ids)].set(False)
@@ -182,8 +189,25 @@ class VectorStore:
         self._host_valid = np.ones(len(keep), dtype=bool)
         self.n = len(keep)
         self.n_deleted = 0
+        self.version += 1
         self._alloc(self._target_capacity(max(self.n, 1)))
         return mapping
+
+    def grow_dim(self, new_dim: int) -> None:
+        """Widen rows to ``new_dim`` bytes, zero-padding existing rows.
+
+        Used by variable-width hamming stores (aspect-preserving compat
+        phashes, reference src/image_hashes/phash.rs:7): when a wider hash
+        arrives the whole store grows so no hash bits are ever truncated.
+        """
+        if new_dim <= self.dim:
+            return
+        grown = np.zeros((self._host_rows.shape[0], new_dim), dtype=np.uint8)
+        grown[:, : self.dim] = self._host_rows
+        self._host_rows = grown
+        self.dim = int(new_dim)
+        self.version += 1
+        self._alloc(self._target_capacity(max(self.n, 1)))
 
     # ------------------------------------------------------------------ #
     # Access

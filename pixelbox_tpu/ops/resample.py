@@ -98,8 +98,11 @@ def resize_dimensions(w: int, h: int, nw: int, nh: int, fill: bool) -> tuple:
     wratio = nw / w
     hratio = nh / h
     ratio = max(wratio, hratio) if fill else min(wratio, hratio)
-    out_w = max(1, round(w * ratio))
-    out_h = max(1, round(h * ratio))
+    # f64::round rounds half AWAY from zero; Python's round() is banker's
+    # (half-to-even) and diverges on exact .5 products (e.g. 5 px at ratio
+    # 0.5 → Rust 3, banker's 2), changing thumbnail/phash geometry.
+    out_w = max(1, int(math.floor(w * ratio + 0.5)))
+    out_h = max(1, int(math.floor(h * ratio + 0.5)))
     # The image crate caps at u32::MAX; irrelevant here.
     return out_w, out_h
 

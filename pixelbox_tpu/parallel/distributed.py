@@ -27,18 +27,27 @@ def init_distributed(
 
     if getattr(init_distributed, "_done", False):
         return
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if not kwargs and not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        init_distributed._done = True  # plain single-host: nothing to do
+        return
     try:
-        kwargs = {}
-        if coordinator_address:
-            kwargs["coordinator_address"] = coordinator_address
-        if num_processes is not None:
-            kwargs["num_processes"] = num_processes
-        if process_id is not None:
-            kwargs["process_id"] = process_id
-        if kwargs or os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            jax.distributed.initialize(**kwargs)
-        init_distributed._done = True
-    except Exception as e:  # single-host / already initialized
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:
         if "already initialized" in str(e).lower():
             init_distributed._done = True
-        # otherwise: stay single-host silently; meshes still work locally
+            return
+        # Multi-host WAS requested (explicit args or env) and failed —
+        # degrading to single-host silently would serve wrong/partial
+        # indexes on a misconfigured pod.  Fail loudly instead.
+        raise RuntimeError(
+            "jax.distributed.initialize failed for the requested multi-host "
+            f"configuration {kwargs or 'from JAX_COORDINATOR_ADDRESS env'}: {e}"
+        ) from e
+    init_distributed._done = True

@@ -35,52 +35,123 @@ _PAGE = """<!DOCTYPE html>
 <html><head><title>pixelbox-tpu</title><style>
 body{font-family:sans-serif;margin:2em;background:#1b1b1f;color:#ddd}
 input,button{font-size:1em;padding:.4em;background:#2a2a2f;color:#ddd;border:1px solid #555}
+input[type=number]{width:6em}
 #results{display:flex;flex-wrap:wrap;gap:12px;margin-top:1em}
 .card{width:180px;background:#26262b;padding:8px;border-radius:6px}
 .card img{max-width:100%;border-radius:4px}
 .card .name{font-size:.8em;word-break:break-all}
 .card .dist{font-size:.75em;color:#9a9}
 a{color:#8cf}
+#drop{border:2px dashed #555;border-radius:6px;padding:.6em 1em;display:inline-block;
+      color:#aaa;cursor:pointer;margin-left:.5em}
+#drop.hot{border-color:#8cf;color:#8cf}
+#settings{margin-top:.6em;font-size:.85em;color:#aaa}
+#pager{margin-top:.6em}
+#pager button{margin-right:.4em}
 </style></head><body>
 <h2>pixelbox-tpu</h2>
 <div>
-<input id="q" size="50" placeholder='query (tag:, exif:, all:, similar:, filename:)'>
+<input id="q" size="50" placeholder='query (tag:, exif:, all:, similar:, filename:, text:)'>
 <button onclick="search()">Search</button>
 <button onclick="reindex()">Reindex</button>
+<span id="drop">drop / click to search by image<input id="file" type="file"
+  accept="image/*" style="display:none"></span>
 <span id="status"></span>
+</div>
+<div id="settings">
+max results <input id="maxres" type="number" min="1" max="10000">
+max distance <input id="maxdist" type="number" step="0.05" min="0">
+<button onclick="saveSettings()">apply</button>
+</div>
+<div id="pager">
+<button onclick="page(-1)">&#8592; prev</button>
+<button onclick="page(1)">next &#8594;</button>
+<span id="pageinfo"></span>
 </div>
 <div id="results"></div>
 <script>
+const PAGE = 60;
+let offset = 0;
 async function search(){
   const q = document.getElementById('q').value;
-  const r = await fetch('/api/search?q='+encodeURIComponent(q));
+  offset = 0;
+  const r = await fetch('/api/search?q='+encodeURIComponent(q)
+                        +'&offset=0&limit='+PAGE);
   render(await r.json());
 }
 async function similar(id){
+  offset = 0;
   const r = await fetch('/api/similar?id='+id);
+  render(await r.json());
+}
+async function page(dir){
+  offset = Math.max(0, offset + dir*PAGE);
+  const r = await fetch('/api/results?offset='+offset+'&limit='+PAGE);
+  render(await r.json());
+}
+async function searchByFile(file){
+  offset = 0;
+  const r = await fetch('/api/similar', {method:'POST', body:file});
   render(await r.json());
 }
 async function reindex(){
   await fetch('/api/reindex', {method:'POST'});
   poll();
 }
+async function saveSettings(){
+  await fetch('/api/settings', {method:'POST', body:JSON.stringify({
+    max_search_results: +document.getElementById('maxres').value,
+    max_distance: +document.getElementById('maxdist').value})});
+}
 async function poll(){
   const r = await (await fetch('/api/status')).json();
   document.getElementById('status').textContent =
     r.indexing ? ('indexing… '+r.images+' images') : (r.images+' images');
+  const mr = document.getElementById('maxres');
+  if (mr.value === '') mr.value = r.max_search_results;
+  const md = document.getElementById('maxdist');
+  if (md.value === '') md.value = r.max_distance;
   if (r.indexing) setTimeout(poll, 1000);
 }
 function render(items){
   const el = document.getElementById('results');
   el.innerHTML = '';
+  // Cards built with createElement/textContent only: filenames are
+  // attacker-controlled (a file named <img onerror=...>.png must render
+  // as text, never as markup).
   for (const it of items){
     const d = document.createElement('div'); d.className='card';
-    d.innerHTML = `<img src="/api/thumbnail?id=${it.id}">
-      <div class="name">${it.filename}</div>
-      <div class="dist">${it.distance==null?'':'dist '+it.distance.toFixed(4)}</div>
-      <a href="#" onclick="similar(${it.id});return false">find similar</a>`;
+    const img = document.createElement('img');
+    img.src = '/api/thumbnail?id='+encodeURIComponent(it.id);
+    const name = document.createElement('div'); name.className='name';
+    name.textContent = it.filename;
+    name.title = it.path;
+    const dist = document.createElement('div'); dist.className='dist';
+    dist.textContent = it.distance==null ? '' : 'dist '+it.distance.toFixed(4);
+    const a = document.createElement('a'); a.href='#';
+    a.textContent = 'find similar';
+    a.onclick = () => { similar(it.id); return false; };
+    d.append(img, name, dist, a);
     el.appendChild(d);
   }
+  document.getElementById('pageinfo').textContent =
+    'page ' + (1 + offset/PAGE) + (items.length < PAGE ? ' (end)' : '');
+}
+const drop = document.getElementById('drop');
+const fileInput = document.getElementById('file');
+drop.onclick = () => fileInput.click();
+fileInput.onchange = () => {
+  if (fileInput.files.length) searchByFile(fileInput.files[0]);
+};
+// Drag-and-drop query — the reference's flagship interaction
+// (src/ui/search.rs:28-31, 120-163): drop anywhere on the page.
+for (const t of [document.body, drop]){
+  t.addEventListener('dragover', e => {e.preventDefault(); drop.classList.add('hot');});
+  t.addEventListener('dragleave', () => drop.classList.remove('hot'));
+  t.addEventListener('drop', e => {
+    e.preventDefault(); drop.classList.remove('hot');
+    if (e.dataTransfer.files.length) searchByFile(e.dataTransfer.files[0]);
+  });
 }
 poll();
 document.getElementById('q').addEventListener('keydown', e=>{if(e.key=='Enter')search()});
@@ -194,6 +265,13 @@ def make_handler(engine, lock: threading.Lock):
                     png = buf.getvalue()
                     thumb_cache.put(image_id, png)
                     return self._send(200, png, "image/png")
+                if parsed.path == "/api/results":
+                    # Page through the cached results WITHOUT re-running the
+                    # query (the pagination the reference stubbed,
+                    # ui/mod.rs:61-82).
+                    offset = int(qs.get("offset", ["0"])[0])
+                    limit = int(qs.get("limit", ["0"])[0])
+                    return self._send(200, _results_json(engine, offset, limit))
                 if parsed.path == "/api/folders":
                     return self._send(200, engine.get_tracked_folders())
                 if parsed.path == "/api/status":

@@ -53,13 +53,13 @@ def test_sharded_lazy_reshard_after_insert(engines, tmp_path):
     eng, photos = engines
     eng.serve_on_mesh(make_mesh(8))
     eng.query_by_image_hash_from_file(str(photos / "s1.png"))
-    n_before = eng._sharded_at_n
+    n_before = eng._sharded_at_ver
 
     extra = tmp_path / "extra.png"
     Image.fromarray(textured_image(seed=42, size=(48, 48))).save(extra)
     eng.insert_image_from_path(str(extra))
 
     eng.query_by_image_hash_from_file(str(extra))
-    assert eng._sharded_at_n > n_before
+    assert eng._sharded_at_ver > n_before
     assert eng.get_query_results()[0].filename == "extra.png"
     eng.scan_mesh = None
