@@ -114,6 +114,11 @@ class Engine:
         self._ph_store: Optional[VectorStore] = None
         self._ph_image_ids: List[int] = []
         self._ph_row_by_image: dict = {}
+        #: True byte width per phash row (aspect-preserving compat hashes
+        #: vary in length, phash.rs:7); the store zero-pads to the max
+        #: width but distances use zip-truncate semantics over TRUE widths
+        #: (engine.rs:594-604) — see query_by_phash.
+        self._ph_widths: List[int] = []
         self._blip_store: Optional[VectorStore] = None
         self._blip_image_ids: List[int] = []
         self._blip_row_by_image: dict = {}
@@ -158,12 +163,12 @@ class Engine:
             self._sem_image_ids = [i for i, _ in sem]
             self._sem_row_by_image = {img: r for r, img in enumerate(self._sem_image_ids)}
         if ph:
-            widths = {len(h) for _, h in ph}
-            # Aspect-preserving compat hashes vary in width; pad to the max
-            # (zero-padding changes no xor bits within the true width but
-            # does change the divisor — compat scans over uniform-width
-            # indexes only; mixed widths fall back to per-pair host compare).
-            dim = max(widths)
+            # Aspect-preserving compat hashes vary in width; the store
+            # zero-pads to the max, and the TRUE widths are kept so
+            # queries replicate the reference's zip-truncate distance
+            # (engine.rs:594-604) per row-width group.
+            self._ph_widths = [len(h) for _, h in ph]
+            dim = max(self._ph_widths)
             self._ph_store = VectorStore(dim=dim, kind="hamming")
             mat = np.zeros((len(ph), dim), dtype=np.uint8)
             for r, (_, h) in enumerate(ph):
@@ -325,13 +330,18 @@ class Engine:
             if ph:
                 if self._ph_store is None:
                     self._ph_store = VectorStore(dim=len(ph[0][1]), kind="hamming")
-                w = self._ph_store.dim
+                # Never truncate: a wider hash grows the whole store
+                # (existing rows zero-pad; true widths stay recorded).
+                w = max(self._ph_store.dim, max(len(h) for _, h in ph))
+                if w > self._ph_store.dim:
+                    self._ph_store.grow_dim(w)
                 mat = np.zeros((len(ph), w), dtype=np.uint8)
                 for j, (_, h) in enumerate(ph):
-                    mat[j, : min(len(h), w)] = h[:w]
+                    mat[j, : len(h)] = h
                 row_ids = self._ph_store.append(mat)
-                for (img_id, _), row in zip(ph, row_ids):
+                for (img_id, h), row in zip(ph, row_ids):
                     self._ph_image_ids.append(img_id)
+                    self._ph_widths.append(len(h))
                     self._ph_row_by_image[img_id] = int(row)
             bl = [(i, r.blip_hash) for i, r in new if r.blip_hash is not None]
             if bl:
@@ -366,12 +376,16 @@ class Engine:
         if phash is not None:
             if self._ph_store is None:
                 self._ph_store = VectorStore(dim=len(phash), kind="hamming")
-            if len(phash) != self._ph_store.dim:
+            true_w = len(phash)
+            if true_w > self._ph_store.dim:
+                self._ph_store.grow_dim(true_w)  # never truncate
+            if true_w < self._ph_store.dim:
                 padded = np.zeros(self._ph_store.dim, dtype=np.uint8)
-                padded[: min(len(phash), len(padded))] = phash[: len(padded)]
+                padded[:true_w] = phash
                 phash = padded
             row = int(self._ph_store.append(phash[None, :])[0])
             self._ph_image_ids.append(image_id)
+            self._ph_widths.append(true_w)
             self._ph_row_by_image[image_id] = row
 
     # ------------------------------------------------------------------ #
@@ -447,9 +461,20 @@ class Engine:
         self._sem_image_ids, self._sem_row_by_image = compact_store(
             self._sem_store, self._sem_image_ids, self._sem_row_by_image
         )
+        ph_needs_remap = (
+            self._ph_store is not None and self._ph_store.n_deleted > 0
+        )
+        if ph_needs_remap:
+            old_widths = self._ph_widths
+            old_ids = self._ph_image_ids
         self._ph_image_ids, self._ph_row_by_image = compact_store(
             self._ph_store, self._ph_image_ids, self._ph_row_by_image
         )
+        if ph_needs_remap:
+            width_by_image = dict(zip(old_ids, old_widths))
+            self._ph_widths = [
+                width_by_image[img] for img in self._ph_image_ids
+            ]
         self._blip_image_ids, self._blip_row_by_image = compact_store(
             self._blip_store, self._blip_image_ids, self._blip_row_by_image
         )
@@ -782,15 +807,36 @@ class Engine:
         """Perceptual-hash (Hamming) search — the capability behind the
         reference's phash table + hamming UDF (engine.rs:594-663).
 
-        Runs on the MXU via the bit-unpacked ±1 GEMM formulation
-        (ops.hamming_gemm), derived lazily from the packed store."""
+        Uniform-width indexes run on the MXU via the bit-unpacked ±1 GEMM
+        formulation (ops.hamming_gemm), derived lazily from the packed
+        store.  Mixed widths (aspect-preserving compat phashes) replicate
+        the reference's zip-truncate semantics (engine.rs:594-604): rows
+        are grouped by min(query_width, row_width) and each group scans
+        with that byte limit + divisor; groups merge by (dist, row id).
+        """
         self._cached_search_results = None
         if self._ph_store is None or self._ph_store.size == 0:
             self._cached_search_results = []
             return
-        q = np.zeros(self._ph_store.dim, dtype=np.uint8)
-        ph = np.asarray(phash_bytes, dtype=np.uint8)
-        q[: min(len(ph), len(q))] = ph[: len(q)]
+        ph = np.asarray(phash_bytes, dtype=np.uint8).ravel()
+        wq = len(ph)
+        dim = self._ph_store.dim
+        kk = int(k or self.max_search_results)
+        md = float(self.max_distance_from_query)
+
+        widths = np.asarray(self._ph_widths, dtype=np.int64)
+        uniform = wq >= dim and bool(np.all(widths == dim))
+        if uniform:
+            dist, idx = self._phash_gemm_scan(ph[:dim], kk, md)
+        else:
+            dist, idx = self._phash_mixed_scan(ph, wq, widths, kk, md)
+        keep = idx >= 0
+        ids = [self._ph_image_ids[int(row)] for row in idx[keep]]
+        self._cached_search_results = self._results_from_image_ids(
+            ids, dist[keep]
+        )
+
+    def _phash_gemm_scan(self, q: np.ndarray, k: int, max_distance: float):
         from pixelbox_tpu.ops.hamming_gemm import (
             build_hamming_gemm_index,
             hamming_gemm_scan_topk,
@@ -805,17 +851,56 @@ class Engine:
         dist, idx = hamming_gemm_scan_topk(
             jnp.asarray(q),
             self._ph_gemm,
-            k=int(k or self.max_search_results),
-            max_distance=float(self.max_distance_from_query),
+            k=k,
+            max_distance=max_distance,
             mode="fast" if self.scan_mode == "fast" else "exact",
         )
-        dist = np.asarray(dist)
-        idx = np.asarray(idx)
-        keep = idx >= 0
-        ids = [self._ph_image_ids[int(row)] for row in idx[keep]]
-        self._cached_search_results = self._results_from_image_ids(
-            ids, dist[keep]
-        )
+        return np.asarray(dist), np.asarray(idx)
+
+    def _phash_mixed_scan(
+        self, ph: np.ndarray, wq: int, widths: np.ndarray, k: int,
+        max_distance: float,
+    ):
+        """Zip-truncate Hamming scan over mixed-width rows: one masked
+        device scan per distinct min(wq, row_width), merged by (dist, id).
+        """
+        from pixelbox_tpu.ops.scan import hamming_scan_topk
+
+        index = self._ph_store.device_index
+        cap = index.capacity
+        q = np.zeros(self._ph_store.dim, dtype=np.uint8)
+        q[: min(wq, len(q))] = ph[: len(q)]
+        limits = np.minimum(widths, wq)
+        cand = []
+        for m in np.unique(limits):
+            m = int(m)
+            if m == 0:
+                continue  # 0-length zip → 0/0 = NaN in the reference: excluded
+            group = np.zeros(cap, dtype=bool)
+            rows = np.nonzero(limits == m)[0]
+            group[rows] = True
+            masked = index._replace(
+                valid=jnp.logical_and(index.valid, jnp.asarray(group))
+            )
+            d, i = hamming_scan_topk(
+                jnp.asarray(q), masked, k=k, max_distance=max_distance,
+                byte_limit=m,
+            )
+            d, i = np.asarray(d), np.asarray(i)
+            keep = i >= 0
+            cand.append((d[keep], i[keep]))
+        if not cand:
+            return (
+                np.full(k, np.inf, np.float32), np.full(k, -1, np.int32)
+            )
+        all_d = np.concatenate([d for d, _ in cand])
+        all_i = np.concatenate([i for _, i in cand])
+        order = np.lexsort((all_i, all_d))[:k]
+        out_d = np.full(k, np.inf, np.float32)
+        out_i = np.full(k, -1, np.int32)
+        out_d[: len(order)] = all_d[order]
+        out_i[: len(order)] = all_i[order]
+        return out_d, out_i
 
     # ------------------------------------------------------------------ #
     # Results (engine.rs:398-402)

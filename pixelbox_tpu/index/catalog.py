@@ -70,11 +70,9 @@ def _register_distance_udfs(conn: sqlite3.Connection) -> None:
         )
 
     def hamming_distance(a: bytes, b: bytes) -> float:
-        return float(
-            oracle.hamming_distance_np(
-                np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
-            )
-        )
+        # Zip-truncate semantics for unequal widths (engine.rs:594-604):
+        # aspect-preserving compat phashes vary in byte length.
+        return float(oracle.hamming_distance_zip_np(a, b))
 
     conn.create_function("cosine_distance", 2, cosine_distance, deterministic=True)
     conn.create_function("byte_distance", 2, byte_distance, deterministic=True)

@@ -51,6 +51,24 @@ def hamming_distance_np(
     return (bits.astype(np.float32) * np.float32(1.0 / (8.0 * h))).astype(np.float32)
 
 
+def hamming_distance_zip_np(a, b, *, wrap_u8: bool = False) -> np.float32:
+    """Pairwise Hamming over possibly UNEQUAL-width hashes, reference
+    semantics (engine.rs:594-604): ``zip`` truncates to the shorter hash
+    and the divisor is 8×that length.  Zero-length pairs divide 0/0 → NaN,
+    exactly like the Rust f32 division (NaN fails every ``dist < max``).
+    """
+    a = np.frombuffer(bytes(a), dtype=np.uint8) if isinstance(a, (bytes, bytearray)) else np.asarray(a, dtype=np.uint8)
+    b = np.frombuffer(bytes(b), dtype=np.uint8) if isinstance(b, (bytes, bytearray)) else np.asarray(b, dtype=np.uint8)
+    m = min(a.shape[-1], b.shape[-1])
+    bits = np.int64(
+        np.sum(np.unpackbits(np.bitwise_xor(a[:m], b[:m])))
+    )
+    if wrap_u8:
+        bits = bits % 256
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.float32(np.float32(bits) * (np.float32(1.0) / np.float32(8.0 * m)))
+
+
 def _scan_topk_np(dist: np.ndarray, k: int, max_distance: float):
     """Shared filter/sort/limit: dist [Q, N] → (dist [Q,k], idx [Q,k])."""
     qn, n = dist.shape

@@ -311,7 +311,10 @@ def cosine_scan_topk_auto(
     return best_d, best_i
 
 
-@partial(jax.jit, static_argnames=("k", "block_rows", "wrap_u8", "gate"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "wrap_u8", "gate", "byte_limit"),
+)
 def hamming_scan_topk(
     query_u8: jnp.ndarray,
     index: PackedHammingIndex,
@@ -320,12 +323,19 @@ def hamming_scan_topk(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     wrap_u8: bool = False,
     gate: bool = True,
+    byte_limit: int | None = None,
 ):
     """Top-k smallest normalized Hamming distances (phash search).
 
     Same result semantics as :func:`cosine_scan_topk`.  ``wrap_u8``
     replicates the reference's u8 popcount-accumulator overflow
     (engine.rs:603) — see ``ops.distances.hamming_distance``.
+
+    ``byte_limit`` compares only the first ``byte_limit`` bytes and
+    normalizes by 8×byte_limit — the device half of the reference's
+    zip-truncate semantics for unequal-width hashes (engine.rs:594-604):
+    the engine groups rows by min(query_width, row_width) and scans each
+    group with that limit (see Engine.query_by_phash).
     """
     squeeze = query_u8.ndim == 1
     if squeeze:
@@ -336,6 +346,10 @@ def hamming_scan_topk(
     assert n_pad % block_rows == 0, (n_pad, block_rows)
     nb = n_pad // block_rows
 
+    eff = h if byte_limit is None else int(byte_limit)
+    assert 0 < eff <= h, (eff, h)
+    query_u8 = query_u8[:, :eff]
+
     max_distance = jnp.asarray(max_distance, dtype=jnp.float32)
     xs = (
         index.data.reshape(nb, block_rows, h),
@@ -344,12 +358,13 @@ def hamming_scan_topk(
     )
 
     # Word-packed SWAR popcount processes 4 hash bytes per VPU op.
-    words = h % 4 == 0
+    words = eff % 4 == 0
     q_packed = pack_u8_words(query_u8) if words else query_u8
 
     def body(carry, x):
         best_d, best_i = carry
         blk, blk_valid, base = x
+        blk = blk[:, :eff]
         if words:
             bits = xor_popcount_bits(
                 q_packed[:, None, :], pack_u8_words(blk)[None, :, :]
@@ -364,7 +379,7 @@ def hamming_scan_topk(
         if wrap_u8:
             bits = bits % 256
         # Multiply-by-reciprocal: canonical constant-scale spec (distances.py).
-        dist = bits.astype(jnp.float32) * jnp.float32(1.0 / (8.0 * h))
+        dist = bits.astype(jnp.float32) * jnp.float32(1.0 / (8.0 * eff))
         keep = blk_valid[None, :] & (dist < max_distance)
         dist = jnp.where(keep, dist, jnp.inf)
 
