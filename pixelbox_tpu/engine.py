@@ -102,6 +102,8 @@ class Engine:
         self.scan_mode: str = "auto"
         self._pallas_meta = None
         self._pallas_meta_at_ver = -1
+        self._scan_sample = None
+        self._scan_sample_at_ver = -1
         self._cached_search_results: Optional[List[IndexedImage]] = None
         self._cached_image_search: Optional[IndexedImage] = None
         self.last_query_error: Optional[str] = None
@@ -134,6 +136,11 @@ class Engine:
         self.scan_mesh = None
         self._sharded_index = None
         self._sharded_at_ver = -1
+        self._sharded_struct_ver = -1
+        self._sharded_synced_n = 0
+        self._sharded_full_reshards = 0  # observability (tests assert on it)
+        self._ph_sharded = None
+        self._ph_sharded_at_ver = -1
         self._pipeline = None
         self._cached_index_size: Optional[int] = None
         self._recently_indexed: List[str] = []
@@ -708,19 +715,68 @@ class Engine:
         self.scan_mesh = mesh or make_mesh(axis_names=(axis,))
         self._sharded_index = None
         self._sharded_at_ver = -1
+        self._sharded_struct_ver = -1
+        self._ph_sharded = None
+        self._ph_sharded_at_ver = -1
 
     def _get_sharded_index(self):
-        from pixelbox_tpu.parallel.sharded_scan import shard_semantic_index
+        """Row-sharded index mirror, synced lazily.
 
+        In-capacity appends ship ONLY the delta rows into the existing
+        sharded buffers (bucket-padded dynamic-update-slice — continuous
+        ingest under serve_on_mesh stops re-transferring N×D bytes per
+        batch); capacity growth / deletes / compaction trigger a full
+        reshard.
+        """
+        from pixelbox_tpu.parallel.sharded_scan import (
+            append_to_sharded_index,
+            shard_semantic_index,
+        )
+
+        store = self._sem_store
+        if store.version == self._sharded_at_ver and self._sharded_index is not None:
+            return self._sharded_index
         if (
-            self._sharded_index is None
-            or self._sharded_at_ver != self._sem_store.version
+            self._sharded_index is not None
+            and store.structural_version == self._sharded_struct_ver
+            and store.n > self._sharded_synced_n
         ):
-            self._sharded_index = shard_semantic_index(
-                self._sem_store.device_index, self.scan_mesh
+            # Append-only delta; pad back to a power-of-2 row count with
+            # rows the mirror already holds (bounded compile shapes).
+            end = store.n
+            m = end - self._sharded_synced_n
+            bucket = 1
+            while bucket < m:
+                bucket *= 2
+            start = max(0, end - bucket)
+            self._sharded_index = append_to_sharded_index(
+                self._sharded_index, store._host_rows[start:end], start
             )
-            self._sharded_at_ver = self._sem_store.version
+        else:
+            self._sharded_index = shard_semantic_index(
+                store.device_index, self.scan_mesh
+            )
+            self._sharded_full_reshards += 1
+            self._sharded_struct_ver = store.structural_version
+        self._sharded_at_ver = store.version
+        self._sharded_synced_n = store.n
         return self._sharded_index
+
+    def _get_scan_sample(self):
+        """Cached θ-estimation subsample for the auto scan (ops.scan);
+        None while the index is small enough that auto scans directly."""
+        from pixelbox_tpu.ops.scan import DEFAULT_BLOCK_ROWS, build_scan_sample
+
+        index = self._sem_store.device_index
+        if index.capacity <= 4 * DEFAULT_BLOCK_ROWS:
+            return None
+        if (
+            self._scan_sample is None
+            or self._scan_sample_at_ver != self._sem_store.version
+        ):
+            self._scan_sample = build_scan_sample(index)
+            self._scan_sample_at_ver = self._sem_store.version
+        return self._scan_sample
 
     # ------------------------------------------------------------------ #
     # Visual similarity query (engine.rs:352-396)
@@ -749,16 +805,31 @@ class Engine:
             if self.scan_mesh is not None:
                 from pixelbox_tpu.parallel.sharded_scan import (
                     sharded_cosine_scan_topk,
+                    sharded_cosine_scan_topk_auto,
                 )
 
-                dist, idx = sharded_cosine_scan_topk(
-                    jnp.asarray(record.visual_hash),
-                    self._get_sharded_index(),
-                    self.scan_mesh,
-                    k=k,
-                    max_distance=float(self.max_distance_from_query),
-                    mode="exact" if self.scan_mode == "auto" else self.scan_mode,
-                )
+                if self.scan_mode == "auto":
+                    # Verified-threshold + repair, distributed (the same
+                    # guaranteed-exact fast path as single-chip).
+                    dist, idx = sharded_cosine_scan_topk_auto(
+                        jnp.asarray(record.visual_hash),
+                        self._get_sharded_index(),
+                        self.scan_mesh,
+                        k=k,
+                        max_distance=float(self.max_distance_from_query),
+                    )
+                else:
+                    # The fused Pallas kernel is single-chip; per-shard
+                    # exact is the multi-chip equivalent (same results).
+                    mode = "exact" if self.scan_mode == "pallas" else self.scan_mode
+                    dist, idx = sharded_cosine_scan_topk(
+                        jnp.asarray(record.visual_hash),
+                        self._get_sharded_index(),
+                        self.scan_mesh,
+                        k=k,
+                        max_distance=float(self.max_distance_from_query),
+                        mode=mode,
+                    )
             elif self.scan_mode == "pallas":
                 from pixelbox_tpu.ops.pallas_scan import (
                     build_row_meta,
@@ -787,6 +858,7 @@ class Engine:
                     self._sem_store.device_index,
                     k=k,
                     max_distance=float(self.max_distance_from_query),
+                    sample=self._get_scan_sample(),
                 )
             else:
                 dist, idx = cosine_scan_topk(
@@ -826,9 +898,15 @@ class Engine:
 
         widths = np.asarray(self._ph_widths, dtype=np.int64)
         uniform = wq >= dim and bool(np.all(widths == dim))
-        if uniform:
+        if uniform and self.scan_mesh is not None:
+            # Row-sharded Hamming scan over the mesh (per-chip xor+popcount
+            # top-k, ICI candidate merge) — same results as single-chip.
+            dist, idx = self._phash_sharded_scan(ph[:dim], kk, md)
+        elif uniform:
             dist, idx = self._phash_gemm_scan(ph[:dim], kk, md)
         else:
+            # Mixed widths: grouped zip-truncate scans (single-chip; the
+            # per-group masked validity would otherwise reshard per query).
             dist, idx = self._phash_mixed_scan(ph, wq, widths, kk, md)
         keep = idx >= 0
         ids = [self._ph_image_ids[int(row)] for row in idx[keep]]
@@ -854,6 +932,26 @@ class Engine:
             k=k,
             max_distance=max_distance,
             mode="fast" if self.scan_mode == "fast" else "exact",
+        )
+        return np.asarray(dist), np.asarray(idx)
+
+    def _phash_sharded_scan(self, q: np.ndarray, k: int, max_distance: float):
+        from pixelbox_tpu.parallel.sharded_scan import (
+            shard_hamming_index,
+            sharded_hamming_scan_topk,
+        )
+
+        if (
+            self._ph_sharded is None
+            or self._ph_sharded_at_ver != self._ph_store.version
+        ):
+            self._ph_sharded = shard_hamming_index(
+                self._ph_store.device_index, self.scan_mesh
+            )
+            self._ph_sharded_at_ver = self._ph_store.version
+        dist, idx = sharded_hamming_scan_topk(
+            jnp.asarray(q), self._ph_sharded, self.scan_mesh, k=k,
+            max_distance=max_distance,
         )
         return np.asarray(dist), np.asarray(idx)
 

@@ -72,6 +72,11 @@ class VectorStore:
         #: copies) key their caches on this — NOT on ``n``, which does not
         #: change on tombstone deletes.
         self.version = 0
+        #: Bumps only on layout-changing mutations (realloc/delete/compact/
+        #: grow).  In-capacity appends bump ``version`` alone, letting
+        #: sharded mirrors sync incrementally (ship just the delta rows)
+        #: instead of re-transferring the whole index.
+        self.structural_version = 0
         # Host mirrors (uint8 raw rows; authoritative for checkpoint/repack).
         self._host_rows = np.zeros((0, self.dim), dtype=np.uint8)
         self._host_valid = np.zeros((0,), dtype=bool)
@@ -91,6 +96,7 @@ class VectorStore:
     def _alloc(self, capacity: int):
         """(Re)allocate device arrays at ``capacity`` and repack live rows."""
         self._capacity = capacity
+        self.structural_version += 1
         n = self.n
         rows = np.zeros((capacity, self.dim), dtype=np.uint8)
         rows[:n] = self._host_rows[:n]
@@ -173,6 +179,7 @@ class VectorStore:
         self._host_valid[row_ids] = False
         self.n_deleted += int(np.count_nonzero(fresh))
         self.version += 1
+        self.structural_version += 1
         if self._device_arrays is not None:
             a = self._device_arrays
             new_valid = a.valid.at[jnp.asarray(row_ids)].set(False)

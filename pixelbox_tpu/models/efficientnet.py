@@ -192,7 +192,13 @@ class EfficientNetEmbedder(Embedder):
         self.input_size = int(input_size)
         self.module = EfficientNetEmbedderModule(latent_dim=self.dim, dtype=dtype)
         if params is None and checkpoint_path:
-            params = load_params(checkpoint_path)
+            if checkpoint_path.endswith(".onnx"):
+                # The reference's deployable artifact (efficientnet.rs:5-14).
+                from pixelbox_tpu.models.onnx_io import params_from_onnx
+
+                params = params_from_onnx(checkpoint_path, latent_dim=self.dim)
+            else:
+                params = load_params(checkpoint_path)
         if params is None:
             dummy = jnp.zeros((1, self.input_size, self.input_size, 3), jnp.float32)
             variables = self.module.init(jax.random.PRNGKey(seed), dummy)

@@ -23,6 +23,7 @@ excluded; missing entries have idx == -1 and dist == +inf.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -260,21 +261,232 @@ def _fast_scan_with_verification(
     return best_d, best_i, exact
 
 
+# --------------------------------------------------------------------- #
+# Sampled-threshold selection: the guaranteed-exact fast path.
+#
+# The scan's cost floor is one GEMM+epilogue pass over the index (HBM
+# roofline); everything above that is SELECTION.  XLA TopK is O(k·elems)
+# and approx_min_k costs several roofline-multiples and degrades with
+# batch size.  Threshold selection gets selection nearly for free:
+#
+#   1. sample pass: exact top-j over a strided row subsample gives each
+#      query a threshold θ ≈ the distance quantile holding ~target_count
+#      rows of the full index (j = target_count·S/N);
+#   2. main pass (the one full GEMM): per block, COUNT rows with
+#      dist < θ (a fused reduce) and extract the passing rows with
+#      ``budget`` rounds of per-chunk extract-min — each 128-lane chunk
+#      yields its `budget` smallest via masked min/argmin reduces (pure
+#      VPU work that fuses into the GEMM epilogue; measured: XLA's TopK
+#      custom call costs milliseconds per block even at small k, so it is
+#      used on nothing bigger than the final candidate list);
+#   3. the nb·(block/chunk)·budget candidates (≈32k for 1M rows) merge
+#      with ONE small TopK.
+#
+# Exactness is PROVEN per query, not assumed: if no chunk held more than
+# ``budget`` passing rows, the candidate set is exactly {rows: dist < θ};
+# if additionally total_count ≥ k (so the true k-th smallest is < θ) —
+# or θ == the caller's max_distance (the candidate set IS the full
+# WHERE-clause result) — the merged top-k equals the exact scan's.
+# Queries failing either check (sampling got unlucky, tie floods,
+# adversarial clustering: with θ sized for ~400 hits/1M, a >budget chunk
+# needs ≥5 hits in 128 rows, P≈3e-9 per chunk at random) are re-scanned
+# exactly and spliced back by the auto wrapper.  Strictly-below θ avoids
+# boundary-tie bookkeeping entirely: ties at θ only matter when the k-th
+# smallest == θ, which the count check already classifies as not-proven.
+#
+# Tie-break correctness of the merge: extract-min picks the smallest
+# column among equal distances, rounds within a chunk are (dist, id)-
+# ascending, chunks flatten in id order, and blocks ascend — so the
+# flattened candidate array is (dist, id)-sorted among equal distances
+# and the final stable TopK reproduces the oracle's ascending-row-id
+# tie-break.
+
+
+def _extract_topr_per_chunk(dist, base, chunk: int, r: int, method: str = "topk"):
+    """[Q, B] (+inf = masked) → candidate (dist [Q, nc·r], idx [Q, nc·r],
+    counts [Q, nc]): the ≤r smallest entries of every `chunk`-lane chunk.
+
+    method="topk": one small-k TopK per chunk batch (O(r·elems), r ≪ k);
+    method="rounds": r masked extract-min reduction rounds (no TopK call;
+    measured slower on TPU — XLA re-materializes the masked array per
+    round — kept for comparison/sweeps).
+    """
+    qn, b = dist.shape
+    nc = b // chunk
+    d3 = dist.reshape(qn, nc, chunk)
+    counts = jnp.sum(jnp.isfinite(d3), axis=2).astype(jnp.int32)
+    chunk_base = base + jnp.arange(nc, dtype=jnp.int32)[None, :] * chunk
+
+    if method == "topk":
+        neg_d, sel = lax.top_k(-d3, r)                              # [Q,nc,r]
+        cand_d = -neg_d
+        ok = jnp.isfinite(cand_d)
+        cand_i = jnp.where(ok, chunk_base[:, :, None] + sel, -1)
+        # Chunk-major flatten: (dist, id)-ascending among equal dists
+        # (top_k is stable within a chunk; chunks/blocks ascend by id).
+        return cand_d.reshape(qn, nc * r), cand_i.reshape(qn, nc * r), counts
+
+    lane = lax.broadcasted_iota(jnp.int32, (qn, nc, chunk), 2)
+    big = jnp.int32(2 ** 30)
+    cand_d, cand_i = [], []
+    cur = d3
+    for _ in range(r):
+        m = jnp.min(cur, axis=2)                                   # [Q, nc]
+        pos = jnp.min(
+            jnp.where(cur == m[:, :, None], lane, big), axis=2
+        )                                                          # [Q, nc]
+        ok = jnp.isfinite(m)
+        cand_d.append(m)
+        cand_i.append(jnp.where(ok, chunk_base + pos, -1))
+        cur = jnp.where(lane == pos[:, :, None], jnp.inf, cur)
+    # [Q, nc, r] flattened chunk-major: ascending id among equal dists.
+    out_d = jnp.stack(cand_d, axis=-1).reshape(qn, nc * r)
+    out_i = jnp.stack(cand_i, axis=-1).reshape(qn, nc * r)
+    return out_d, out_i, counts
+
+
+class ScanSample(NamedTuple):
+    """Strided row subsample of a PackedSemanticIndex (θ estimation)."""
+
+    data: jnp.ndarray      # int8 [S, D]
+    row_sum: jnp.ndarray   # int32 [S]
+    row_mag2: jnp.ndarray  # int32 [S]
+    valid: jnp.ndarray     # bool [S]
+
+
+def build_scan_sample(
+    index: PackedSemanticIndex, sample_rows: int = 65536
+) -> ScanSample:
+    """Derive the strided sample (cache it alongside the index; engines
+    key it on the store's mutation counter)."""
+    cap = index.capacity
+    stride = 1
+    while stride * 2 <= max(1, cap // sample_rows) and cap % (stride * 2) == 0:
+        stride *= 2
+    return ScanSample(
+        index.data[::stride],
+        index.row_sum[::stride],
+        index.row_mag2[::stride],
+        index.valid[::stride],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_rows", "budget", "target_count", "chunk", "method",
+    ),
+)
+def cosine_scan_topk_threshold(
+    query_u8: jnp.ndarray,
+    index: PackedSemanticIndex,
+    sample: ScanSample,
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    budget: int = 4,
+    target_count: int | None = None,
+    chunk: int = 128,
+    method: str = "topk",
+):
+    """Sampled-threshold scan.  Returns (dist [Q,k], idx [Q,k], exact [Q]).
+
+    ``exact[q]`` is True iff the result provably equals mode="exact"
+    (see the module comment above); the auto wrapper repairs the rest.
+    ``budget`` = candidates kept per `chunk`-lane chunk (extract-min
+    rounds); overflowing chunks mark the query unproven.
+    """
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, d = query_u8.shape
+    n_pad = index.capacity
+    block_rows = min(block_rows, n_pad)
+    assert n_pad % block_rows == 0, (n_pad, block_rows)
+    nb = n_pad // block_rows
+    chunk = min(chunk, block_rows)
+    assert block_rows % chunk == 0, (block_rows, chunk)
+    s = sample.data.shape[0]
+    tc = target_count if target_count is not None else max(4 * k, 256)
+    j = min(s, max(1, -(-tc * s // n_pad)))
+    # Expected passing rows per chunk; the per-chunk budget must clear it
+    # with slack or overflow (→ repair) becomes the common case on small/
+    # dense indexes.  λ ≪ 1 on big indexes leaves `budget` as passed.
+    lam = tc * chunk / n_pad
+    budget = min(chunk, max(budget, int(3 * lam + 4)))
+
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+    q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+
+    # Sample pass: θ = j-th smallest sample distance, capped at md.
+    s_dist = _cosine_block_dist(
+        q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
+        sample.valid, md, d,
+    )
+    s_top, _ = topk_ops.block_topk(
+        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+    )
+    theta_j = s_top[:, j - 1 : j]                       # [Q, 1]
+    theta = jnp.minimum(theta_j, md)
+    # θ didn't bind below md ⇒ the candidate mask IS the WHERE clause.
+    unbound = ~(theta_j < md)[:, 0]                     # [Q]
+
+    xs = (
+        index.data.reshape(nb, block_rows, d),
+        index.row_sum.reshape(nb, block_rows),
+        index.row_mag2.reshape(nb, block_rows),
+        index.valid.reshape(nb, block_rows),
+        jnp.arange(nb, dtype=jnp.int32) * block_rows,
+    )
+
+    def body(carry, x):
+        count, overflow = carry
+        blk, blk_sum, blk_mag2, blk_valid, base = x
+        dist = _cosine_block_dist(
+            q_i8, q_sum, q_mag2_f, blk, blk_sum, blk_mag2, blk_valid,
+            theta, d,                                   # strict dist < θ
+        )
+        cand_d, cand_i, counts = _extract_topr_per_chunk(
+            dist, base, chunk, budget, method
+        )
+        count = count + jnp.sum(counts, axis=1)
+        overflow = overflow | jnp.any(counts > budget, axis=1)
+        return (count, overflow), (cand_d, cand_i)
+
+    zeros = jnp.zeros((qn,), jnp.int32)
+    (count, overflow), (ys_d, ys_i) = lax.scan(
+        body, (zeros, jnp.zeros((qn,), bool)), xs
+    )
+    per_block = (block_rows // chunk) * budget
+    all_d = jnp.moveaxis(ys_d, 0, 1).reshape(qn, nb * per_block)
+    all_i = jnp.moveaxis(ys_i, 0, 1).reshape(qn, nb * per_block)
+    best_d, best_i = topk_ops.block_topk(all_d, all_i, k)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    exact = ~overflow & ((count >= k) | unbound)
+    if squeeze:
+        return best_d[0], best_i[0], exact[0]
+    return best_d, best_i, exact
+
+
 def cosine_scan_topk_auto(
     query_u8,
     index: PackedSemanticIndex,
     k: int = 100,
     max_distance: float = 1e3,
     block_rows: int = DEFAULT_BLOCK_ROWS,
-    recall_target: float = 0.99,
+    sample: ScanSample | None = None,
+    budget: int = 4,
 ):
-    """Guaranteed-exact scan at fast-mode speed (host-level repair).
+    """Guaranteed-exact scan at near-roofline speed (host-level repair).
 
-    Runs the PartialReduce fast scan plus a roofline-speed verification
-    pass; queries whose candidates fail verification (a few percent at
-    worst) are re-scanned exactly in a small padded bucket and spliced
-    back.  Not jittable (host branch); the engine's eager query path uses
-    this.  Results are always identical to mode="exact".
+    Runs the sampled-threshold scan; queries whose results aren't PROVEN
+    exact (rare — unlucky sampling, tie floods) are re-scanned exactly in
+    a small padded bucket and spliced back.  Not jittable (host branch);
+    the engine's eager query path uses this.  Results are always
+    identical to mode="exact".
+
+    Pass a cached ``sample`` (build_scan_sample) to skip re-deriving it.
     """
     import numpy as np
 
@@ -282,8 +494,20 @@ def cosine_scan_topk_auto(
     squeeze = q.ndim == 1
     if squeeze:
         q = q[None, :]
-    best_d, best_i, exact = _fast_scan_with_verification(
-        q, index, k, max_distance, block_rows, recall_target
+    if index.capacity <= 4 * block_rows:
+        # Small index: selection costs are negligible; scan directly.
+        best_d, best_i = cosine_scan_topk(
+            q, index, k=k, max_distance=max_distance, block_rows=block_rows,
+            mode="exact",
+        )
+        if squeeze:
+            return best_d[0], best_i[0]
+        return best_d, best_i
+    if sample is None:
+        sample = build_scan_sample(index)
+    best_d, best_i, exact = cosine_scan_topk_threshold(
+        q, index, sample, k=k, max_distance=max_distance,
+        block_rows=block_rows, budget=budget,
     )
     ok = np.asarray(exact)
     if not ok.all():

@@ -27,8 +27,17 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from pixelbox_tpu.ops import topk as topk_ops
-from pixelbox_tpu.ops.packed import PackedSemanticIndex, PackedHammingIndex
-from pixelbox_tpu.ops.scan import cosine_scan_topk, hamming_scan_topk
+from pixelbox_tpu.ops.packed import (
+    PackedSemanticIndex,
+    PackedHammingIndex,
+    semantic_rows_from_u8,
+)
+from pixelbox_tpu.ops.scan import (
+    ScanSample,
+    cosine_scan_topk,
+    cosine_scan_topk_threshold,
+    hamming_scan_topk,
+)
 
 
 def shard_semantic_index(
@@ -128,6 +137,144 @@ def sharded_cosine_scan_topk(
     if squeeze:
         return best_d[0], best_i[0]
     return best_d, best_i
+
+
+def sharded_cosine_scan_topk_auto(
+    query_u8: jnp.ndarray,
+    index: PackedSemanticIndex,
+    mesh: Mesh,
+    k: int = 100,
+    max_distance: float = 1e3,
+    block_rows: Optional[int] = None,
+    axis: str = "data",
+    budget: int = 4,
+):
+    """Guaranteed-exact distributed scan at threshold-selection speed.
+
+    Multi-chip version of ``ops.scan.cosine_scan_topk_auto``: every shard
+    runs the sampled-threshold scan on its resident rows (local strided
+    sample → per-query θ → bounded candidate extraction) and proves its
+    LOCAL top-k exact; the k·n_chips candidates merge over ICI exactly as
+    in :func:`sharded_cosine_scan_topk`.  A query's merged result is
+    exact iff every shard proved its local result (the flags AND across
+    the mesh — one ``all_gather`` of Q booleans); unproven queries are
+    re-scanned with the exact sharded path and spliced back.  Results are
+    always identical to mode="exact".
+    """
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    n_shards = mesh.shape[axis]
+    local_rows = index.capacity // n_shards
+    if block_rows is None:
+        block_rows = min(32768, local_rows)
+    if local_rows <= 4 * block_rows:
+        # Small shards: selection is cheap; the exact path is the fast path.
+        best_d, best_i = sharded_cosine_scan_topk(
+            query_u8, index, mesh, k=k, max_distance=max_distance,
+            block_rows=block_rows, axis=axis, mode="exact",
+        )
+        if squeeze:
+            return best_d[0], best_i[0]
+        return best_d, best_i
+
+    stride = 1
+    while (
+        stride * 2 <= max(1, local_rows // 65536)
+        and local_rows % (stride * 2) == 0
+    ):
+        stride *= 2
+    md = jnp.float32(max_distance)
+    index_specs = PackedSemanticIndex(P(axis, None), P(axis), P(axis), P(axis))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), index_specs),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def scan_shard(q, local_index):
+        sample = ScanSample(
+            local_index.data[::stride],
+            local_index.row_sum[::stride],
+            local_index.row_mag2[::stride],
+            local_index.valid[::stride],
+        )
+        local_d, local_i, exact = cosine_scan_topk_threshold(
+            q, local_index, sample, k=k, max_distance=md,
+            block_rows=block_rows, budget=budget,
+        )
+        shard_id = lax.axis_index(axis)
+        offset = shard_id.astype(jnp.int32) * jnp.int32(local_rows)
+        global_i = jnp.where(local_i >= 0, local_i + offset, -1)
+        g_d = lax.all_gather(local_d, axis)
+        g_i = lax.all_gather(global_i, axis)
+        merged_d, merged_i = _merge_gathered(g_d, g_i, k)
+        # Merged result is exact iff EVERY shard proved its local top-k.
+        exact_all = jnp.all(lax.all_gather(exact, axis), axis=0)
+        return merged_d, merged_i, exact_all
+
+    best_d, best_i, exact = scan_shard(query_u8, index)
+    ok = np.asarray(exact)
+    if not ok.all():
+        best_d = np.asarray(best_d).copy()
+        best_i = np.asarray(best_i).copy()
+        bad = np.nonzero(~ok)[0]
+        bucket = 8
+        while bucket < len(bad):
+            bucket *= 4
+        q_np = np.asarray(query_u8)
+        repair = np.zeros((bucket, q_np.shape[1]), dtype=np.uint8)
+        repair[: len(bad)] = q_np[bad]
+        rd, ri = sharded_cosine_scan_topk(
+            jnp.asarray(repair), index, mesh, k=k, max_distance=max_distance,
+            block_rows=block_rows, axis=axis, mode="exact",
+        )
+        best_d[bad] = np.asarray(rd)[: len(bad)]
+        best_i[bad] = np.asarray(ri)[: len(bad)]
+        best_d = jnp.asarray(best_d)
+        best_i = jnp.asarray(best_i)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _sharded_dus(index: PackedSemanticIndex, data, row_sum, row_mag2, valid, start):
+    """In-place row update of a (sharded) packed index; the SPMD
+    partitioner lowers the dynamic-update-slice to writes on the owning
+    shard(s) only."""
+    return PackedSemanticIndex(
+        lax.dynamic_update_slice_in_dim(index.data, data, start, axis=0),
+        lax.dynamic_update_slice_in_dim(index.row_sum, row_sum, start, axis=0),
+        lax.dynamic_update_slice_in_dim(index.row_mag2, row_mag2, start, axis=0),
+        lax.dynamic_update_slice_in_dim(index.valid, valid, start, axis=0),
+    )
+
+
+def append_to_sharded_index(
+    sharded: PackedSemanticIndex,
+    rows_u8: np.ndarray,
+    start: int,
+) -> PackedSemanticIndex:
+    """Write freshly appended rows [start, start+m) into an existing
+    sharded index WITHOUT re-transferring it (continuous ingest under
+    serve_on_mesh).  ``rows_u8`` may include already-present rows before
+    ``start`` — callers pad the delta back to a size bucket with rows the
+    mirror already holds, bounding compile-cache churn to O(log n) shapes.
+    Capacity/deletes must be handled by the caller (full reshard)."""
+    data, row_sum, row_mag2 = semantic_rows_from_u8(rows_u8)
+    m = rows_u8.shape[0]
+    return _sharded_dus(
+        sharded,
+        jnp.asarray(data),
+        jnp.asarray(row_sum),
+        jnp.asarray(row_mag2),
+        jnp.ones((m,), bool),
+        jnp.int32(start),
+    )
 
 
 def sharded_hamming_scan_topk(

@@ -137,18 +137,55 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh):
 # Host-side data pipeline (corruptions, train.py:101-115)
 
 
+def gaussian_blur_np(img: np.ndarray, sigma: float, ksize: int = 5) -> np.ndarray:
+    """Separable Gaussian blur (torchvision GaussianBlur(kernel_size=5),
+    train.py:113): reflect padding, float32."""
+    half = ksize // 2
+    xs = np.arange(-half, half + 1, dtype=np.float32)
+    k = np.exp(-(xs ** 2) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    x = np.asarray(img, dtype=np.float32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[:, :, None]
+    pad = np.pad(x, ((half, half), (0, 0), (0, 0)), mode="reflect")
+    x = sum(k[i] * pad[i : i + x.shape[0]] for i in range(ksize))
+    pad = np.pad(x, ((0, 0), (half, half), (0, 0)), mode="reflect")
+    x = sum(k[i] * pad[:, i : i + x.shape[1]] for i in range(ksize))
+    return x[:, :, 0] if squeeze else x
+
+
 def corrupt_image(rgb: np.ndarray, size: int, rng: np.random.Generator) -> np.ndarray:
-    """A numpy stand-in for the torchvision corruption stack: random
-    rotation (±25°, approximated by ±1 90°-steps + crops), color jitter,
-    random resized crop to ``size``, rare grayscale/invert."""
+    """The reference's corruption stack, item for item
+    (resources/train.py:101-115): RandomRotation(±25°, bilinear), random
+    ColorJitter, random upscale 1.2–1.4×, RandomResizedCrop(size), rare
+    grayscale / invert, GaussianBlur(kernel 5).  Returns f32 in [0, 1].
+    """
+    from PIL import Image
+
     from pixelbox_tpu.ops.resample import resize_np, to_u8
 
-    img = rgb
-    # Color jitter: brightness/contrast.
+    img = np.asarray(rgb, dtype=np.uint8)
+    # Real rotation ±25° (train.py:104), bilinear like torchvision's
+    # RandomRotation; PIL fills the revealed corners with black like
+    # torchvision's default fill=0.
+    angle = float(rng.uniform(-25.0, 25.0))
+    img = np.asarray(
+        Image.fromarray(img).rotate(angle, resample=Image.BILINEAR)
+    )
+    # Color jitter: brightness/contrast/saturation.
+    img = img.astype(np.float32)
     b = rng.uniform(0.8, 1.2)
     c = rng.uniform(0.8, 1.2)
-    img = np.clip((img.astype(np.float32) - 128.0) * c + 128.0 * b, 0, 255)
-    # Random resized crop.
+    img = np.clip((img - 128.0) * c + 128.0 * b, 0, 255)
+    sat = rng.uniform(0.8, 1.2)
+    grey = img @ np.array([0.299, 0.587, 0.114], np.float32)
+    img = np.clip(grey[:, :, None] + sat * (img - grey[:, :, None]), 0, 255)
+    # Random resize 1.2–1.4× (train.py:107-109) before the crop.
+    h, w = img.shape[:2]
+    up = rng.uniform(1.2, 1.4)
+    img = resize_np(img, max(1, int(w * up)), max(1, int(h * up)), "triangle")
+    # Random resized crop to `size` (train.py:110).
     h, w = img.shape[:2]
     scale = rng.uniform(0.6, 1.0)
     ch, cw = max(8, int(h * scale)), max(8, int(w * scale))
@@ -160,7 +197,10 @@ def corrupt_image(rgb: np.ndarray, size: int, rng: np.random.Generator) -> np.nd
         img = np.stack([g, g, g], axis=-1)
     if rng.uniform() < 0.001:
         img = 255.0 - img
-    img = to_u8(resize_np(img, size, size, "triangle"))
+    # Gaussian blur, kernel 5, torchvision's sigma range (train.py:113).
+    if rng.uniform() < 0.5:
+        img = gaussian_blur_np(img, sigma=float(rng.uniform(0.1, 2.0)))
+    img = to_u8(np.clip(resize_np(img, size, size, "triangle"), 0, 255))
     return img.astype(np.float32) / np.float32(255.0)
 
 
@@ -197,8 +237,15 @@ def train_loop(
     checkpoint_dir: Optional[str] = None,
     seed: int = 0,
 ):
-    """Minimal end-to-end trainer over a folder of images (train.py:94-164)."""
+    """Minimal end-to-end trainer over a folder of images (train.py:94-164).
+
+    Writes per-epoch checkpoints plus an ``experiment_log_<stamp>.json``
+    (config + per-epoch losses — the reference's experiment_log_*.txt,
+    train.py:192-198) into ``checkpoint_dir``.
+    """
+    import json
     import os
+    import time
 
     from pixelbox_tpu.ingest.decode import decode_image_file
     from pixelbox_tpu.models.efficientnet import save_params
@@ -231,4 +278,70 @@ def train_loop(
             save_params(
                 state.variables, os.path.join(checkpoint_dir, f"checkpoint_{epoch}.npz")
             )
+    if checkpoint_dir:
+        stamp = time.strftime("%Y%m%d%H%M%S")
+        with open(
+            os.path.join(checkpoint_dir, f"experiment_log_{stamp}.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "config": {
+                        "latent_dim": cfg.latent_dim,
+                        "input_size": cfg.input_size,
+                        "batch_size": cfg.batch_size,
+                        "lr": cfg.lr,
+                        "margin": cfg.margin,
+                        "epochs": epochs,
+                        "steps_per_epoch": spe,
+                        "num_images": len(images),
+                        "seed": seed,
+                    },
+                    "losses": losses,
+                },
+                f,
+                indent=1,
+            )
     return state, losses
+
+
+def finalize(state_or_variables, out_dir: str, cfg: Optional[TrainConfig] = None):
+    """Produce the versioned deployable artifact (train.py:167-174's
+    ``finalize``): ``model.npz`` (our native Flax bundle),
+    ``image_similarity.onnx`` (opset 11, dynamic batch — the exact file
+    src/image_hashes/efficientnet.rs:5-14 consumes), and
+    ``model.json`` metadata.  Returns the bundle directory."""
+    import json
+    import os
+    import time
+
+    from pixelbox_tpu.models.efficientnet import save_params
+    from pixelbox_tpu.models.onnx_io import export_onnx
+    from pixelbox_tpu.version import __version__
+
+    variables = getattr(state_or_variables, "variables", state_or_variables)
+    # Gather any sharded leaves to host before serializing.
+    variables = jax.tree.map(lambda x: np.asarray(x), variables)
+    cfg = cfg or TrainConfig(
+        latent_dim=int(variables["params"]["linear"]["bias"].shape[0])
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    save_params(variables, os.path.join(out_dir, "model.npz"))
+    export_onnx(
+        variables,
+        os.path.join(out_dir, "image_similarity.onnx"),
+        input_size=cfg.input_size,
+    )
+    with open(os.path.join(out_dir, "model.json"), "w") as f:
+        json.dump(
+            {
+                "format": "pixelbox-tpu-model",
+                "version": __version__,
+                "created": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "latent_dim": cfg.latent_dim,
+                "input_size": cfg.input_size,
+                "files": ["model.npz", "image_similarity.onnx"],
+            },
+            f,
+            indent=1,
+        )
+    return out_dir

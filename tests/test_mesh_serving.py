@@ -1,0 +1,140 @@
+"""Multi-chip serving unification (round 2): the guaranteed-exact auto
+path under shard_map, pallas-mode fallback on a mesh, sharded phash
+queries, and incremental (delta-only) shard sync after appends."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from pixelbox_tpu.engine import Engine
+from pixelbox_tpu.ops import oracle
+from pixelbox_tpu.parallel.mesh import make_mesh
+from pixelbox_tpu.parallel.sharded_scan import (
+    shard_semantic_index,
+    sharded_cosine_scan_topk_auto,
+)
+
+from fixtures import textured_image
+from test_scan import check_topk_parity, make_semantic_index
+
+
+def test_sharded_auto_threshold_matches_oracle(rng):
+    """local_rows(2048) > 4·block_rows(256): the per-shard THRESHOLD path
+    runs (not the small-shard exact fallback) and must match the oracle."""
+    db = rng.integers(0, 256, size=(16384, 32), dtype=np.uint8)
+    mesh = make_mesh(8)
+    index = shard_semantic_index(make_semantic_index(db, block_rows=2048), mesh)
+    q = rng.integers(0, 256, size=(6, 32), dtype=np.uint8)
+    got_d, got_i = sharded_cosine_scan_topk_auto(
+        jnp.asarray(q), index, mesh, k=30, block_rows=256
+    )
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=30)
+    check_topk_parity(np.asarray(got_d), np.asarray(got_i), exp_d, exp_i)
+
+
+def test_sharded_auto_duplicate_flood_repairs(rng):
+    base = rng.integers(0, 256, size=(4, 32), dtype=np.uint8)
+    db = np.repeat(base, 4096, axis=0)  # 16384 rows of heavy ties
+    mesh = make_mesh(8)
+    index = shard_semantic_index(make_semantic_index(db, block_rows=2048), mesh)
+    got_d, got_i = sharded_cosine_scan_topk_auto(
+        jnp.asarray(base[:2]), index, mesh, k=20, block_rows=256
+    )
+    exp_d, exp_i = oracle.cosine_scan_topk_np(base[:2], db, k=20)
+    check_topk_parity(np.asarray(got_d), np.asarray(got_i), exp_d, exp_i)
+
+
+@pytest.fixture(scope="module")
+def mesh_engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("photos")
+    for s in range(8):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    db = tmp_path_factory.mktemp("db") / "mesh.db"
+    eng = Engine.new(str(db), embedder="stub", embedder_kwargs={"dim": 32})
+    eng.max_distance_from_query = 1e7
+    for s in range(8):
+        eng.insert_image_from_path(str(d / f"s{s}.png"))
+    yield eng, d
+    eng.close()
+
+
+def _results(eng):
+    return [
+        (r.filename, round(r.distance_from_query, 6))
+        for r in eng.get_query_results()
+    ]
+
+
+@pytest.mark.parametrize("mode", ["auto", "pallas", "exact", "fast"])
+def test_every_scan_mode_works_on_mesh(mesh_engine, mode):
+    """Regression: scan_mode='pallas' + serve_on_mesh used to crash with
+    an AssertionError; auto silently downgraded.  All modes must now run
+    on a mesh and match the single-chip exact results."""
+    eng, d = mesh_engine
+    probe = str(d / "s3.png")
+
+    eng.scan_mesh = None
+    eng.scan_mode = "exact"
+    eng.query_by_image_hash_from_file(probe)
+    single = _results(eng)
+
+    eng.serve_on_mesh(make_mesh(8))
+    eng.scan_mode = mode
+    try:
+        eng.query_by_image_hash_from_file(probe)
+        assert _results(eng) == single
+        assert single[0][0] == "s3.png"
+    finally:
+        eng.scan_mesh = None
+        eng.scan_mode = "auto"
+
+
+def test_phash_query_uses_mesh(mesh_engine):
+    eng, d = mesh_engine
+    rec = eng.load_image(str(d / "s4.png"))
+
+    eng.scan_mesh = None
+    eng.query_by_phash(rec.phash)
+    single = _results(eng)
+
+    eng.serve_on_mesh(make_mesh(8))
+    try:
+        eng.query_by_phash(rec.phash)
+        assert _results(eng) == single
+        assert eng._ph_sharded is not None  # the sharded path actually ran
+        assert single[0][0] == "s4.png"
+    finally:
+        eng.scan_mesh = None
+
+
+def test_incremental_shard_append(mesh_engine, tmp_path):
+    """In-capacity appends must NOT re-transfer the sharded index —
+    only the delta rows ship (one full reshard total)."""
+    eng, d = mesh_engine
+    eng.serve_on_mesh(make_mesh(8))
+    try:
+        eng.query_by_image_hash_from_file(str(d / "s1.png"))
+        base = eng._sharded_full_reshards
+        assert base >= 1
+
+        for i in range(3):
+            p = tmp_path / f"extra{i}.png"
+            Image.fromarray(
+                textured_image(seed=100 + i, size=(48, 48))
+            ).save(p)
+            eng.insert_image_from_path(str(p))
+            eng.query_by_image_hash_from_file(str(p))
+            assert eng.get_query_results()[0].filename == f"extra{i}.png"
+        assert eng._sharded_full_reshards == base  # deltas only
+
+        # Removal is structural → exactly one more full reshard.
+        victim = eng.get_query_results()[0].id
+        eng.remove_image(victim)
+        eng.query_by_image_hash_from_file(str(d / "s1.png"))
+        assert all(r.id != victim for r in eng.get_query_results())
+        assert eng._sharded_full_reshards == base + 1
+    finally:
+        eng.scan_mesh = None
