@@ -145,6 +145,221 @@ def _fused_scan_kernel(
     lax.while_loop(lambda s: s[1], insert_round, (dist, init_more))
 
 
+def _threshold_extract_kernel(
+    theta_ref,    # VMEM [Qp, 1] f32: per-query strict threshold
+    q_ref,        # VMEM [Qp, D] int8
+    data_ref,     # VMEM [T, D] int8 (current tile)
+    meta_ref,     # VMEM [2, T] int32 (current tile)
+    cand_d_ref,   # VMEM [Qp, CAP] f32 out (append buffer)
+    cand_i_ref,   # VMEM [Qp, CAP] i32 out
+    counts_ref,   # VMEM [Qp, 128] i32 out: lane 0 = exact passing count,
+                  #                         lane 1 = collected count
+    *,
+    tile_rows: int,
+    cap: int,
+    dim: int,
+    max_rounds: int,
+):
+    """Batched-Q threshold extraction: one HBM pass of the int8 index,
+    appending every row with dist < θ[q] into a per-query VMEM buffer.
+
+    Selection here is just a gated extract-min loop per tile — expected
+    rounds per tile ≈ max over queries of per-tile passing rows (≈6 at
+    θ sized for ~400/1M hits), each round a handful of VPU reduces on
+    the VMEM-resident tile.  Unlike the XLA threshold scan, the masked
+    distance matrix never exists in HBM.
+
+    Exactness accounting: lane 0 counts ALL passing rows (a pure reduce,
+    independent of extraction); lane 1 counts collected ones.  The
+    wrapper proves a query exact iff collected == count (nothing missed:
+    buffer never filled, round bound never hit) plus the usual
+    count ≥ k / θ-unbound condition.  Extraction order is (dist, id)-
+    ascending among equal distances (extract-min takes the smallest
+    column first; tiles ascend), so the wrapper's stable TopK reproduces
+    the oracle tie-break.
+    """
+    t = pl.program_id(0)
+    qn = q_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        cand_d_ref[:] = jnp.full((qn, cap), _INF, jnp.float32)
+        cand_i_ref[:] = jnp.full((qn, cap), -1, jnp.int32)
+        counts_ref[:] = jnp.zeros((qn, 128), jnp.int32)
+
+    q_i8 = q_ref[:]
+    q_i32 = q_i8.astype(jnp.int32)
+    q_sum = jnp.sum(q_i32, axis=1, keepdims=True)                  # [Q,1]
+    qc = 2 * q_i32 + 1                                             # 2q-255
+    q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+
+    dot8 = lax.dot_general(
+        q_i8,
+        data_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                              # [Q,T]
+    row_sum = meta_ref[0, :][None, :]
+    row_mag2 = meta_ref[1, :][None, :]
+    dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
+    mag2_b = row_mag2.astype(jnp.float32)
+    sp = jnp.sqrt(q_mag2 * mag2_b)
+    mag = sp * _RECIP_65025
+    cos = dot_c.astype(jnp.float32) / sp
+    dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+    dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
+    theta = theta_ref[:]                                           # [Q,1]
+    dist = jnp.where((row_mag2 > 0) & (dist < theta), dist, _INF)
+
+    lane128 = lax.broadcasted_iota(jnp.int32, (qn, 128), 1)
+    c = jnp.sum(jnp.isfinite(dist), axis=1, keepdims=True).astype(jnp.int32)
+    counts_ref[:] = counts_ref[:] + jnp.where(lane128 == 0, c, 0)
+
+    base = t * tile_rows
+    col = lax.broadcasted_iota(jnp.int32, (qn, tile_rows), 1)
+    lane_cap = lax.broadcasted_iota(jnp.int32, (qn, cap), 1)
+    big_col = jnp.int32(2 ** 30)
+
+    def pending_any(dist):
+        cursor = counts_ref[:, 1:2]
+        pending = jnp.isfinite(jnp.min(dist, axis=1, keepdims=True)) & (
+            cursor < cap
+        )
+        return jnp.any(pending)
+
+    def extract_round(state):
+        dist, rounds, _ = state
+        cursor = counts_ref[:, 1:2]                                # [Q,1]
+        m = jnp.min(dist, axis=1, keepdims=True)
+        can = jnp.isfinite(m) & (cursor < cap)
+        midx = jnp.min(
+            jnp.where(dist == m, col, big_col), axis=1, keepdims=True
+        )
+        gidx = (base + midx).astype(jnp.int32)
+        write = (lane_cap == cursor) & can
+        cand_d_ref[:] = jnp.where(write, m, cand_d_ref[:])
+        cand_i_ref[:] = jnp.where(write, gidx, cand_i_ref[:])
+        counts_ref[:] = counts_ref[:] + jnp.where(
+            (lane128 == 1) & can, 1, 0
+        )
+        # Mask the extracted minima only where actually collected.
+        dist = jnp.where((col == midx) & can, _INF, dist)
+        return dist, rounds + 1, pending_any(dist)
+
+    lax.while_loop(
+        lambda s: s[2] & (s[1] < max_rounds),
+        extract_round,
+        (dist, jnp.int32(0), pending_any(dist)),
+    )
+    # Rows left uncollected (buffer full / round bound) stay visible as
+    # collected < count — the wrapper's exactness proof catches them.
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "cap", "tile_rows", "target_count", "max_rounds"),
+)
+def pallas_threshold_scan_topk(
+    query_u8: jnp.ndarray,
+    index: PackedSemanticIndex,
+    row_meta: jnp.ndarray,
+    sample,                       # ops.scan.ScanSample
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    cap: int = 1024,
+    tile_rows: int = 2048,
+    target_count: int | None = None,
+    max_rounds: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched guaranteed-verifiable threshold scan, fully fused.
+
+    Returns (dist [Q,k], idx [Q,k], exact [Q]) with the same semantics as
+    ``ops.scan.cosine_scan_topk_threshold`` — the sampled θ estimate runs
+    in XLA, the full pass (GEMM + epilogue + θ-filter + candidate
+    extraction + exact counting) is ONE Pallas kernel whose only HBM
+    traffic is the int8 index, and the final top-k runs on the tiny
+    candidate buffer.  Use via ``ops.scan.cosine_scan_topk_auto`` for
+    repair of unproven queries.
+    """
+    from pixelbox_tpu.ops.packed import query_moments_from_u8
+    from pixelbox_tpu.ops.scan import _cosine_block_dist
+    from pixelbox_tpu.ops import topk as topk_ops
+
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, d = query_u8.shape
+    n_pad = index.capacity
+    assert n_pad % tile_rows == 0, (n_pad, tile_rows)
+    n_tiles = n_pad // tile_rows
+
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+    q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+
+    # θ from the strided sample (XLA — tiny next to the main pass).
+    s = sample.data.shape[0]
+    tc = target_count if target_count is not None else max(4 * k, 256)
+    j = min(s, max(1, -(-tc * s // n_pad)))
+    s_dist = _cosine_block_dist(
+        q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
+        sample.valid, md, d,
+    )
+    s_top, _ = topk_ops.block_topk(
+        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+    )
+    theta_j = s_top[:, j - 1 : j]
+    theta = jnp.minimum(theta_j, md)
+    unbound = ~(theta_j < md)[:, 0]
+
+    # Pad queries to the int8 sublane minimum; padded θ = -inf (no hits).
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_i8_p = q_i8
+    theta_p = theta
+    if q_pad != qn:
+        q_i8_p = jnp.pad(q_i8, ((0, q_pad - qn), (0, 0)))
+        theta_p = jnp.pad(
+            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
+        )
+
+    kernel = partial(
+        _threshold_extract_kernel,
+        tile_rows=tile_rows, cap=cap, dim=d, max_rounds=max_rounds,
+    )
+    cand_d, cand_i, counts = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((q_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, cap), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, cap), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, 128), jnp.int32),
+        ),
+    )(theta_p, q_i8_p, index.data, row_meta)
+
+    cand_d = cand_d[:qn]
+    cand_i = cand_i[:qn]
+    count = counts[:qn, 0]
+    collected = counts[:qn, 1]
+
+    best_d, best_i = topk_ops.block_topk(cand_d, cand_i, k)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    exact = (collected == count) & ((count >= k) | unbound)
+    if squeeze:
+        return best_d[0], best_i[0], exact[0]
+    return best_d, best_i, exact
+
+
 @partial(jax.jit, static_argnames=("k", "tile_rows"))
 def pallas_cosine_scan_topk(
     query_u8: jnp.ndarray,

@@ -1,0 +1,69 @@
+"""Batched-Q Pallas threshold scan vs oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import jax.experimental.pallas.tpu as pltpu
+import pytest
+
+from pixelbox_tpu.ops import oracle
+from pixelbox_tpu.ops.pallas_scan import (
+    build_row_meta,
+    pallas_threshold_scan_topk,
+)
+from pixelbox_tpu.ops.scan import build_scan_sample
+
+from test_scan import check_topk_parity, make_semantic_index
+
+
+@pytest.fixture(scope="module")
+def db():
+    rng = np.random.default_rng(11)
+    return rng.integers(0, 256, size=(4096, 32), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def index(db):
+    return make_semantic_index(db, block_rows=256)
+
+
+def _run(q, index, db, k=25, md=1e3, cap=512, **kw):
+    sample = build_scan_sample(index, sample_rows=1024)
+    meta = build_row_meta(index)
+    with pltpu.force_tpu_interpret_mode():
+        d, i, exact = pallas_threshold_scan_topk(
+            jnp.asarray(q), index, meta, sample, k=k, max_distance=md,
+            cap=cap, tile_rows=256, **kw,
+        )
+    return np.asarray(d), np.asarray(i), np.asarray(exact)
+
+
+def test_matches_oracle_where_proven(db, index, rng):
+    q = rng.integers(0, 256, size=(6, 32), dtype=np.uint8)
+    d, i, exact = _run(q, index, db)
+    assert exact.mean() > 0.5
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=25)
+    ok = np.nonzero(exact)[0]
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_exact_count_accounting(db, index, rng):
+    """Tiny cap forces uncollected rows; those queries must be flagged
+    unproven rather than silently truncated."""
+    q = rng.integers(0, 256, size=(4, 32), dtype=np.uint8)
+    d, i, exact = _run(q, index, db, cap=128, target_count=2000)
+    assert not exact.all()
+
+
+def test_max_distance_unbound(db, index, rng):
+    q = rng.integers(0, 256, size=(3, 32), dtype=np.uint8)
+    d, i, exact = _run(q, index, db, k=50, md=0.05)
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=50, max_distance=0.05)
+    ok = np.nonzero(exact)[0]
+    assert len(ok) == 3  # few passing rows: θ==md proves completeness
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_single_query_self_match(db, index):
+    d, i, exact = _run(db[7], index, db, k=3)
+    assert i.ravel()[0] == 7
+    assert d.ravel()[0] == 0.0
