@@ -656,14 +656,43 @@ class Engine:
             return
         q_hash = searcher.text_hashes([parsed.text_query])[0]
         k = int(self.max_search_results)
-        db_rows = self._blip_store.get_rows(rows)
-        with timed("engine.text_to_image_scan"):
-            dists = np.asarray(
-                cosine_distance(jnp.asarray(q_hash)[None, :], jnp.asarray(db_rows))
-            )
-        order = np.argsort(dists, kind="stable")[:k]
-        ids = [self._blip_image_ids[int(row)] for row in rows[order]]
-        results = self._results_from_image_ids(ids, dists[order])
+        n_rows = len(self._blip_image_ids)
+        if len(rows) > 16384 or len(rows) == n_rows:
+            # Real device scan — blocked GEMM + streaming top-k over the
+            # resident BLIP index (any catalog filter folds into the
+            # validity mask).  No full-index host gather on this path.
+            index = self._blip_store.device_index
+            if len(rows) != n_rows:
+                mask = jnp.zeros(index.capacity, dtype=bool).at[
+                    jnp.asarray(rows)
+                ].set(True)
+                index = index._replace(
+                    valid=jnp.logical_and(index.valid, mask)
+                )
+            with timed("engine.text_to_image_scan"):
+                dists, idxs = cosine_scan_topk(
+                    jnp.asarray(q_hash), index, k=k, max_distance=np.inf
+                )
+            dists = np.asarray(dists)
+            idxs = np.asarray(idxs)
+            keep = idxs >= 0
+            sel = idxs[keep]
+            sel_dists = dists[keep]
+        else:
+            # Narrow filter: gathering the few matching rows beats a full
+            # index pass.
+            db_rows = self._blip_store.get_rows(rows)
+            with timed("engine.text_to_image_scan"):
+                dists = np.asarray(
+                    cosine_distance(
+                        jnp.asarray(q_hash)[None, :], jnp.asarray(db_rows)
+                    )
+                )
+            order = np.argsort(dists, kind="stable")[:k]
+            sel = rows[order]
+            sel_dists = dists[order]
+        ids = [self._blip_image_ids[int(row)] for row in sel]
+        results = self._results_from_image_ids(ids, sel_dists)
         self._cached_search_results = results
         print(f"{len(results)} results", file=sys.stderr)
 
@@ -762,6 +791,18 @@ class Engine:
         self._sharded_synced_n = store.n
         return self._sharded_index
 
+    def _get_pallas_meta(self):
+        """Cached [2, N] row metadata for the Pallas kernels."""
+        from pixelbox_tpu.ops.pallas_scan import build_row_meta
+
+        if (
+            self._pallas_meta is None
+            or self._pallas_meta_at_ver != self._sem_store.version
+        ):
+            self._pallas_meta = build_row_meta(self._sem_store.device_index)
+            self._pallas_meta_at_ver = self._sem_store.version
+        return self._pallas_meta
+
     def _get_scan_sample(self):
         """Cached θ-estimation subsample for the auto scan (ops.scan);
         None while the index is small enough that auto scans directly."""
@@ -837,12 +878,7 @@ class Engine:
                 )
 
                 index = self._sem_store.device_index
-                if (
-                    self._pallas_meta is None
-                    or self._pallas_meta_at_ver != self._sem_store.version
-                ):
-                    self._pallas_meta = build_row_meta(index)
-                    self._pallas_meta_at_ver = self._sem_store.version
+                self._get_pallas_meta()
                 tile = min(2048, index.capacity)
                 dist, idx = pallas_cosine_scan_topk(
                     jnp.asarray(record.visual_hash),
@@ -853,12 +889,25 @@ class Engine:
                     tile_rows=tile,
                 )
             elif self.scan_mode == "auto":
+                from pixelbox_tpu.ops.scan import (
+                    DEFAULT_BLOCK_ROWS,
+                    _default_backend_is_tpu,
+                )
+
+                index = self._sem_store.device_index
+                meta = None
+                if (
+                    _default_backend_is_tpu()
+                    and index.capacity > 4 * DEFAULT_BLOCK_ROWS
+                ):
+                    meta = self._get_pallas_meta()
                 dist, idx = cosine_scan_topk_auto(
                     record.visual_hash,
-                    self._sem_store.device_index,
+                    index,
                     k=k,
                     max_distance=float(self.max_distance_from_query),
                     sample=self._get_scan_sample(),
+                    row_meta=meta,
                 )
             else:
                 dist, idx = cosine_scan_topk(

@@ -79,10 +79,78 @@ def _display_value(value) -> str:
     return str(value)
 
 
+#: Decode-time downscale floor: JPEG/WEBP decode at the smallest
+#: DCT/scaler factor keeping min(w, h) >= this (0 = always full size).
+#: Every ingest consumer (256 thumbnail, 224 embed frame, 16x16 phash)
+#: needs far less than full resolution; query and ingest share this
+#: policy so a drag-dropped indexed file still self-matches exactly.
+DECODE_MIN_DIM = int(os.environ.get("PIXELBOX_DECODE_MIN_DIM", "448"))
+
+
+def _native_decode(data: bytes, min_dim: int):
+    """C++ decode (libjpeg/libpng/libwebp) → (rgb, (full_w, full_h)) or
+    None when the native library / format isn't available."""
+    import ctypes
+
+    from pixelbox_tpu.native import load_native
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "px_decode_rgb"):
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if len(buf) == 0:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    src = buf.ctypes.data_as(u8p)
+    fw, fh, sw, sh = (ctypes.c_uint32() for _ in range(4))
+    if lib.px_decode_header(
+        src, len(buf), min_dim,
+        ctypes.byref(fw), ctypes.byref(fh), ctypes.byref(sw), ctypes.byref(sh),
+    ) != 0:
+        return None
+    out = np.empty(int(sh.value) * int(sw.value) * 3, dtype=np.uint8)
+    ow, oh = ctypes.c_uint32(), ctypes.c_uint32()
+    if lib.px_decode_rgb(
+        src, len(buf), min_dim,
+        out.ctypes.data_as(u8p), len(out), ctypes.byref(ow), ctypes.byref(oh),
+    ) != 0:
+        return None
+    rgb = out[: int(oh.value) * int(ow.value) * 3].reshape(
+        int(oh.value), int(ow.value), 3
+    )
+    return rgb, (int(fw.value), int(fh.value))
+
+
 def decode_image_bytes(
-    data: bytes, filename: str, path: str
+    data: bytes, filename: str, path: str, min_dim: Optional[int] = None
 ) -> Optional[DecodedImage]:
-    """Decode from memory (guessed format, like indexed_image.rs:53)."""
+    """Decode from memory (guessed format, like indexed_image.rs:53).
+
+    Prefers the native C++ decoders (with decode-time downscaling for
+    JPEG/WEBP — see ``DECODE_MIN_DIM``); EXIF still comes from PIL's lazy
+    open, which reads metadata without touching the raster.  Formats the
+    native path doesn't cover (GIF, TIFF, …) and any native failure fall
+    back to the full PIL decode.
+    """
+    md = DECODE_MIN_DIM if min_dim is None else min_dim
+    try:
+        native = _native_decode(data, md)
+    except Exception:
+        native = None
+    if native is not None:
+        rgb, (width, height) = native
+        tags: Dict[str, str] = {}
+        try:
+            from PIL import Image
+
+            with Image.open(io.BytesIO(data)) as im:  # lazy: header only
+                tags = extract_exif_tags(im)
+        except Exception:
+            pass
+        return DecodedImage(
+            filename=filename, path=path, rgb=rgb,
+            resolution=(width, height), tags=tags,
+        )
     try:
         from PIL import Image
 

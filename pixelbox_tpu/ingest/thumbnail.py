@@ -13,7 +13,7 @@ from typing import Tuple
 import numpy as np
 
 from pixelbox_tpu.native import load_native
-from pixelbox_tpu.ops.resample import resize_dimensions, resize_pil
+from pixelbox_tpu.ops.resample import resize_dimensions, resize_fast
 
 THUMBNAIL_SIZE = (256, 256)  # indexed_image.rs:13
 
@@ -21,14 +21,14 @@ THUMBNAIL_SIZE = (256, 256)  # indexed_image.rs:13
 def make_thumbnail(img_rgb: np.ndarray) -> np.ndarray:
     """HxWx3 u8 → aspect-preserving thumbnail fitting 256×256 (u8).
 
-    Uses PIL's SIMD triangle resampler (hot ingest path; same kernel
-    family as the image crate's, see ops.resample.resize_pil).
+    Hot ingest path: native C++ separable triangle resampler when built,
+    else PIL's SIMD resampler (same kernel family as the image crate's).
     """
     h, w = img_rgb.shape[:2]
     if w <= THUMBNAIL_SIZE[0] and h <= THUMBNAIL_SIZE[1]:
         return np.ascontiguousarray(img_rgb, dtype=np.uint8)
     out_w, out_h = resize_dimensions(w, h, *THUMBNAIL_SIZE, fill=False)
-    return resize_pil(img_rgb, out_w, out_h)
+    return resize_fast(img_rgb, out_w, out_h)
 
 
 def qoi_encode(img_rgb: np.ndarray) -> bytes:

