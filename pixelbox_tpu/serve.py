@@ -205,8 +205,33 @@ class _ThumbCache:
                 self._od.popitem(last=False)
 
 
-def make_handler(engine, lock: threading.Lock):
+def make_handler(engine, lock: threading.Lock, scan_service=None):
     thumb_cache = _ThumbCache()
+
+    def _similar_by_record(rec):
+        """Similarity results for a decoded record.
+
+        With a scan service, concurrent requests coalesce into single
+        device batches (serving.BatchingScanService) instead of
+        serializing behind the engine lock; hashing the query image and
+        assembling results stay on the request thread (the catalog uses
+        per-thread connections).
+        """
+        import numpy as np
+
+        if scan_service is not None and engine._sem_store is not None \
+                and engine._sem_store.size > 0:
+            scan_service.k = int(engine.max_search_results)
+            scan_service.max_distance = float(engine.max_distance_from_query)
+            dist, idx = scan_service.submit(rec.visual_hash)
+            keep = idx >= 0
+            results = engine._build_results(idx[keep], dist[keep])
+            with lock:
+                engine._cached_search_results = results
+            return results
+        with lock:
+            engine.query_by_image_hash_from_image(rec)
+            return engine.get_query_results() or []
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
@@ -241,12 +266,11 @@ def make_handler(engine, lock: threading.Lock):
                     info = engine.catalog.get_image(image_id)
                     if info is None:
                         return self._send(404, {"error": "no such image"})
-                    with lock:
-                        rec = engine.load_image(info["path"])
-                        if rec is None:
-                            return self._send(410, {"error": "file unreadable"})
-                        engine.query_by_image_hash_from_image(rec)
-                        return self._send(200, _results_json(engine))
+                    rec = engine.load_image(info["path"])
+                    if rec is None:
+                        return self._send(410, {"error": "file unreadable"})
+                    _similar_by_record(rec)
+                    return self._send(200, _results_json(engine))
                 if parsed.path == "/api/thumbnail":
                     image_id = int(qs["id"][0])
                     cached = thumb_cache.get(image_id)
@@ -275,15 +299,16 @@ def make_handler(engine, lock: threading.Lock):
                 if parsed.path == "/api/folders":
                     return self._send(200, engine.get_tracked_folders())
                 if parsed.path == "/api/status":
-                    return self._send(
-                        200,
-                        {
-                            "images": engine.get_num_indexed_images(),
-                            "indexing": engine.is_indexing_active(),
-                            "max_search_results": engine.max_search_results,
-                            "max_distance": engine.max_distance_from_query,
-                        },
-                    )
+                    status = {
+                        "images": engine.get_num_indexed_images(),
+                        "indexing": engine.is_indexing_active(),
+                        "max_search_results": engine.max_search_results,
+                        "max_distance": engine.max_distance_from_query,
+                    }
+                    if scan_service is not None:
+                        status["scan_batches"] = scan_service.batches_run
+                        status["scan_queries"] = scan_service.queries_served
+                    return self._send(200, status)
                 return self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001
                 return self._send(500, {"error": str(e)})
@@ -294,12 +319,11 @@ def make_handler(engine, lock: threading.Lock):
             body = self.rfile.read(n) if n else b""
             try:
                 if parsed.path == "/api/similar":
-                    with lock:
-                        rec = engine.load_image_from_memory(body, "upload", "")
-                        if rec is None:
-                            return self._send(400, {"error": "cannot decode image"})
-                        engine.query_by_image_hash_from_image(rec)
-                        return self._send(200, _results_json(engine))
+                    rec = engine.load_image_from_memory(body, "upload", "")
+                    if rec is None:
+                        return self._send(400, {"error": "cannot decode image"})
+                    _similar_by_record(rec)
+                    return self._send(200, _results_json(engine))
                 data = json.loads(body) if body else {}
                 if parsed.path == "/api/folders/add":
                     engine.add_tracked_folder(data["folder"])
@@ -326,13 +350,30 @@ def make_handler(engine, lock: threading.Lock):
     return Handler
 
 
-def serve(engine, host: str = "127.0.0.1", port: int = 8333):
+def serve(engine, host: str = "127.0.0.1", port: int = 8333,
+          batching: bool = True):
+    """Run the web UI / JSON API.  ``batching=True`` (default) coalesces
+    concurrent similarity queries into single device scans via
+    serving.BatchingScanService."""
     lock = threading.Lock()
-    server = ThreadingHTTPServer((host, port), make_handler(engine, lock))
+    scan_service = None
+    if batching:
+        from pixelbox_tpu.serving import BatchingScanService
+
+        scan_service = BatchingScanService(
+            lambda: engine._sem_store.device_index,
+            k=engine.max_search_results,
+            max_distance=engine.max_distance_from_query,
+        )
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(engine, lock, scan_service)
+    )
     print(f"pixelbox-tpu serving on http://{host}:{port}")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        if scan_service is not None:
+            scan_service.close()
         server.server_close()

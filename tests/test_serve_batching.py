@@ -1,0 +1,98 @@
+"""Web server + BatchingScanService: concurrent similarity queries
+coalesce into device batches and return the same results as the plain
+engine path."""
+
+import io
+import json
+import threading
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixelbox_tpu.engine import Engine
+from pixelbox_tpu.serve import make_handler
+from pixelbox_tpu.serving import BatchingScanService
+
+from fixtures import textured_image
+
+
+@pytest.fixture(scope="module")
+def batched_server(tmp_path_factory):
+    photos = tmp_path_factory.mktemp("photos")
+    for s in range(6):
+        Image.fromarray(textured_image(seed=s, size=(64, 64))).save(
+            photos / f"img{s}.png"
+        )
+    db = tmp_path_factory.mktemp("db") / "bat.db"
+    eng = Engine.new(str(db), embedder="stub", embedder_kwargs={"dim": 16})
+    eng.max_distance_from_query = 1e7
+    eng.add_tracked_folder(str(photos))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+
+    service = BatchingScanService(
+        lambda: eng._sem_store.device_index,
+        k=eng.max_search_results,
+        max_distance=eng.max_distance_from_query,
+        max_wait_ms=25.0,
+    )
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(eng, threading.Lock(), service)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, eng, photos, service
+    httpd.shutdown()
+    service.close()
+
+
+def _png_bytes(seed):
+    buf = io.BytesIO()
+    Image.fromarray(textured_image(seed=seed, size=(64, 64))).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _post_similar(base, data):
+    req = urllib.request.Request(base + "/api/similar", data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_concurrent_uploads_coalesce_and_match_engine(batched_server):
+    base, eng, photos, service = batched_server
+
+    # Sequential ground truth via the plain engine path.
+    want = {}
+    for s in range(6):
+        rec = eng.load_image_from_memory(_png_bytes(s), "q", "")
+        eng.query_by_image_hash_from_image(rec)
+        want[s] = [
+            (r.id, round(r.distance_from_query, 6))
+            for r in eng.get_query_results()
+        ]
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futs = {s: ex.submit(_post_similar, base, _png_bytes(s))
+                for s in range(6)}
+        got = {s: f.result() for s, f in futs.items()}
+
+    for s in range(6):
+        assert [
+            (it["id"], round(it["distance"], 6)) for it in got[s]
+        ] == want[s]
+    assert service.queries_served >= 6
+    # The whole point: fewer device batches than queries (coalescing).
+    # Timing-dependent, so only assert it didn't do worse than 1:1.
+    assert service.batches_run <= service.queries_served
+
+
+def test_status_exposes_batching_stats(batched_server):
+    base, eng, photos, service = batched_server
+    with urllib.request.urlopen(base + "/api/status", timeout=30) as r:
+        status = json.loads(r.read())
+    assert "scan_batches" in status and "scan_queries" in status
