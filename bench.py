@@ -293,7 +293,7 @@ def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
         return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
 
     dt_g, _ = _device_loop(one_gemm, qs, iters, gidx)
-    return {
+    out = {
         "hashes_per_sec_xor_exact": n * q / dt,
         "hashes_per_sec_gemm_fast": n * q / dt_g,
         "qps_batch_gemm_fast": q / dt_g,
@@ -302,6 +302,36 @@ def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
         "scan_ms_xor_exact": dt * 1e3,
         "scan_ms_gemm_fast": dt_g * 1e3,
     }
+
+    # Guaranteed-exact threshold scan (Pallas on TPU).
+    from pixelbox_tpu.ops.scan import _default_backend_is_tpu
+
+    if _default_backend_is_tpu() and gidx.capacity % 2048 == 0:
+        from pixelbox_tpu.ops.hamming_gemm import build_hamming_scan_sample
+        from pixelbox_tpu.ops.pallas_scan import (
+            build_hamming_meta,
+            pallas_hamming_threshold_scan_topk,
+        )
+
+        sample = build_hamming_scan_sample(gidx)
+        meta = build_hamming_meta(gidx)
+
+        def one_thresh(qi, gidx, meta, sd, sv):
+            dist, idx, exact = pallas_hamming_threshold_scan_topk(
+                qi, gidx, meta, sd, sv, k=k
+            )
+            return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
+
+        dt_t, _ = _device_loop(
+            one_thresh, qs, iters, gidx, meta, sample.data, sample.valid
+        )
+        _, _, exact = pallas_hamming_threshold_scan_topk(
+            qs[0], gidx, meta, sample.data, sample.valid, k=k
+        )
+        out["hashes_per_sec_threshold_exact"] = n * q / dt_t
+        out["scan_ms_threshold_exact"] = dt_t * 1e3
+        out["threshold_proof_rate"] = float(np.asarray(exact).mean())
+    return out
 
 
 def bench_embedding(batch=64, iters=8, size=224, dim=128, rng=None):

@@ -966,7 +966,9 @@ class Engine:
     def _phash_gemm_scan(self, q: np.ndarray, k: int, max_distance: float):
         from pixelbox_tpu.ops.hamming_gemm import (
             build_hamming_gemm_index,
+            build_hamming_scan_sample,
             hamming_gemm_scan_topk,
+            hamming_gemm_scan_topk_auto,
         )
 
         if (
@@ -974,14 +976,19 @@ class Engine:
             or self._ph_gemm_at_ver != self._ph_store.version
         ):
             self._ph_gemm = build_hamming_gemm_index(self._ph_store.device_index)
+            self._ph_gemm_sample = build_hamming_scan_sample(self._ph_gemm)
             self._ph_gemm_at_ver = self._ph_store.version
-        dist, idx = hamming_gemm_scan_topk(
-            jnp.asarray(q),
-            self._ph_gemm,
-            k=k,
-            max_distance=max_distance,
-            mode="fast" if self.scan_mode == "fast" else "exact",
-        )
+        if self.scan_mode == "fast":
+            dist, idx = hamming_gemm_scan_topk(
+                jnp.asarray(q), self._ph_gemm, k=k, max_distance=max_distance,
+                mode="fast",
+            )
+        else:
+            # Guaranteed-exact; TPU runs the fused threshold kernel.
+            dist, idx = hamming_gemm_scan_topk_auto(
+                jnp.asarray(q), self._ph_gemm, k=k, max_distance=max_distance,
+                sample=self._ph_gemm_sample,
+            )
         return np.asarray(dist), np.asarray(idx)
 
     def _phash_sharded_scan(self, q: np.ndarray, k: int, max_distance: float):

@@ -63,6 +63,97 @@ def build_hamming_gemm_index(index: PackedHammingIndex) -> PackedHammingGemmInde
     return PackedHammingGemmIndex(jnp.asarray(data), index.valid)
 
 
+class HammingScanSample(NamedTuple):
+    """Strided subsample of a ±1 hamming index (θ estimation)."""
+
+    data: jnp.ndarray   # int8 [S, bits]
+    valid: jnp.ndarray  # bool [S]
+
+
+def build_hamming_scan_sample(
+    index: PackedHammingGemmIndex, sample_rows: int = 65536
+) -> HammingScanSample:
+    cap = index.capacity
+    stride = 1
+    while stride * 2 <= max(1, cap // sample_rows) and cap % (stride * 2) == 0:
+        stride *= 2
+    return HammingScanSample(index.data[::stride], index.valid[::stride])
+
+
+def hamming_gemm_scan_topk_auto(
+    query_u8,
+    index: PackedHammingGemmIndex,
+    k: int = 100,
+    max_distance: float = 1e3,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    wrap_u8: bool = False,
+    sample: HammingScanSample | None = None,
+    meta: jnp.ndarray | None = None,
+    prefer_pallas: bool | None = None,
+):
+    """Guaranteed-exact hamming scan at threshold-selection speed.
+
+    Hamming twin of ``ops.scan.cosine_scan_topk_auto``: on TPU the main
+    pass is the fused Pallas threshold kernel over the ±1 index;
+    elsewhere (or on small indexes) the direct exact GEMM scan runs.
+    Unproven queries are re-scanned exactly and spliced back — results
+    always equal mode="exact".
+    """
+    from pixelbox_tpu.ops.scan import _default_backend_is_tpu
+
+    q = jnp.asarray(query_u8)
+    squeeze = q.ndim == 1
+    if squeeze:
+        q = q[None, :]
+    use_pallas = (
+        prefer_pallas if prefer_pallas is not None else _default_backend_is_tpu()
+    ) and index.capacity % 2048 == 0 and index.bits % 128 == 0
+    if index.capacity <= 4 * block_rows or not use_pallas:
+        best_d, best_i = hamming_gemm_scan_topk(
+            q, index, k=k, max_distance=max_distance, block_rows=block_rows,
+            wrap_u8=wrap_u8, mode="exact",
+        )
+        if squeeze:
+            return best_d[0], best_i[0]
+        return best_d, best_i
+
+    from pixelbox_tpu.ops.pallas_scan import (
+        build_hamming_meta,
+        pallas_hamming_threshold_scan_topk,
+    )
+
+    if sample is None:
+        sample = build_hamming_scan_sample(index)
+    if meta is None:
+        meta = build_hamming_meta(index)
+    best_d, best_i, exact = pallas_hamming_threshold_scan_topk(
+        q, index, meta, sample.data, sample.valid, k=k,
+        max_distance=max_distance, wrap_u8=wrap_u8,
+    )
+    ok = np.asarray(exact)
+    if not ok.all():
+        best_d = np.asarray(best_d).copy()
+        best_i = np.asarray(best_i).copy()
+        bad = np.nonzero(~ok)[0]
+        bucket = 8
+        while bucket < len(bad):
+            bucket *= 4
+        q_np = np.asarray(q)
+        repair = np.zeros((bucket, q_np.shape[1]), dtype=np.uint8)
+        repair[: len(bad)] = q_np[bad]
+        rd, ri = hamming_gemm_scan_topk(
+            jnp.asarray(repair), index, k=k, max_distance=max_distance,
+            block_rows=block_rows, wrap_u8=wrap_u8, mode="exact",
+        )
+        best_d[bad] = np.asarray(rd)[: len(bad)]
+        best_i[bad] = np.asarray(ri)[: len(bad)]
+        best_d = jnp.asarray(best_d)
+        best_i = jnp.asarray(best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i
+
+
 @partial(jax.jit, static_argnames=("k", "block_rows", "wrap_u8", "mode", "recall_target"))
 def hamming_gemm_scan_topk(
     query_u8: jnp.ndarray,

@@ -159,9 +159,18 @@ def _threshold_extract_kernel(
     cap: int,
     dim: int,
     max_rounds: int,
+    kind: str = "cosine",
+    wrap_u8: bool = False,
 ):
     """Batched-Q threshold extraction: one HBM pass of the int8 index,
     appending every row with dist < θ[q] into a per-query VMEM buffer.
+
+    ``kind="cosine"``: reciprocal-cosine epilogue over centered u8 rows
+    (meta = [row_sum; row_mag2], mag2 0 marking invalid rows).
+    ``kind="hamming"``: normalized Hamming over ±1 bit-unpacked rows
+    (dot(±1,±1) = bits − 2·hamming, ops/hamming_gemm.py; meta row 0 =
+    validity, row 1 unused); ``wrap_u8`` replicates the reference's u8
+    popcount-accumulator overflow (engine.rs:603).
 
     Selection here is just a gated extract-min loop per tile — expected
     rounds per tile ≈ max over queries of per-tile passing rows (≈6 at
@@ -188,28 +197,35 @@ def _threshold_extract_kernel(
         counts_ref[:] = jnp.zeros((qn, 128), jnp.int32)
 
     q_i8 = q_ref[:]
-    q_i32 = q_i8.astype(jnp.int32)
-    q_sum = jnp.sum(q_i32, axis=1, keepdims=True)                  # [Q,1]
-    qc = 2 * q_i32 + 1                                             # 2q-255
-    q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
-
     dot8 = lax.dot_general(
         q_i8,
         data_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                                              # [Q,T]
-    row_sum = meta_ref[0, :][None, :]
-    row_mag2 = meta_ref[1, :][None, :]
-    dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
-    mag2_b = row_mag2.astype(jnp.float32)
-    sp = jnp.sqrt(q_mag2 * mag2_b)
-    mag = sp * _RECIP_65025
-    cos = dot_c.astype(jnp.float32) / sp
-    dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
-    dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
     theta = theta_ref[:]                                           # [Q,1]
-    dist = jnp.where((row_mag2 > 0) & (dist < theta), dist, _INF)
+    if kind == "cosine":
+        q_i32 = q_i8.astype(jnp.int32)
+        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)              # [Q,1]
+        qc = 2 * q_i32 + 1                                         # 2q-255
+        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+        row_sum = meta_ref[0, :][None, :]
+        row_mag2 = meta_ref[1, :][None, :]
+        dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
+        mag2_b = row_mag2.astype(jnp.float32)
+        sp = jnp.sqrt(q_mag2 * mag2_b)
+        mag = sp * _RECIP_65025
+        cos = dot_c.astype(jnp.float32) / sp
+        dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+        dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
+        dist = jnp.where((row_mag2 > 0) & (dist < theta), dist, _INF)
+    else:  # hamming over ±1 rows (dim = total bits)
+        row_valid = meta_ref[0, :][None, :]
+        diff_bits = (jnp.int32(dim) - dot8) >> 1
+        if wrap_u8:
+            diff_bits = diff_bits % 256
+        dist = diff_bits.astype(jnp.float32) * np.float32(1.0 / dim)
+        dist = jnp.where((row_valid > 0) & (dist < theta), dist, _INF)
 
     lane128 = lax.broadcasted_iota(jnp.int32, (qn, 128), 1)
     c = jnp.sum(jnp.isfinite(dist), axis=1, keepdims=True).astype(jnp.int32)
@@ -352,6 +368,120 @@ def pallas_threshold_scan_topk(
     count = counts[:qn, 0]
     collected = counts[:qn, 1]
 
+    best_d, best_i = topk_ops.block_topk(cand_d, cand_i, k)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    exact = (collected == count) & ((count >= k) | unbound)
+    if squeeze:
+        return best_d[0], best_i[0], exact[0]
+    return best_d, best_i, exact
+
+
+def build_hamming_meta(gemm_index) -> jnp.ndarray:
+    """[2, N] int32 meta for the hamming threshold kernel: row 0 =
+    validity, row 1 unused (same block shape as the cosine meta)."""
+    valid = gemm_index.valid.astype(jnp.int32)
+    return jnp.stack([valid, jnp.zeros_like(valid)], axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "cap", "tile_rows", "target_count", "max_rounds", "wrap_u8",
+    ),
+)
+def pallas_hamming_threshold_scan_topk(
+    query_u8: jnp.ndarray,
+    gemm_index,                   # ops.hamming_gemm.PackedHammingGemmIndex
+    meta: jnp.ndarray,            # build_hamming_meta
+    sample_data: jnp.ndarray,     # int8 [S, bits] strided ±1 subsample
+    sample_valid: jnp.ndarray,    # bool [S]
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    cap: int = 1024,
+    tile_rows: int = 2048,
+    target_count: int | None = None,
+    max_rounds: int = 64,
+    wrap_u8: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hamming twin of :func:`pallas_threshold_scan_topk` over the ±1
+    bit-unpacked index (ops/hamming_gemm.py).  Returns (dist, idx, exact)
+    with ``ops.scan.hamming_scan_topk`` result semantics."""
+    from pixelbox_tpu.ops import topk as topk_ops
+
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, h = query_u8.shape
+    bits = 8 * h
+    assert gemm_index.bits == bits, (gemm_index.bits, bits)
+    n_pad = gemm_index.capacity
+    assert n_pad % tile_rows == 0, (n_pad, tile_rows)
+    n_tiles = n_pad // tile_rows
+
+    qb = jnp.unpackbits(query_u8, axis=-1, bitorder="little")
+    q_pm = (qb.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+
+    # θ from the sample (XLA).
+    s = sample_data.shape[0]
+    tc = target_count if target_count is not None else max(4 * k, 256)
+    j = min(s, max(1, -(-tc * s // n_pad)))
+    s_dot = lax.dot_general(
+        q_pm, sample_data,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s_bits = (jnp.int32(bits) - s_dot) >> 1
+    if wrap_u8:
+        s_bits = s_bits % 256
+    s_dist = s_bits.astype(jnp.float32) * jnp.float32(1.0 / bits)
+    s_dist = jnp.where(sample_valid[None, :] & (s_dist < md), s_dist, jnp.inf)
+    s_top, _ = topk_ops.block_topk(
+        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+    )
+    theta_j = s_top[:, j - 1 : j]
+    theta = jnp.minimum(theta_j, md)
+    unbound = ~(theta_j < md)[:, 0]
+
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_pm_p = q_pm
+    theta_p = theta
+    if q_pad != qn:
+        q_pm_p = jnp.pad(q_pm, ((0, q_pad - qn), (0, 0)))
+        theta_p = jnp.pad(
+            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
+        )
+
+    kernel = partial(
+        _threshold_extract_kernel,
+        tile_rows=tile_rows, cap=cap, dim=bits, max_rounds=max_rounds,
+        kind="hamming", wrap_u8=wrap_u8,
+    )
+    cand_d, cand_i, counts = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((q_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, bits), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, bits), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, cap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, cap), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, cap), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, 128), jnp.int32),
+        ),
+    )(theta_p, q_pm_p, gemm_index.data, meta)
+
+    cand_d = cand_d[:qn]
+    cand_i = cand_i[:qn]
+    count = counts[:qn, 0]
+    collected = counts[:qn, 1]
     best_d, best_i = topk_ops.block_topk(cand_d, cand_i, k)
     best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
     exact = (collected == count) & ((count >= k) | unbound)
