@@ -132,6 +132,10 @@ def main(argv=None) -> int:
     sp = add_db_cmd("serve", help="serve the thin web UI")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8333)
+    sp.add_argument(
+        "--no-batching", action="store_true",
+        help="disable micro-batched query coalescing",
+    )
 
     sp = sub.add_parser(
         "train", help="train the contrastive embedder (reference train.py port)"
@@ -144,6 +148,20 @@ def main(argv=None) -> int:
     sp.add_argument("--lr", type=float, default=1e-4)
     sp.add_argument("--checkpoint-dir", default="checkpoints")
     sp.add_argument("--steps-per-epoch", type=int, default=None)
+    sp.add_argument(
+        "--finalize-dir", default=None,
+        help="after training, write the deployable bundle (model.npz + "
+        "image_similarity.onnx + model.json) here",
+    )
+
+    sp = sub.add_parser(
+        "finalize",
+        help="export a trained checkpoint as the deployable bundle "
+        "(image_similarity.onnx, reference train.py:167-174)",
+    )
+    sp.add_argument("checkpoint", help="checkpoint .npz from train")
+    sp.add_argument("out_dir")
+    sp.add_argument("--input-size", type=int, default=224)
 
     args = p.parse_args(argv)
 
@@ -154,7 +172,7 @@ def main(argv=None) -> int:
     if args.cmd == "train":
         from pixelbox_tpu.ingest.crawler import crawl
         from pixelbox_tpu.parallel.mesh import make_mesh
-        from pixelbox_tpu.training.train import TrainConfig, train_loop
+        from pixelbox_tpu.training.train import TrainConfig, finalize, train_loop
 
         import jax
 
@@ -170,12 +188,28 @@ def main(argv=None) -> int:
             batch_size=args.batch_size,
             lr=args.lr,
         )
-        train_loop(
+        state, _ = train_loop(
             paths, cfg, mesh,
             epochs=args.epochs,
             steps_per_epoch=args.steps_per_epoch,
             checkpoint_dir=args.checkpoint_dir,
         )
+        if args.finalize_dir:
+            out = finalize(state, args.finalize_dir, cfg)
+            print(f"Deployable bundle written to {out}")
+        return 0
+
+    if args.cmd == "finalize":
+        from pixelbox_tpu.models.efficientnet import load_params
+        from pixelbox_tpu.training.train import TrainConfig, finalize
+
+        variables = load_params(args.checkpoint)
+        latent = int(variables["params"]["linear"]["bias"].shape[0])
+        out = finalize(
+            variables, args.out_dir,
+            TrainConfig(latent_dim=latent, input_size=args.input_size),
+        )
+        print(f"Deployable bundle written to {out}")
         return 0
 
     if args.cmd == "init":
@@ -263,7 +297,8 @@ def main(argv=None) -> int:
         elif args.cmd == "serve":
             from pixelbox_tpu.serve import serve
 
-            serve(engine, host=args.host, port=args.port)
+            serve(engine, host=args.host, port=args.port,
+                  batching=not args.no_batching)
     finally:
         engine.close()
     return 0

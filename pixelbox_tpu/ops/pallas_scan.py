@@ -376,6 +376,231 @@ def pallas_threshold_scan_topk(
     return best_d, best_i, exact
 
 
+def _threshold_insert_kernel(
+    theta_ref,    # VMEM [Qp, 1] f32
+    q_ref,        # VMEM [Qp, D] int8
+    data_ref,     # VMEM [T, D] int8 (current tile)
+    meta_ref,     # VMEM [2, T] int32 (current tile)
+    best_d_ref,   # VMEM [Qp, K] f32 out (sorted ascending)
+    best_i_ref,   # VMEM [Qp, K] i32 out
+    counts_ref,   # VMEM [Qp, 128] i32 out: lane 0 = exact passing count
+    *,
+    tile_rows: int,
+    k_lanes: int,
+    dim: int,
+    max_rounds: int,
+    kind: str = "cosine",
+    wrap_u8: bool = False,
+):
+    """Threshold scan v2: running SORTED top-k instead of a candidate
+    buffer.  θ pre-filtering makes sorted insertion cheap (insertions ≈
+    per-tile hits beating the current k-th, ≈6 per 2048-row tile at θ
+    sized for ~400/1M hits), each a roll+select on the [Q, K] carry —
+    ~8× less VMEM traffic than v1's [Q, 1024] buffer writes, and no
+    final TopK: the output is already the exact top-k of {dist < θ}.
+    Exactness proof simplifies to count ≥ k (∨ θ == max_distance): the
+    insertion loop never drops a row that beats the running k-th, so
+    when ≥ k rows pass θ the carry IS the true top-k.
+
+    A max_rounds bound per tile guards pathological tie floods;
+    hitting it can only LOSE candidates, which shows up as
+    best_d[k-1] > some uninserted row... so instead of risking a silent
+    miss, hitting the bound poisons the query's count (set to -1) —
+    unproven → exact repair.
+    """
+    t = pl.program_id(0)
+    qn = q_ref.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        best_d_ref[:] = jnp.full((qn, k_lanes), _INF, jnp.float32)
+        best_i_ref[:] = jnp.full((qn, k_lanes), -1, jnp.int32)
+        counts_ref[:] = jnp.zeros((qn, 128), jnp.int32)
+
+    q_i8 = q_ref[:]
+    dot8 = lax.dot_general(
+        q_i8,
+        data_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                              # [Q,T]
+    theta = theta_ref[:]                                           # [Q,1]
+    if kind == "cosine":
+        q_i32 = q_i8.astype(jnp.int32)
+        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)
+        qc = 2 * q_i32 + 1
+        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+        row_sum = meta_ref[0, :][None, :]
+        row_mag2 = meta_ref[1, :][None, :]
+        dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
+        mag2_b = row_mag2.astype(jnp.float32)
+        sp = jnp.sqrt(q_mag2 * mag2_b)
+        mag = sp * _RECIP_65025
+        cos = dot_c.astype(jnp.float32) / sp
+        dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+        dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
+        dist = jnp.where((row_mag2 > 0) & (dist < theta), dist, _INF)
+    else:
+        row_valid = meta_ref[0, :][None, :]
+        diff_bits = (jnp.int32(dim) - dot8) >> 1
+        if wrap_u8:
+            diff_bits = diff_bits % 256
+        dist = diff_bits.astype(jnp.float32) * np.float32(1.0 / dim)
+        dist = jnp.where((row_valid > 0) & (dist < theta), dist, _INF)
+
+    lane128 = lax.broadcasted_iota(jnp.int32, (qn, 128), 1)
+    c = jnp.sum(jnp.isfinite(dist), axis=1, keepdims=True).astype(jnp.int32)
+    counts_ref[:] = counts_ref[:] + jnp.where(lane128 == 0, c, 0)
+
+    base = t * tile_rows
+    col = lax.broadcasted_iota(jnp.int32, (qn, tile_rows), 1)
+    lane = lax.broadcasted_iota(jnp.int32, (qn, k_lanes), 1)
+    big_col = jnp.int32(2 ** 30)
+
+    def insert_round(state):
+        dist, rounds, _ = state
+        m = jnp.min(dist, axis=1, keepdims=True)                   # [Q,1]
+        kth = best_d_ref[:, k_lanes - 1 : k_lanes]
+        ins = m < kth
+        midx = jnp.min(
+            jnp.where(dist == m, col, big_col), axis=1, keepdims=True
+        )
+        gidx = (base + midx).astype(jnp.int32)
+        cur_d = best_d_ref[:]
+        cur_i = best_i_ref[:]
+        # Insert after equal values → ascending-row-id tie-break.
+        pos = jnp.sum((cur_d <= m).astype(jnp.int32), axis=1, keepdims=True)
+        sh_d = pltpu.roll(cur_d, shift=1, axis=1)
+        sh_i = pltpu.roll(cur_i, shift=1, axis=1)
+        new_d = jnp.where(lane < pos, cur_d, jnp.where(lane == pos, m, sh_d))
+        new_i = jnp.where(lane < pos, cur_i, jnp.where(lane == pos, gidx, sh_i))
+        best_d_ref[:] = jnp.where(ins, new_d, cur_d)
+        best_i_ref[:] = jnp.where(ins, new_i, cur_i)
+        dist = jnp.where(col == midx, _INF, dist)
+        more = jnp.any(
+            jnp.min(dist, axis=1, keepdims=True)
+            < best_d_ref[:, k_lanes - 1 : k_lanes]
+        )
+        return dist, rounds + 1, more
+
+    init_more = jnp.any(
+        jnp.min(dist, axis=1, keepdims=True)
+        < best_d_ref[:, k_lanes - 1 : k_lanes]
+    )
+    dist, rounds, more = lax.while_loop(
+        lambda s: s[2] & (s[1] < max_rounds),
+        insert_round,
+        (dist, jnp.int32(0), init_more),
+    )
+
+    @pl.when(more)
+    def _poison():
+        # Round bound hit with insertions pending: results for queries
+        # with pending rows may be incomplete — poison their counts so
+        # the wrapper proves them unexact and repairs.
+        pending = jnp.isfinite(jnp.min(dist, axis=1, keepdims=True)) & (
+            jnp.min(dist, axis=1, keepdims=True)
+            < best_d_ref[:, k_lanes - 1 : k_lanes]
+        )
+        counts_ref[:] = jnp.where(
+            pending & (lane128 == 0), jnp.int32(-(2 ** 30)), counts_ref[:]
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "tile_rows", "target_count", "max_rounds"),
+)
+def pallas_threshold_scan_topk_v2(
+    query_u8: jnp.ndarray,
+    index: PackedSemanticIndex,
+    row_meta: jnp.ndarray,
+    sample,
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    tile_rows: int = 2048,
+    target_count: int | None = None,
+    max_rounds: int = 96,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """v2 of :func:`pallas_threshold_scan_topk`: in-kernel running sorted
+    top-k (no candidate buffer, no final TopK)."""
+    from pixelbox_tpu.ops.packed import query_moments_from_u8
+    from pixelbox_tpu.ops.scan import _cosine_block_dist
+    from pixelbox_tpu.ops import topk as topk_ops
+
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, d = query_u8.shape
+    n_pad = index.capacity
+    assert n_pad % tile_rows == 0, (n_pad, tile_rows)
+    n_tiles = n_pad // tile_rows
+    k_lanes = max(128, -(-k // 128) * 128)
+
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+    q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+
+    s = sample.data.shape[0]
+    tc = target_count if target_count is not None else max(4 * k, 256)
+    j = min(s, max(1, -(-tc * s // n_pad)))
+    s_dist = _cosine_block_dist(
+        q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
+        sample.valid, md, d,
+    )
+    s_top, _ = topk_ops.block_topk(
+        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+    )
+    theta_j = s_top[:, j - 1 : j]
+    theta = jnp.minimum(theta_j, md)
+    unbound = ~(theta_j < md)[:, 0]
+
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_i8_p = q_i8
+    theta_p = theta
+    if q_pad != qn:
+        q_i8_p = jnp.pad(q_i8, ((0, q_pad - qn), (0, 0)))
+        theta_p = jnp.pad(
+            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
+        )
+
+    kernel = partial(
+        _threshold_insert_kernel,
+        tile_rows=tile_rows, k_lanes=k_lanes, dim=d, max_rounds=max_rounds,
+        kind="cosine",
+    )
+    best_d, best_i, counts = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((q_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, 128), jnp.int32),
+        ),
+    )(theta_p, q_i8_p, index.data, row_meta)
+
+    best_d = best_d[:qn, :k]
+    best_i = best_i[:qn, :k]
+    count = counts[:qn, 0]
+    keep = jnp.isfinite(best_d)
+    best_i = jnp.where(keep, best_i, -1)
+    exact = (count >= k) | (unbound & (count >= 0))
+    if squeeze:
+        return best_d[0], best_i[0], exact[0]
+    return best_d, best_i, exact
+
+
 def build_hamming_meta(gemm_index) -> jnp.ndarray:
     """[2, N] int32 meta for the hamming threshold kernel: row 0 =
     validity, row 1 unused (same block shape as the cosine meta)."""

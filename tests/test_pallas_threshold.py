@@ -67,3 +67,58 @@ def test_single_query_self_match(db, index):
     d, i, exact = _run(db[7], index, db, k=3)
     assert i.ravel()[0] == 7
     assert d.ravel()[0] == 0.0
+
+
+# ------------------------------------------------------------------ #
+# v2 (in-kernel running sorted top-k)
+
+
+def _run_v2(q, index, db, k=25, md=1e3, **kw):
+    from pixelbox_tpu.ops.pallas_scan import pallas_threshold_scan_topk_v2
+
+    sample = build_scan_sample(index, sample_rows=1024)
+    meta = build_row_meta(index)
+    with pltpu.force_tpu_interpret_mode():
+        d, i, exact = pallas_threshold_scan_topk_v2(
+            jnp.asarray(q), index, meta, sample, k=k, max_distance=md,
+            tile_rows=256, **kw,
+        )
+    return np.asarray(d), np.asarray(i), np.asarray(exact)
+
+
+def test_v2_matches_oracle_where_proven(db, index, rng):
+    q = rng.integers(0, 256, size=(6, 32), dtype=np.uint8)
+    d, i, exact = _run_v2(q, index, db)
+    assert exact.mean() > 0.5
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=25)
+    ok = np.nonzero(exact)[0]
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_v2_duplicate_ties(rng):
+    base = rng.integers(0, 256, size=(8, 32), dtype=np.uint8)
+    db2 = np.repeat(base, 512, axis=0)  # 4096 rows of ties
+    idx2 = make_semantic_index(db2, block_rows=256)
+    d, i, exact = _run_v2(base[:2], idx2, db2, k=20)
+    exp_d, exp_i = oracle.cosine_scan_topk_np(base[:2], db2, k=20)
+    ok = np.nonzero(exact)[0]
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_v2_round_bound_poisons_not_corrupts(db, index, rng):
+    """max_rounds=2 guarantees pending insertions: affected queries must
+    come back unproven, never silently wrong."""
+    q = rng.integers(0, 256, size=(4, 32), dtype=np.uint8)
+    d, i, exact = _run_v2(q, index, db, k=25, max_rounds=2,
+                          target_count=2000)
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=25)
+    ok = np.nonzero(exact)[0]
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_v2_unbound_max_distance(db, index, rng):
+    q = rng.integers(0, 256, size=(3, 32), dtype=np.uint8)
+    d, i, exact = _run_v2(q, index, db, k=50, md=0.05)
+    assert exact.all()
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=50, max_distance=0.05)
+    check_topk_parity(d, i, exp_d, exp_i)
