@@ -113,6 +113,7 @@ def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     from pixelbox_tpu.ops.pallas_scan import (
         build_row_meta,
         pallas_threshold_scan_topk,
+        pallas_threshold_scan_topk_v2,
     )
     from pixelbox_tpu.ops.scan import (
         _default_backend_is_tpu,
@@ -129,15 +130,18 @@ def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
 
     if use_pallas:
         meta = build_row_meta(index)
+        # Mirror the auto mode's kernel choice (v2 fits VMEM up to Q≈512).
+        kernel = (
+            pallas_threshold_scan_topk_v2 if q <= 512
+            else pallas_threshold_scan_topk
+        )
 
         def one(qi, index, meta, sample):
-            dist, idx, exact = pallas_threshold_scan_topk(
-                qi, index, meta, sample, k=k
-            )
+            dist, idx, exact = kernel(qi, index, meta, sample, k=k)
             return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
 
         dt, _ = _device_loop(one, qs, iters, index, meta, sample)
-        _, _, exact = pallas_threshold_scan_topk(qs[0], index, meta, sample, k=k)
+        _, _, exact = kernel(qs[0], index, meta, sample, k=k)
     else:
         def one(qi, index, sample):
             dist, idx, exact = cosine_scan_topk_threshold(

@@ -153,6 +153,11 @@ def main(argv=None) -> int:
         help="after training, write the deployable bundle (model.npz + "
         "image_similarity.onnx + model.json) here",
     )
+    sp.add_argument(
+        "--resume", default=None, metavar="STATE_DIR",
+        help="resume from a checkpoint-dir/state directory (restores "
+        "params AND optimizer state)",
+    )
 
     sp = sub.add_parser(
         "finalize",
@@ -193,6 +198,7 @@ def main(argv=None) -> int:
             epochs=args.epochs,
             steps_per_epoch=args.steps_per_epoch,
             checkpoint_dir=args.checkpoint_dir,
+            resume_from=args.resume,
         )
         if args.finalize_dir:
             out = finalize(state, args.finalize_dir, cfg)

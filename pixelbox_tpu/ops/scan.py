@@ -531,14 +531,23 @@ def cosine_scan_topk_auto(
         from pixelbox_tpu.ops.pallas_scan import (
             build_row_meta,
             pallas_threshold_scan_topk,
+            pallas_threshold_scan_topk_v2,
         )
 
         if row_meta is None:
             row_meta = build_row_meta(index)
-        best_d, best_i, exact = pallas_threshold_scan_topk(
-            q, index, row_meta, sample, k=k, max_distance=max_distance,
-            tile_rows=PALLAS_TILE_ROWS,
-        )
+        if q.shape[0] <= 512:
+            # v2 (in-kernel running top-k): 22.2 Gdots/s at Q=256; its
+            # [Q, tile] loop carry exceeds VMEM past Q≈512.
+            best_d, best_i, exact = pallas_threshold_scan_topk_v2(
+                q, index, row_meta, sample, k=k, max_distance=max_distance,
+                tile_rows=PALLAS_TILE_ROWS,
+            )
+        else:
+            best_d, best_i, exact = pallas_threshold_scan_topk(
+                q, index, row_meta, sample, k=k, max_distance=max_distance,
+                tile_rows=PALLAS_TILE_ROWS,
+            )
     else:
         best_d, best_i, exact = cosine_scan_topk_threshold(
             q, index, sample, k=k, max_distance=max_distance,

@@ -236,12 +236,16 @@ def train_loop(
     steps_per_epoch: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     seed: int = 0,
+    resume_from: Optional[str] = None,
 ):
     """Minimal end-to-end trainer over a folder of images (train.py:94-164).
 
-    Writes per-epoch checkpoints plus an ``experiment_log_<stamp>.json``
-    (config + per-epoch losses — the reference's experiment_log_*.txt,
-    train.py:192-198) into ``checkpoint_dir``.
+    Writes per-epoch param checkpoints (.npz) plus a full resumable
+    orbax state under ``checkpoint_dir/state`` and an
+    ``experiment_log_<stamp>.json`` (config + per-epoch losses — the
+    reference's experiment_log_*.txt, train.py:192-198).
+    ``resume_from`` restores a previous ``state`` directory (params AND
+    optimizer moments) before training.
     """
     import json
     import os
@@ -259,7 +263,10 @@ def train_loop(
         raise ValueError("no decodable training images")
 
     rng = np.random.default_rng(seed)
-    state = init_train_state(cfg, mesh, seed)
+    if resume_from:
+        state = restore_train_state(resume_from, cfg, mesh, seed)
+    else:
+        state = init_train_state(cfg, mesh, seed)
     step = make_sharded_train_step(cfg, mesh)
     spe = steps_per_epoch or max(1, len(images) // cfg.batch_size)
     losses = []
@@ -278,6 +285,7 @@ def train_loop(
             save_params(
                 state.variables, os.path.join(checkpoint_dir, f"checkpoint_{epoch}.npz")
             )
+            save_train_state(state, os.path.join(checkpoint_dir, "state"))
     if checkpoint_dir:
         stamp = time.strftime("%Y%m%d%H%M%S")
         with open(
@@ -302,6 +310,45 @@ def train_loop(
                 indent=1,
             )
     return state, losses
+
+
+def save_train_state(state: TrainState, path: str) -> None:
+    """Full resumable checkpoint (params + batch stats + OPTIMIZER state
+    + step) via orbax — the per-epoch .npz files keep only params, so
+    resuming from them loses Adam moments; this doesn't."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def restore_train_state(path: str, cfg: TrainConfig, mesh: Mesh,
+                        seed: int = 0) -> TrainState:
+    """Restore a :func:`save_train_state` checkpoint onto ``mesh`` (the
+    template from init supplies structure/dtypes; every leaf is placed
+    with the template's NamedSharding, or mesh-replicated for leaves the
+    optimizer created unsharded — mixing committed single-device and
+    mesh-committed arrays in one jit is an error)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    template = init_train_state(cfg, mesh, seed)
+    path = os.path.abspath(path)
+    np_template = jax.tree.map(lambda x: np.asarray(x), template)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, np_template)
+
+    def place(t, r):
+        s = getattr(t, "sharding", None)
+        if not isinstance(s, NamedSharding):
+            s = NamedSharding(mesh, P())
+        return jax.device_put(jnp.asarray(r), s)
+
+    return jax.tree.map(place, template, restored)
 
 
 def finalize(state_or_variables, out_dir: str, cfg: Optional[TrainConfig] = None):
