@@ -120,13 +120,18 @@ def hamming_gemm_scan_topk_auto(
     from pixelbox_tpu.ops.pallas_scan import (
         build_hamming_meta,
         pallas_hamming_threshold_scan_topk,
+        pallas_hamming_threshold_scan_topk_v2,
     )
 
     if sample is None:
         sample = build_hamming_scan_sample(index)
     if meta is None:
         meta = build_hamming_meta(index)
-    best_d, best_i, exact = pallas_hamming_threshold_scan_topk(
+    kernel = (
+        pallas_hamming_threshold_scan_topk_v2 if q.shape[0] <= 512
+        else pallas_hamming_threshold_scan_topk
+    )
+    best_d, best_i, exact = kernel(
         q, index, meta, sample.data, sample.valid, k=k,
         max_distance=max_distance, wrap_u8=wrap_u8,
     )

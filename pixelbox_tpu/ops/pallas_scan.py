@@ -715,6 +715,110 @@ def pallas_hamming_threshold_scan_topk(
     return best_d, best_i, exact
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "tile_rows", "target_count", "max_rounds", "wrap_u8",
+    ),
+)
+def pallas_hamming_threshold_scan_topk_v2(
+    query_u8: jnp.ndarray,
+    gemm_index,
+    meta: jnp.ndarray,
+    sample_data: jnp.ndarray,
+    sample_valid: jnp.ndarray,
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    tile_rows: int = 2048,
+    target_count: int | None = None,
+    max_rounds: int = 96,
+    wrap_u8: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hamming twin of :func:`pallas_threshold_scan_topk_v2` (in-kernel
+    running sorted top-k over the ±1 bit-unpacked index)."""
+    from pixelbox_tpu.ops import topk as topk_ops
+
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, h = query_u8.shape
+    bits = 8 * h
+    assert gemm_index.bits == bits, (gemm_index.bits, bits)
+    n_pad = gemm_index.capacity
+    assert n_pad % tile_rows == 0, (n_pad, tile_rows)
+    n_tiles = n_pad // tile_rows
+    k_lanes = max(128, -(-k // 128) * 128)
+
+    qb = jnp.unpackbits(query_u8, axis=-1, bitorder="little")
+    q_pm = (qb.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+
+    s = sample_data.shape[0]
+    tc = target_count if target_count is not None else max(4 * k, 256)
+    j = min(s, max(1, -(-tc * s // n_pad)))
+    s_dot = lax.dot_general(
+        q_pm, sample_data,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s_bits = (jnp.int32(bits) - s_dot) >> 1
+    if wrap_u8:
+        s_bits = s_bits % 256
+    s_dist = s_bits.astype(jnp.float32) * jnp.float32(1.0 / bits)
+    s_dist = jnp.where(sample_valid[None, :] & (s_dist < md), s_dist, jnp.inf)
+    s_top, _ = topk_ops.block_topk(
+        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+    )
+    theta_j = s_top[:, j - 1 : j]
+    theta = jnp.minimum(theta_j, md)
+    unbound = ~(theta_j < md)[:, 0]
+
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_pm_p = q_pm
+    theta_p = theta
+    if q_pad != qn:
+        q_pm_p = jnp.pad(q_pm, ((0, q_pad - qn), (0, 0)))
+        theta_p = jnp.pad(
+            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
+        )
+
+    kernel = partial(
+        _threshold_insert_kernel,
+        tile_rows=tile_rows, k_lanes=k_lanes, dim=bits, max_rounds=max_rounds,
+        kind="hamming", wrap_u8=wrap_u8,
+    )
+    best_d, best_i, counts = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((q_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, bits), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, bits), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, 128), jnp.int32),
+        ),
+    )(theta_p, q_pm_p, gemm_index.data, meta)
+
+    best_d = best_d[:qn, :k]
+    best_i = best_i[:qn, :k]
+    count = counts[:qn, 0]
+    keep = jnp.isfinite(best_d)
+    best_i = jnp.where(keep, best_i, -1)
+    exact = (count >= k) | (unbound & (count >= 0))
+    if squeeze:
+        return best_d[0], best_i[0], exact[0]
+    return best_d, best_i, exact
+
+
 @partial(jax.jit, static_argnames=("k", "tile_rows"))
 def pallas_cosine_scan_topk(
     query_u8: jnp.ndarray,

@@ -536,12 +536,20 @@ def cosine_scan_topk_auto(
 
         if row_meta is None:
             row_meta = build_row_meta(index)
-        if q.shape[0] <= 512:
-            # v2 (in-kernel running top-k): 22.2 Gdots/s at Q=256; its
-            # [Q, tile] loop carry exceeds VMEM past Q≈512.
+        # v2 (in-kernel running top-k) wins everywhere it fits VMEM:
+        # 22.2 Gdots/s @Q=256 t2048, 20.2 @Q=1024 t1024 (the [Q, tile]
+        # loop carry caps Q·tile at ~2^21 f32); v1's candidate buffer
+        # covers larger batches.
+        qn_now = q.shape[0]
+        if qn_now <= 512:
             best_d, best_i, exact = pallas_threshold_scan_topk_v2(
                 q, index, row_meta, sample, k=k, max_distance=max_distance,
                 tile_rows=PALLAS_TILE_ROWS,
+            )
+        elif qn_now <= 1024:
+            best_d, best_i, exact = pallas_threshold_scan_topk_v2(
+                q, index, row_meta, sample, k=k, max_distance=max_distance,
+                tile_rows=1024,
             )
         else:
             best_d, best_i, exact = pallas_threshold_scan_topk(

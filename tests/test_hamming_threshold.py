@@ -68,3 +68,23 @@ def test_auto_wrapper_pallas_path_with_repair(db, gemm_index, rng):
         )
     exp_d, exp_i = oracle.hamming_scan_topk_np(q, db, k=30)
     check_topk_parity(np.asarray(d), np.asarray(i), exp_d, exp_i)
+
+
+def test_pallas_hamming_v2_matches_oracle(db, gemm_index, rng):
+    from pixelbox_tpu.ops.pallas_scan import (
+        pallas_hamming_threshold_scan_topk_v2,
+    )
+
+    q = rng.integers(0, 256, size=(4, 16), dtype=np.uint8)
+    sample = build_hamming_scan_sample(gemm_index, sample_rows=1024)
+    meta = build_hamming_meta(gemm_index)
+    with pltpu.force_tpu_interpret_mode():
+        d, i, exact = pallas_hamming_threshold_scan_topk_v2(
+            jnp.asarray(q), gemm_index, meta, sample.data, sample.valid,
+            k=20, tile_rows=256,
+        )
+    d, i, exact = np.asarray(d), np.asarray(i), np.asarray(exact)
+    exp_d, exp_i = oracle.hamming_scan_topk_np(q, db, k=20)
+    ok = np.nonzero(exact)[0]
+    assert len(ok) >= 1
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
