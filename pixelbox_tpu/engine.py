@@ -779,7 +779,10 @@ class Engine:
                 bucket *= 2
             start = max(0, end - bucket)
             self._sharded_index = append_to_sharded_index(
-                self._sharded_index, store._host_rows[start:end], start
+                self._sharded_index,
+                store._host_rows[start:end],
+                store._host_valid[start:end],
+                start,
             )
         else:
             self._sharded_index = shard_semantic_index(
@@ -975,8 +978,11 @@ class Engine:
             getattr(self, "_ph_gemm", None) is None
             or self._ph_gemm_at_ver != self._ph_store.version
         ):
+            from pixelbox_tpu.ops.pallas_scan import build_hamming_meta
+
             self._ph_gemm = build_hamming_gemm_index(self._ph_store.device_index)
             self._ph_gemm_sample = build_hamming_scan_sample(self._ph_gemm)
+            self._ph_gemm_meta = build_hamming_meta(self._ph_gemm)
             self._ph_gemm_at_ver = self._ph_store.version
         if self.scan_mode == "fast":
             dist, idx = hamming_gemm_scan_topk(
@@ -987,7 +993,7 @@ class Engine:
             # Guaranteed-exact; TPU runs the fused threshold kernel.
             dist, idx = hamming_gemm_scan_topk_auto(
                 jnp.asarray(q), self._ph_gemm, k=k, max_distance=max_distance,
-                sample=self._ph_gemm_sample,
+                sample=self._ph_gemm_sample, meta=self._ph_gemm_meta,
             )
         return np.asarray(dist), np.asarray(idx)
 

@@ -27,9 +27,14 @@ import numpy as np
 
 from pixelbox_tpu.ops import oracle
 
-# Schemas verbatim from reference src/engine.rs:31-48.
+# Schemas from reference src/engine.rs:31-48, with ONE divergence: the
+# images id is AUTOINCREMENT so removed-image ids are never recycled
+# (SQLite reuses a deleted max rowid otherwise; the reference never
+# implemented removal so it never hit this — with removal, a recycled id
+# resurrects stale references like cached thumbnails).  Reference-made
+# DBs (plain INTEGER PRIMARY KEY) still open unchanged.
 IMAGE_SCHEMA_V1 = """CREATE TABLE images (
-    id               INTEGER PRIMARY KEY,
+    id               INTEGER PRIMARY KEY AUTOINCREMENT,
     filename         TEXT NOT NULL,
     path             TEXT NOT NULL,
     image_width      INTEGER,

@@ -155,9 +155,19 @@ def decode_image_bytes(
         from PIL import Image
 
         with Image.open(io.BytesIO(data)) as im:
-            im.load()
             width, height = im.size
             tags = extract_exif_tags(im)
+            if md > 0 and im.format == "JPEG":
+                # Same DCT downscale policy as the native decoder (PIL's
+                # draft() uses libjpeg's scaler), so a host without the
+                # native build still produces IDENTICAL pixels — hashes
+                # must not depend on which decoder was available.
+                denom = 1
+                while denom < 8 and min(width, height) // (denom * 2) >= md:
+                    denom *= 2
+                if denom > 1:
+                    im.draft("RGB", (-(-width // denom), -(-height // denom)))
+            im.load()
             rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
         return DecodedImage(
             filename=filename, path=path, rgb=rgb,

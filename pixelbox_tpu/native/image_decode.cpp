@@ -260,13 +260,17 @@ int px_decode_header(const uint8_t* data, size_t len, int min_dim,
   if (rc != 0) return -1;
   *full_w = w;
   *full_h = h;
-  if (fmt == 2) {  // PNG has no decode-time scaling
-    *scaled_w = w;
-    *scaled_h = h;
-  } else {
+  if (fmt == 1) {
+    // Only JPEG scales at decode time: libjpeg's DCT scaling is what
+    // PIL's draft() uses too, so native and PIL-fallback hosts produce
+    // IDENTICAL pixels for the same file + min_dim (hashes must not
+    // depend on which decoder a host happened to build).
     int denom = px_choose_denom(w, h, min_dim);
     *scaled_w = (w + denom - 1) / denom;
     *scaled_h = (h + denom - 1) / denom;
+  } else {
+    *scaled_w = w;
+    *scaled_h = h;
   }
   return 0;
 }
@@ -284,9 +288,9 @@ int px_decode_rgb(const uint8_t* data, size_t len, int min_dim, uint8_t* out,
   }
   if (fmt == 2) return px_png_decode(data, len, out, out_cap, out_w, out_h);
   if (fmt == 3) {
-    if (px_webp_header(data, len, &w, &h) != 0) return -1;
-    return px_webp_decode(data, len, px_choose_denom(w, h, min_dim), out,
-                          out_cap, out_w, out_h);
+    // Full resolution: PIL has no WEBP scaling, and pixels must match
+    // across native/fallback hosts (see px_decode_header).
+    return px_webp_decode(data, len, 1, out, out_cap, out_w, out_h);
   }
   return -1;
 }

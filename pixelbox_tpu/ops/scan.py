@@ -470,8 +470,10 @@ def cosine_scan_topk_threshold(
 
 
 def _default_backend_is_tpu() -> bool:
+    """True only on an actual TPU backend (the Mosaic kernels don't lower
+    on CPU/GPU — those take the XLA threshold path)."""
     try:
-        return jax.devices()[0].platform not in ("cpu",)
+        return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
 

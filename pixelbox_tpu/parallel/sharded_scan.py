@@ -257,6 +257,7 @@ def _sharded_dus(index: PackedSemanticIndex, data, row_sum, row_mag2, valid, sta
 def append_to_sharded_index(
     sharded: PackedSemanticIndex,
     rows_u8: np.ndarray,
+    valid: np.ndarray,
     start: int,
 ) -> PackedSemanticIndex:
     """Write freshly appended rows [start, start+m) into an existing
@@ -264,15 +265,17 @@ def append_to_sharded_index(
     serve_on_mesh).  ``rows_u8`` may include already-present rows before
     ``start`` — callers pad the delta back to a size bucket with rows the
     mirror already holds, bounding compile-cache churn to O(log n) shapes.
-    Capacity/deletes must be handled by the caller (full reshard)."""
+    ``valid`` carries the rows' CURRENT validity (padding may cover rows
+    tombstoned before an earlier full reshard — writing True there would
+    resurrect them).  Capacity changes / new deletes must be handled by
+    the caller (full reshard)."""
     data, row_sum, row_mag2 = semantic_rows_from_u8(rows_u8)
-    m = rows_u8.shape[0]
     return _sharded_dus(
         sharded,
         jnp.asarray(data),
         jnp.asarray(row_sum),
         jnp.asarray(row_mag2),
-        jnp.ones((m,), bool),
+        jnp.asarray(np.ascontiguousarray(valid, dtype=bool)),
         jnp.int32(start),
     )
 

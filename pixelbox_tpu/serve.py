@@ -158,10 +158,9 @@ document.getElementById('q').addEventListener('keydown', e=>{if(e.key=='Enter')s
 </script></body></html>"""
 
 
-def _results_json(engine, offset: int = 0, limit: int = 0):
-    """Serialize cached results; offset/limit implement the pagination the
+def _serialize_results(results, offset: int = 0, limit: int = 0):
+    """Serialize a result list; offset/limit implement the pagination the
     reference stubbed but never wired (reference src/ui/mod.rs:61-82)."""
-    results = engine.get_query_results() or []
     if offset:
         results = results[offset:]
     if limit:
@@ -177,6 +176,10 @@ def _results_json(engine, offset: int = 0, limit: int = 0):
         }
         for r in results
     ]
+
+
+def _results_json(engine, offset: int = 0, limit: int = 0):
+    return _serialize_results(engine.get_query_results() or [], offset, limit)
 
 
 class _ThumbCache:
@@ -269,8 +272,12 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     rec = engine.load_image(info["path"])
                     if rec is None:
                         return self._send(410, {"error": "file unreadable"})
-                    _similar_by_record(rec)
-                    return self._send(200, _results_json(engine))
+                    # Serialize the list returned to THIS request — the
+                    # engine cache is shared and a concurrent query may
+                    # overwrite it before we read it back.
+                    return self._send(
+                        200, _serialize_results(_similar_by_record(rec))
+                    )
                 if parsed.path == "/api/thumbnail":
                     image_id = int(qs["id"][0])
                     cached = thumb_cache.get(image_id)
@@ -322,8 +329,9 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     rec = engine.load_image_from_memory(body, "upload", "")
                     if rec is None:
                         return self._send(400, {"error": "cannot decode image"})
-                    _similar_by_record(rec)
-                    return self._send(200, _results_json(engine))
+                    return self._send(
+                        200, _serialize_results(_similar_by_record(rec))
+                    )
                 data = json.loads(body) if body else {}
                 if parsed.path == "/api/folders/add":
                     engine.add_tracked_folder(data["folder"])

@@ -68,6 +68,12 @@ class BatchingScanService:
         self.max_wait_s = max_wait_ms / 1e3
         self.mode = mode
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # Derived scan inputs (θ sample, pallas row meta), cached per
+        # index buffer identity — rebuilding them per batch would put a
+        # full-index pass on the hot path the batching exists to shrink.
+        self._scan_aux_key = None
+        self._scan_sample = None
+        self._scan_meta = None
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._collector, name="pixelbox-scan-batcher", daemon=True
@@ -117,6 +123,27 @@ class BatchingScanService:
                     break
             self._run_batch(batch)
 
+    def _scan_aux(self, index):
+        key = id(index.data)
+        if self._scan_aux_key != key:
+            from pixelbox_tpu.ops.scan import (
+                DEFAULT_BLOCK_ROWS,
+                _default_backend_is_tpu,
+                build_scan_sample,
+            )
+
+            sample = meta = None
+            if index.capacity > 4 * DEFAULT_BLOCK_ROWS:
+                sample = build_scan_sample(index)
+                if _default_backend_is_tpu():
+                    from pixelbox_tpu.ops.pallas_scan import build_row_meta
+
+                    meta = build_row_meta(index)
+            self._scan_sample = sample
+            self._scan_meta = meta
+            self._scan_aux_key = key
+        return self._scan_sample, self._scan_meta
+
     def _run_batch(self, batch: List[_Request]) -> None:
         try:
             m = len(batch)
@@ -128,8 +155,11 @@ class BatchingScanService:
             index = self._provider()
             with timed("serving.batched_scan"):
                 if self.mode == "auto":
+                    sample, meta = self._scan_aux(index)
                     dist, idx = cosine_scan_topk_auto(
-                        queries, index, k=self.k, max_distance=self.max_distance
+                        queries, index, k=self.k,
+                        max_distance=self.max_distance,
+                        sample=sample, row_meta=meta,
                     )
                 else:
                     dist, idx = cosine_scan_topk(

@@ -136,5 +136,14 @@ def test_incremental_shard_append(mesh_engine, tmp_path):
         eng.query_by_image_hash_from_file(str(d / "s1.png"))
         assert all(r.id != victim for r in eng.get_query_results())
         assert eng._sharded_full_reshards == base + 1
+
+        # A later in-capacity append's bucket padding covers the
+        # tombstoned row — it must NOT be resurrected in the mirror.
+        p = tmp_path / "after_removal.png"
+        Image.fromarray(textured_image(seed=200, size=(48, 48))).save(p)
+        eng.insert_image_from_path(str(p))
+        eng.query_by_image_hash_from_file(str(d / "s1.png"))
+        assert all(r.id != victim for r in eng.get_query_results())
+        assert eng._sharded_full_reshards == base + 1  # delta, not reshard
     finally:
         eng.scan_mesh = None
