@@ -241,6 +241,57 @@ def bench_fast_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     return out
 
 
+def bench_int4_scan(n=1_000_000, d=128, q=256, k=100, iters=10, rng=None):
+    """Half-byte index option: 2x rows per HBM byte; exact vs the int4
+    oracle via the fused threshold kernel (XLA exact path on CPU)."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops.int4 import (
+        build_semantic4_index,
+        build_semantic4_meta,
+        cosine4_scan_topk,
+        pallas_threshold4_scan_topk,
+    )
+    from pixelbox_tpu.ops.scan import _default_backend_is_tpu, build_scan_sample
+
+    rng = rng or np.random.default_rng(7)
+    db = rng.integers(0, 256, size=(n, d), dtype=np.uint8)
+    index = build_semantic4_index(db, block_rows=2**17)
+    qs = jnp.asarray(rng.integers(0, 256, size=(iters, q, d), dtype=np.uint8))
+
+    if _default_backend_is_tpu() and d % 128 == 0:
+        sample = build_scan_sample(index)
+        meta = build_semantic4_meta(index)
+
+        def one(qi, index, meta, sample):
+            dist, idx, exact = pallas_threshold4_scan_topk(
+                qi, index, meta, sample, k=k
+            )
+            return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
+
+        dt, _ = _device_loop(one, qs, iters, index, meta, sample)
+        _, _, exact = pallas_threshold4_scan_topk(qs[0], index, meta, sample, k=k)
+        rate = float(np.asarray(exact).mean())
+        main = "pallas_threshold4"
+    else:
+        def one(qi, index):
+            dist, idx = cosine4_scan_topk(qi, index, k=k, block_rows=2**17)
+            return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
+
+        dt, _ = _device_loop(one, qs, iters, index)
+        rate = 1.0
+        main = "xla_exact4"
+    return {
+        "dots_per_sec": n * q / dt,
+        "scan_ms_per_batch": dt * 1e3,
+        "proof_rate": rate,
+        "index_bytes_per_row": d // 2,
+        "main_pass": main,
+        "batch_q": q,
+        "n": n,
+    }
+
+
 def bench_recall_parity(n=10_000, d=128, q=16, k=10, rng=None):
     """Config 1 exact form: top-10 parity vs the exact CPU oracle at 10k."""
     import jax.numpy as jnp
@@ -538,6 +589,7 @@ def main():
         ("cosine_scan_fast_mode_1Mx128", bench_fast_scan),
         ("recall_parity_10k", bench_recall_parity),
         ("hamming_scan_1Mx32", bench_hamming),
+        ("int4_scan_1Mx128", bench_int4_scan),
     ] + (
         [
             ("efficientnet_embedding", bench_embedding),

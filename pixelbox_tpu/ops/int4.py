@@ -1,0 +1,405 @@
+"""Int4 (half-byte) semantic index — 2× rows per HBM byte, opt-in.
+
+The scan is HBM-bandwidth-bound (PERF.md: ~38 GB/s effective on the test
+chip), so index bytes ARE the capacity/throughput budget.  This packs two
+4-bit codes per byte: a 1M×128 index drops from 128 MB to 64 MB, doubling
+either the rows a chip can serve or the batched scan rate.
+
+Quantization: the u8 code v8 ∈ [0,255] (ops/quantize.py, the reference's
+saturating-cast semantics) maps to v4 = round(v8·15/255) ∈ [0,15]; v4
+dequantizes to the exact u8 grid value 17·v4 (17 = 255/15, so 0 and 255
+are representable exactly).  Distances reuse the exact-integer cosine
+spec over centered values 2·(17·v4) − 255 = 34·v4 − 255:
+
+    Σ(34a−255)(34b−255) = 1156·Σab − 8670·(Σa + Σb) + 65025·D
+
+— an int32 affine fix over the int8 GEMM of the 4-bit codes, with the
+same canonical f32 epilogue as the u8 path, so numpy oracle == XLA ==
+Pallas bit-for-bit.  This is a DIFFERENT (coarser) metric than the u8
+index — an explicit capacity/precision trade the reference has no analog
+for — not a compressed view of it.
+
+Packing layout: column-blocked, NOT interleaved — byte j of a row holds
+dim j in its low nibble and dim j + D/2 in its high nibble.  Unpacking is
+then a mask/shift + concatenate along lanes (Mosaic-friendly; dot
+products don't care about dim order as long as queries pack the same).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pixelbox_tpu.ops import topk as topk_ops
+from pixelbox_tpu.ops.distances import _cosine_distance_from_moments
+from pixelbox_tpu.ops.scan import DEFAULT_BLOCK_ROWS, _block_iota
+
+
+class PackedSemantic4Index(NamedTuple):
+    """Device arrays for the int4 semantic index."""
+
+    data: jnp.ndarray      # uint8 [N_pad, D/2], two 4-bit codes per byte
+    row_sum: jnp.ndarray   # int32 [N_pad]: Σ v4
+    row_mag2: jnp.ndarray  # int32 [N_pad]: Σ (34·v4 − 255)²
+    valid: jnp.ndarray     # bool [N_pad]
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return 2 * self.data.shape[1]
+
+
+def quantize_u8_to_u4(v8: np.ndarray) -> np.ndarray:
+    """u8 codes → 4-bit codes, round-half-up on the 15/255 rescale."""
+    v8 = np.asarray(v8, dtype=np.uint16)
+    return ((v8 * 15 + 127) // 255).astype(np.uint8)
+
+
+def dequantize_u4_to_u8(v4: np.ndarray) -> np.ndarray:
+    return (np.asarray(v4, dtype=np.uint16) * 17).astype(np.uint8)
+
+
+def pack_u4_rows(v4: np.ndarray) -> np.ndarray:
+    """4-bit codes [n, D] → packed bytes [n, D/2] (column-blocked)."""
+    v4 = np.asarray(v4, dtype=np.uint8)
+    n, d = v4.shape
+    assert d % 2 == 0, d
+    half = d // 2
+    return (v4[:, :half] | (v4[:, half:] << 4)).astype(np.uint8)
+
+
+def unpack_u4_rows_np(packed: np.ndarray) -> np.ndarray:
+    p = np.asarray(packed, dtype=np.uint8)
+    return np.concatenate([p & 0xF, p >> 4], axis=-1)
+
+
+def semantic4_rows_from_u8(rows_u8: np.ndarray):
+    """u8 rows [n, D] → (packed [n, D/2], row_sum [n], row_mag2 [n])."""
+    v4 = quantize_u8_to_u4(rows_u8)
+    packed = pack_u4_rows(v4)
+    v = v4.astype(np.int64)
+    row_sum = np.sum(v, axis=-1).astype(np.int32)
+    c = 34 * v - 255
+    row_mag2 = np.sum(c * c, axis=-1).astype(np.int32)
+    return packed, row_sum, row_mag2
+
+
+def build_semantic4_index(
+    rows_u8: np.ndarray, block_rows: int = DEFAULT_BLOCK_ROWS
+) -> PackedSemantic4Index:
+    """Pack u8 rows into a padded int4 device index."""
+    n, d = rows_u8.shape
+    n_pad = -(-n // block_rows) * block_rows
+    packed, row_sum, row_mag2 = semantic4_rows_from_u8(rows_u8)
+    data = np.zeros((n_pad, d // 2), dtype=np.uint8)
+    data[:n] = packed
+    rs = np.zeros(n_pad, np.int32)
+    rs[:n] = row_sum
+    rm = np.zeros(n_pad, np.int32)
+    rm[:n] = row_mag2
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    return PackedSemantic4Index(
+        jnp.asarray(data), jnp.asarray(rs), jnp.asarray(rm), jnp.asarray(valid)
+    )
+
+
+# --------------------------------------------------------------------- #
+# Oracle (numpy, exact)
+
+
+def cosine4_distance_np(a_u8: np.ndarray, b_u8: np.ndarray) -> np.ndarray:
+    """Reciprocal cosine over the int4-quantized codes (canonical f32
+    rounding spec, ops/distances.py)."""
+    ca = 34 * quantize_u8_to_u4(a_u8).astype(np.int64) - 255
+    cb = 34 * quantize_u8_to_u4(b_u8).astype(np.int64) - 255
+    dot = np.sum(ca * cb, axis=-1)
+    mag_prod = np.sqrt(
+        np.sum(ca * ca, axis=-1).astype(np.float32)
+        * np.sum(cb * cb, axis=-1).astype(np.float32)
+    )
+    mag = mag_prod * np.float32(1.0 / (255.0 * 255.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot.astype(np.float32) / mag_prod
+    dist = np.float32(1.0) / np.maximum(cos, np.float32(1e-6)) - np.float32(1.0)
+    return np.where(mag < np.float32(1e-6), np.float32(0.0), dist).astype(
+        np.float32
+    )
+
+
+def cosine4_scan_topk_np(query_u8, db_u8, k=100, max_distance=1e3):
+    from pixelbox_tpu.ops.oracle import _scan_topk_np
+
+    q = np.atleast_2d(np.asarray(query_u8, dtype=np.uint8))
+    dist = cosine4_distance_np(q[:, None, :], np.asarray(db_u8)[None, :, :])
+    return _scan_topk_np(dist, k, max_distance)
+
+
+# --------------------------------------------------------------------- #
+# XLA blocked scan
+
+
+def _unpack_u4(packed):
+    return jnp.concatenate(
+        [packed & jnp.uint8(0xF), packed >> 4], axis=-1
+    ).astype(jnp.int8)
+
+
+def query4_moments_from_u8(q_u8: jnp.ndarray):
+    """Device-side query precompute: u8 [Q, D] → int4 codes + moments."""
+    v = (jnp.asarray(q_u8).astype(jnp.int32) * 15 + 127) // 255
+    q_i8 = v.astype(jnp.int8)
+    q_sum = jnp.sum(v, axis=-1).astype(jnp.int32)
+    c = 34 * v - 255
+    q_mag2 = jnp.sum(c * c, axis=-1).astype(jnp.int32)
+    return q_i8, q_sum, q_mag2
+
+
+def _cosine4_block_dist(
+    q_i8, q_sum, q_mag2_f, blk_packed, blk_sum, blk_mag2, blk_valid,
+    max_distance, d,
+):
+    blk = _unpack_u4(blk_packed)
+    dot4 = lax.dot_general(
+        q_i8, blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dot_c = (
+        1156 * dot4
+        - 8670 * (q_sum[:, None] + blk_sum[None, :])
+        + jnp.int32(65025 * d)
+    )
+    dist = _cosine_distance_from_moments(
+        dot_c.astype(jnp.float32), q_mag2_f,
+        blk_mag2.astype(jnp.float32)[None, :],
+    )
+    keep = blk_valid[None, :] & (dist < max_distance)
+    return jnp.where(keep, dist, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("k", "block_rows"))
+def cosine4_scan_topk(
+    query_u8: jnp.ndarray,
+    index: PackedSemantic4Index,
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+):
+    """Exact blocked top-k over the int4 index (u8 queries are int4-
+    quantized on device; ``cosine4_scan_topk_np`` is the oracle)."""
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, d = query_u8.shape
+    n_pad = index.capacity
+    block_rows = min(block_rows, n_pad)
+    assert n_pad % block_rows == 0, (n_pad, block_rows)
+    nb = n_pad // block_rows
+    assert index.dim == d, (index.dim, d)
+
+    q_i8, q_sum, q_mag2 = query4_moments_from_u8(query_u8)
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+
+    xs = (
+        index.data.reshape(nb, block_rows, d // 2),
+        index.row_sum.reshape(nb, block_rows),
+        index.row_mag2.reshape(nb, block_rows),
+        index.valid.reshape(nb, block_rows),
+        jnp.arange(nb, dtype=jnp.int32) * block_rows,
+    )
+
+    def body(carry, x):
+        best_d, best_i = carry
+        blk, blk_sum, blk_mag2, blk_valid, base = x
+        dist = _cosine4_block_dist(
+            q_i8, q_sum, q_mag2_f, blk, blk_sum, blk_mag2, blk_valid, md, d
+        )
+        idx = _block_iota(base, block_rows, qn)
+        cand_d, cand_i = topk_ops.block_topk(dist, idx, k)
+        return topk_ops.merge_sorted_topk(best_d, best_i, cand_d, cand_i, k), None
+
+    init = topk_ops.empty_topk((qn,), k)
+    (best_d, best_i), _ = lax.scan(body, init, xs)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i
+
+
+# --------------------------------------------------------------------- #
+# Fused Pallas threshold scan (guaranteed exact vs the int4 oracle)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "tile_rows", "target_count", "max_rounds"),
+)
+def pallas_threshold4_scan_topk(
+    query_u8: jnp.ndarray,
+    index: PackedSemantic4Index,
+    meta: jnp.ndarray,            # [2, N] int32: (row_sum, row_mag2)
+    sample,                       # ops.scan.ScanSample over the PACKED data
+    k: int = 100,
+    max_distance: jnp.ndarray | float = 1e3,
+    tile_rows: int = 2048,
+    target_count: int | None = None,
+    max_rounds: int = 96,
+):
+    """Int4 twin of ``pallas_threshold_scan_topk_v2``: the kernel reads
+    HALF the HBM bytes (packed nibbles, unpacked in VMEM).  Returns
+    (dist [Q,k], idx, exact [Q]); repair unproven queries with
+    :func:`cosine4_scan_topk`."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pixelbox_tpu.ops.pallas_scan import _threshold_insert_kernel
+
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    qn, d = query_u8.shape
+    assert index.dim == d, (index.dim, d)
+    n_pad = index.capacity
+    assert n_pad % tile_rows == 0, (n_pad, tile_rows)
+    n_tiles = n_pad // tile_rows
+    k_lanes = max(128, -(-k // 128) * 128)
+
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+    q_i8, q_sum, q_mag2 = query4_moments_from_u8(query_u8)
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+
+    s = sample.data.shape[0]
+    tc = target_count if target_count is not None else max(4 * k, 256)
+    j = min(s, max(1, -(-tc * s // n_pad)))
+    s_dist = _cosine4_block_dist(
+        q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
+        sample.valid, md, d,
+    )
+    s_top, _ = topk_ops.block_topk(
+        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+    )
+    theta_j = s_top[:, j - 1 : j]
+    theta = jnp.minimum(theta_j, md)
+    unbound = ~(theta_j < md)[:, 0]
+
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_i8_p = q_i8
+    theta_p = theta
+    if q_pad != qn:
+        q_i8_p = jnp.pad(q_i8, ((0, q_pad - qn), (0, 0)))
+        theta_p = jnp.pad(
+            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
+        )
+
+    kernel = partial(
+        _threshold_insert_kernel,
+        tile_rows=tile_rows, k_lanes=k_lanes, dim=d, max_rounds=max_rounds,
+        kind="cosine4",
+    )
+    best_d, best_i, counts = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((q_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, d // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, 128), jnp.int32),
+        ),
+    )(theta_p, q_i8_p, index.data, meta)
+
+    best_d = best_d[:qn, :k]
+    best_i = best_i[:qn, :k]
+    count = counts[:qn, 0]
+    keep = jnp.isfinite(best_d)
+    best_i = jnp.where(keep, best_i, -1)
+    exact = (count >= k) | (unbound & (count >= 0))
+    if squeeze:
+        return best_d[0], best_i[0], exact[0]
+    return best_d, best_i, exact
+
+
+def build_semantic4_meta(index: PackedSemantic4Index) -> jnp.ndarray:
+    """[2, N] int32 meta for the int4 threshold kernel: (row_sum,
+    row_mag2 with 0 marking invalid rows)."""
+    mag2 = jnp.where(index.valid, index.row_mag2, 0)
+    return jnp.stack([index.row_sum, mag2], axis=0).astype(jnp.int32)
+
+
+def cosine4_scan_topk_auto(
+    query_u8,
+    index: PackedSemantic4Index,
+    k: int = 100,
+    max_distance: float = 1e3,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    sample=None,
+    meta: jnp.ndarray | None = None,
+    prefer_pallas: bool | None = None,
+):
+    """Guaranteed-exact int4 scan (vs the int4 oracle): fused Pallas
+    threshold on TPU, direct exact scan elsewhere; unproven queries
+    re-scan exactly."""
+    from pixelbox_tpu.ops.scan import _default_backend_is_tpu, build_scan_sample
+
+    q = jnp.asarray(query_u8)
+    squeeze = q.ndim == 1
+    if squeeze:
+        q = q[None, :]
+    use_pallas = (
+        prefer_pallas if prefer_pallas is not None else _default_backend_is_tpu()
+    ) and index.capacity % 2048 == 0 and index.dim % 128 == 0 and q.shape[0] <= 512
+    if index.capacity <= 4 * block_rows or not use_pallas:
+        best_d, best_i = cosine4_scan_topk(
+            q, index, k=k, max_distance=max_distance, block_rows=block_rows
+        )
+        if squeeze:
+            return best_d[0], best_i[0]
+        return best_d, best_i
+    if sample is None:
+        sample = build_scan_sample(index)
+    if meta is None:
+        meta = build_semantic4_meta(index)
+    best_d, best_i, exact = pallas_threshold4_scan_topk(
+        q, index, meta, sample, k=k, max_distance=max_distance
+    )
+    ok = np.asarray(exact)
+    if not ok.all():
+        best_d = np.asarray(best_d).copy()
+        best_i = np.asarray(best_i).copy()
+        bad = np.nonzero(~ok)[0]
+        bucket = 8
+        while bucket < len(bad):
+            bucket *= 4
+        q_np = np.asarray(q)
+        repair = np.zeros((bucket, q_np.shape[1]), dtype=np.uint8)
+        repair[: len(bad)] = q_np[bad]
+        rd, ri = cosine4_scan_topk(
+            jnp.asarray(repair), index, k=k, max_distance=max_distance,
+            block_rows=block_rows,
+        )
+        best_d[bad] = np.asarray(rd)[: len(bad)]
+        best_i[bad] = np.asarray(ri)[: len(bad)]
+        best_d = jnp.asarray(best_d)
+        best_i = jnp.asarray(best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i

@@ -418,29 +418,52 @@ def _threshold_insert_kernel(
         counts_ref[:] = jnp.zeros((qn, 128), jnp.int32)
 
     q_i8 = q_ref[:]
+    theta = theta_ref[:]                                           # [Q,1]
+    if kind == "cosine4":
+        # Packed int4 tile [T, D/2]: two codes per byte, column-blocked.
+        # Unpack in int32 — Mosaic has no 8-bit shift lowering.
+        p32 = data_ref[:].astype(jnp.int32)
+        blk = jnp.concatenate(
+            [p32 & 15, (p32 >> 4) & 15], axis=-1
+        ).astype(jnp.int8)
+    else:
+        blk = data_ref[:]
     dot8 = lax.dot_general(
         q_i8,
-        data_ref[:],
+        blk,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                                              # [Q,T]
-    theta = theta_ref[:]                                           # [Q,1]
-    if kind == "cosine":
-        q_i32 = q_i8.astype(jnp.int32)
-        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)
-        qc = 2 * q_i32 + 1
-        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
-        row_sum = meta_ref[0, :][None, :]
-        row_mag2 = meta_ref[1, :][None, :]
-        dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
+
+    def _cosine_dist(dot_c, row_mag2, q_mag2):
         mag2_b = row_mag2.astype(jnp.float32)
         sp = jnp.sqrt(q_mag2 * mag2_b)
         mag = sp * _RECIP_65025
         cos = dot_c.astype(jnp.float32) / sp
         dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
         dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
-        dist = jnp.where((row_mag2 > 0) & (dist < theta), dist, _INF)
-    else:
+        return jnp.where((row_mag2 > 0) & (dist < theta), dist, _INF)
+
+    if kind == "cosine":
+        q_i32 = q_i8.astype(jnp.int32)
+        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)
+        qc = 2 * q_i32 + 1
+        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+        dot_c = 4 * dot8 + 2 * (q_sum + meta_ref[0, :][None, :]) + jnp.int32(dim)
+        dist = _cosine_dist(dot_c, meta_ref[1, :][None, :], q_mag2)
+    elif kind == "cosine4":
+        # q_ref carries the 4-bit codes (0..15) as int8.
+        q_i32 = q_i8.astype(jnp.int32)
+        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)
+        qc = 34 * q_i32 - 255
+        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+        dot_c = (
+            1156 * dot8
+            - 8670 * (q_sum + meta_ref[0, :][None, :])
+            + jnp.int32(65025 * dim)
+        )
+        dist = _cosine_dist(dot_c, meta_ref[1, :][None, :], q_mag2)
+    else:  # hamming
         row_valid = meta_ref[0, :][None, :]
         diff_bits = (jnp.int32(dim) - dot8) >> 1
         if wrap_u8:

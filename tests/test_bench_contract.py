@@ -25,6 +25,14 @@ def test_bench_auto_scan_miniature(rng):
     assert 0.0 <= res["proof_rate_per_query"] <= 1.0
 
 
+def test_bench_int4_miniature(rng):
+    import bench
+
+    res = bench.bench_int4_scan(n=2048, d=32, q=4, k=5, iters=2, rng=rng)
+    assert res["dots_per_sec"] > 0
+    assert res["index_bytes_per_row"] == 16
+
+
 def test_bench_recall_parity_miniature(rng):
     import bench
 
