@@ -33,6 +33,8 @@ def _open_engine(args, create=False):
         kwargs["dim"] = args.dim
     if getattr(args, "blip", False):
         kwargs["blip"] = True
+    if getattr(args, "precision", "int8") != "int8":
+        kwargs["semantic_precision"] = args.precision
     if getattr(args, "scan_mode", None):
         pass  # applied post-construction below
     eng = Engine(args.db, create=create, **kwargs)
@@ -91,6 +93,11 @@ def main(argv=None) -> int:
             "--scan-mode", dest="scan_mode", default=None,
             choices=("auto", "exact", "fast", "pallas"),
             help="similarity scan mode (default auto: verified-exact)",
+        )
+        sp.add_argument(
+            "--precision", default="int8", choices=("int8", "int4"),
+            help="semantic index precision: int4 packs 2x rows per chip "
+            "at coarser distances (catalog keeps full u8 hashes)",
         )
         return sp
 

@@ -76,10 +76,18 @@ class Engine:
         phash_compat: bool = True,
         blip: bool = False,
         blip_kwargs: Optional[dict] = None,
+        semantic_precision: str = "int8",
     ):
+        assert semantic_precision in ("int8", "int4"), semantic_precision
         self.catalog = Catalog(db_path, create=create)
         self.db_path = db_path
         self.phash_compat = phash_compat
+        #: "int8" (default, reference-exact distances) or "int4": the
+        #: device index packs two 4-bit codes per byte (ops/int4.py) —
+        #: 2× rows per chip at coarser distances.  The catalog keeps the
+        #: full u8 hashes either way, so the precision can be changed on
+        #: reopen.
+        self.semantic_precision = semantic_precision
         self._blip_enabled = blip
         self._blip_kwargs = dict(blip_kwargs or {})
         self._blip_searcher = None
@@ -159,12 +167,16 @@ class Engine:
         """Open an existing database (engine.rs:117-145)."""
         return cls(db_path, create=False, **kwargs)
 
+    def _new_sem_store(self, dim: int) -> VectorStore:
+        kind = "semantic4" if self.semantic_precision == "int4" else "semantic"
+        return VectorStore(dim=dim, kind=kind)
+
     def _load_stores(self) -> None:
         sem = list(self.catalog.iter_hashes("semantic_hashes"))
         ph = list(self.catalog.iter_hashes("phashes"))
         if sem:
             dim = len(sem[0][1])
-            self._sem_store = VectorStore(dim=dim, kind="semantic")
+            self._sem_store = self._new_sem_store(dim)
             rows = np.frombuffer(b"".join(h for _, h in sem), dtype=np.uint8)
             self._sem_store.append(rows.reshape(len(sem), dim))
             self._sem_image_ids = [i for i, _ in sem]
@@ -328,7 +340,7 @@ class Engine:
             sem = [(i, r.visual_hash) for i, r in new if r.visual_hash is not None]
             if sem:
                 if self._sem_store is None:
-                    self._sem_store = VectorStore(dim=len(sem[0][1]), kind="semantic")
+                    self._sem_store = self._new_sem_store(len(sem[0][1]))
                 row_ids = self._sem_store.append(np.stack([h for _, h in sem]))
                 for (img_id, _), row in zip(sem, row_ids):
                     self._sem_image_ids.append(img_id)
@@ -376,7 +388,7 @@ class Engine:
             self._blip_row_by_image[image_id] = row
         if visual_hash is not None:
             if self._sem_store is None:
-                self._sem_store = VectorStore(dim=len(visual_hash), kind="semantic")
+                self._sem_store = self._new_sem_store(len(visual_hash))
             row = int(self._sem_store.append(visual_hash[None, :])[0])
             self._sem_image_ids.append(image_id)
             self._sem_row_by_image[image_id] = row
@@ -592,6 +604,7 @@ class Engine:
         if sim is not None and sim.visual_hash is not None and len(rows):
             # Order by cosine distance to the cached image over the matched
             # subset; NO distance threshold on this path (engine.rs:294-315).
+            int4 = self.semantic_precision == "int4"
             if len(rows) > 16384:
                 # Broad filter: run the device scan with the filter folded
                 # into the validity mask (beats gathering the subset to
@@ -602,12 +615,20 @@ class Engine:
                 ].set(True)
                 masked = index._replace(valid=jnp.logical_and(index.valid, mask))
                 with timed("engine.text_query_scan"):
-                    dists, idxs = cosine_scan_topk(
-                        jnp.asarray(sim.visual_hash),
-                        masked,
-                        k=k,
-                        max_distance=np.inf,  # no threshold on this path
-                    )
+                    if int4:
+                        from pixelbox_tpu.ops.int4 import cosine4_scan_topk
+
+                        dists, idxs = cosine4_scan_topk(
+                            jnp.asarray(sim.visual_hash), masked, k=k,
+                            max_distance=np.inf,
+                        )
+                    else:
+                        dists, idxs = cosine_scan_topk(
+                            jnp.asarray(sim.visual_hash),
+                            masked,
+                            k=k,
+                            max_distance=np.inf,  # no threshold on this path
+                        )
                 dists = np.asarray(dists)
                 idxs = np.asarray(idxs)
                 keep = idxs >= 0
@@ -616,11 +637,21 @@ class Engine:
             else:
                 db_rows = self._sem_store.get_rows(rows)
                 with timed("engine.text_query_scan"):
-                    dists = np.asarray(
-                        cosine_distance(
-                            jnp.asarray(sim.visual_hash)[None, :], jnp.asarray(db_rows)
+                    if int4:
+                        # Match the device index's quantization so filtered
+                        # and unfiltered orderings agree.
+                        from pixelbox_tpu.ops.int4 import cosine4_distance_np
+
+                        dists = cosine4_distance_np(
+                            np.asarray(sim.visual_hash)[None, :], db_rows
                         )
-                    )
+                    else:
+                        dists = np.asarray(
+                            cosine_distance(
+                                jnp.asarray(sim.visual_hash)[None, :],
+                                jnp.asarray(db_rows),
+                            )
+                        )
                 order = np.argsort(dists, kind="stable")[:k]
                 sel = rows[order]
                 sel_dists = dists[order]
@@ -846,7 +877,42 @@ class Engine:
         t0 = time.perf_counter()
         k = int(self.max_search_results)
         with timed("engine.similarity_scan"):
-            if self.scan_mesh is not None:
+            if self.semantic_precision == "int4":
+                if self.scan_mesh is not None:
+                    raise ValueError(
+                        "the int4 index does not support serve_on_mesh yet;"
+                        " reopen with semantic_precision='int8'"
+                    )
+                from pixelbox_tpu.ops.int4 import (
+                    cosine4_scan_topk,
+                    cosine4_scan_topk_auto,
+                )
+
+                index = self._sem_store.device_index
+                if self.scan_mode == "exact":
+                    dist, idx = cosine4_scan_topk(
+                        jnp.asarray(record.visual_hash), index, k=k,
+                        max_distance=float(self.max_distance_from_query),
+                    )
+                else:  # auto / fast / pallas → the guaranteed-exact auto
+                    from pixelbox_tpu.ops.scan import (
+                        DEFAULT_BLOCK_ROWS,
+                        _default_backend_is_tpu,
+                    )
+
+                    meta = None
+                    if (
+                        _default_backend_is_tpu()
+                        and index.capacity > 4 * DEFAULT_BLOCK_ROWS
+                    ):
+                        meta = self._get_pallas_meta()
+                    dist, idx = cosine4_scan_topk_auto(
+                        record.visual_hash, index, k=k,
+                        max_distance=float(self.max_distance_from_query),
+                        sample=self._get_scan_sample(),
+                        meta=meta,
+                    )
+            elif self.scan_mesh is not None:
                 from pixelbox_tpu.parallel.sharded_scan import (
                     sharded_cosine_scan_topk,
                     sharded_cosine_scan_topk_auto,

@@ -50,7 +50,9 @@ class VectorStore:
     dim: vector width in bytes (embedding dim for semantic, hash bytes for
         phash).  The reference treats hash width as opaque/user-defined
         (engine.rs:48; README.md:51-59), so any dim works.
-    kind: "semantic" (int8 GEMM cosine scan) or "hamming" (xor-popcount).
+    kind: "semantic" (int8 GEMM cosine scan), "semantic4" (half-byte
+        packed device index, ops/int4.py — 2× rows per HBM byte; the host
+        mirror and checkpoints stay u8), or "hamming" (xor-popcount).
     """
 
     def __init__(
@@ -60,7 +62,7 @@ class VectorStore:
         block_rows: int = DEFAULT_BLOCK_ROWS,
         device: Optional[jax.Device] = None,
     ):
-        assert kind in ("semantic", "hamming"), kind
+        assert kind in ("semantic", "semantic4", "hamming"), kind
         self.dim = int(dim)
         self.kind = kind
         self.block_rows = int(block_rows)
@@ -105,6 +107,16 @@ class VectorStore:
         if self.kind == "semantic":
             data, row_sum, row_mag2 = semantic_rows_from_u8(rows)
             self._device_arrays = PackedSemanticIndex(
+                self._put(data), self._put(row_sum), self._put(row_mag2), self._put(valid)
+            )
+        elif self.kind == "semantic4":
+            from pixelbox_tpu.ops.int4 import (
+                PackedSemantic4Index,
+                semantic4_rows_from_u8,
+            )
+
+            data, row_sum, row_mag2 = semantic4_rows_from_u8(rows)
+            self._device_arrays = PackedSemantic4Index(
                 self._put(data), self._put(row_sum), self._put(row_mag2), self._put(valid)
             )
         else:
@@ -160,6 +172,20 @@ class VectorStore:
             data, row_sum, row_mag2 = semantic_rows_from_u8(rows_u8)
             a = self._device_arrays
             self._device_arrays = PackedSemanticIndex(
+                _update_rows(a.data, self._put(data), start),
+                _update_rows(a.row_sum, self._put(row_sum), start),
+                _update_rows(a.row_mag2, self._put(row_mag2), start),
+                _update_rows(a.valid, valid_upd, start),
+            )
+        elif self.kind == "semantic4":
+            from pixelbox_tpu.ops.int4 import (
+                PackedSemantic4Index,
+                semantic4_rows_from_u8,
+            )
+
+            data, row_sum, row_mag2 = semantic4_rows_from_u8(rows_u8)
+            a = self._device_arrays
+            self._device_arrays = PackedSemantic4Index(
                 _update_rows(a.data, self._put(data), start),
                 _update_rows(a.row_sum, self._put(row_sum), start),
                 _update_rows(a.row_mag2, self._put(row_mag2), start),

@@ -1,0 +1,108 @@
+"""Engine-level int4 index precision (semantic_precision='int4')."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixelbox_tpu.engine import Engine
+from pixelbox_tpu.ops.int4 import cosine4_scan_topk_np
+
+from fixtures import textured_image
+
+
+@pytest.fixture(scope="module")
+def int4_engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("photos")
+    for s in range(8):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    db = tmp_path_factory.mktemp("db") / "i4.db"
+    eng = Engine.new(str(db), embedder="stub", embedder_kwargs={"dim": 32},
+                     semantic_precision="int4")
+    eng.max_distance_from_query = 1e7
+    for s in range(8):
+        eng.insert_image_from_path(str(d / f"s{s}.png"))
+    yield eng, d, str(db)
+    eng.close()
+
+
+def test_store_is_packed(int4_engine):
+    eng, d, _ = int4_engine
+    assert eng._sem_store.kind == "semantic4"
+    # Device bytes per row: half the embedding width.
+    assert eng._sem_store.device_index.data.shape[1] == 16
+    # The catalog keeps full u8 hashes.
+    _, blob = next(iter(eng.catalog.iter_hashes("semantic_hashes")))
+    assert len(blob) == 32
+
+
+def test_query_matches_int4_oracle(int4_engine):
+    eng, d, _ = int4_engine
+    rec = eng.load_image(str(d / "s3.png"))
+    eng.query_by_image_hash_from_image(rec)
+    got = [
+        (r.id, round(r.distance_from_query, 6)) for r in eng.get_query_results()
+    ]
+    ids, blobs = [], []
+    for image_id, blob in eng.catalog.iter_hashes("semantic_hashes"):
+        ids.append(image_id)
+        blobs.append(np.frombuffer(blob, np.uint8))
+    exp_d, exp_i = cosine4_scan_topk_np(
+        rec.visual_hash, np.stack(blobs), k=eng.max_search_results,
+        max_distance=eng.max_distance_from_query,
+    )
+    want = [
+        (ids[i], round(float(v), 6))
+        for v, i in zip(exp_d[0], exp_i[0]) if i >= 0
+    ]
+    assert got == want
+    assert got[0][1] == 0.0  # self-match stays exact on the int4 grid
+
+
+def test_exact_mode_matches_auto(int4_engine):
+    eng, d, _ = int4_engine
+    rec = eng.load_image(str(d / "s5.png"))
+    eng.scan_mode = "exact"
+    eng.query_by_image_hash_from_image(rec)
+    exact = [(r.id, round(r.distance_from_query, 6))
+             for r in eng.get_query_results()]
+    eng.scan_mode = "auto"
+    eng.query_by_image_hash_from_image(rec)
+    auto = [(r.id, round(r.distance_from_query, 6))
+            for r in eng.get_query_results()]
+    assert exact == auto
+
+
+def test_mesh_raises_clearly(int4_engine):
+    from pixelbox_tpu.parallel.mesh import make_mesh
+
+    eng, d, _ = int4_engine
+    eng.serve_on_mesh(make_mesh(8))
+    try:
+        rec = eng.load_image(str(d / "s0.png"))
+        with pytest.raises(ValueError, match="int4"):
+            eng.query_by_image_hash_from_image(rec)
+    finally:
+        eng.scan_mesh = None
+
+
+def test_reopen_as_int8_restores_reference_distances(int4_engine, tmp_path):
+    eng, d, db = int4_engine
+    eng2 = Engine.open(db, embedder="stub", embedder_kwargs={"dim": 32})
+    eng2.max_distance_from_query = 1e7
+    assert eng2._sem_store.kind == "semantic"
+    rec = eng2.load_image(str(d / "s2.png"))
+    eng2.query_by_image_hash_from_image(rec)
+    assert eng2.get_query_results()[0].filename == "s2.png"
+    assert eng2.get_query_results()[0].distance_from_query == 0.0
+    eng2.close()
+
+
+def test_similar_text_query_uses_int4(int4_engine):
+    eng, d, _ = int4_engine
+    eng.query(f"similar:{d / 's4.png'}")
+    results = eng.get_query_results()
+    assert results[0].filename == "s4.png"
+    dists = [r.distance_from_query for r in results]
+    assert dists == sorted(dists)
