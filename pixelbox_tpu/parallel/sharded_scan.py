@@ -187,6 +187,15 @@ def sharded_cosine_scan_topk_auto(
     md = jnp.float32(max_distance)
     index_specs = PackedSemanticIndex(P(axis, None), P(axis), P(axis), P(axis))
 
+    from pixelbox_tpu.ops.scan import _default_backend_is_tpu
+
+    use_pallas = (
+        _default_backend_is_tpu()
+        and local_rows % 2048 == 0
+        and index.data.shape[1] % 128 == 0
+        and query_u8.shape[0] <= 512
+    )
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -201,10 +210,24 @@ def sharded_cosine_scan_topk_auto(
             local_index.row_mag2[::stride],
             local_index.valid[::stride],
         )
-        local_d, local_i, exact = cosine_scan_topk_threshold(
-            q, local_index, sample, k=k, max_distance=md,
-            block_rows=block_rows, budget=budget,
-        )
+        if use_pallas:
+            # Real TPU mesh: the fused threshold kernel runs per shard
+            # (same kernel as single-chip auto); the CPU-simulated mesh
+            # exercises the XLA path below.
+            from pixelbox_tpu.ops.pallas_scan import (
+                build_row_meta,
+                pallas_threshold_scan_topk_v2,
+            )
+
+            meta = build_row_meta(local_index)
+            local_d, local_i, exact = pallas_threshold_scan_topk_v2(
+                q, local_index, meta, sample, k=k, max_distance=md
+            )
+        else:
+            local_d, local_i, exact = cosine_scan_topk_threshold(
+                q, local_index, sample, k=k, max_distance=md,
+                block_rows=block_rows, budget=budget,
+            )
         shard_id = lax.axis_index(axis)
         offset = shard_id.astype(jnp.int32) * jnp.int32(local_rows)
         global_i = jnp.where(local_i >= 0, local_i + offset, -1)
