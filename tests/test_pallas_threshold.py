@@ -122,3 +122,28 @@ def test_v2_unbound_max_distance(db, index, rng):
     assert exact.all()
     exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=50, max_distance=0.05)
     check_topk_parity(d, i, exp_d, exp_i)
+
+
+def test_v2_k_beyond_one_lane_block(db, index, rng):
+    """k=150 needs 256 carry lanes; insertion must stay oracle-exact."""
+    q = rng.integers(0, 256, size=(3, 32), dtype=np.uint8)
+    d, i, exact = _run_v2(q, index, db, k=150)
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=150)
+    ok = np.nonzero(exact)[0]
+    assert len(ok) >= 1
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_v2_all_rows_invalid(rng):
+    """Empty (all-masked) index: zero results, proven exact via θ==md."""
+    from pixelbox_tpu.ops.packed import PackedSemanticIndex
+
+    cap, dim = 4096, 32
+    idx = PackedSemanticIndex(
+        jnp.zeros((cap, dim), jnp.int8), jnp.zeros(cap, jnp.int32),
+        jnp.zeros(cap, jnp.int32), jnp.zeros(cap, bool),
+    )
+    q = rng.integers(0, 256, size=(2, dim), dtype=np.uint8)
+    d, i, exact = _run_v2(q, idx, None, k=10)
+    assert exact.all()
+    assert (np.asarray(i) == -1).all()
