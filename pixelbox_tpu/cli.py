@@ -33,7 +33,7 @@ def _open_engine(args, create=False):
         kwargs["dim"] = args.dim
     if getattr(args, "blip", False):
         kwargs["blip"] = True
-    if getattr(args, "precision", "int8") != "int8":
+    if getattr(args, "precision", None):
         kwargs["semantic_precision"] = args.precision
     if getattr(args, "scan_mode", None):
         pass  # applied post-construction below
@@ -95,9 +95,10 @@ def main(argv=None) -> int:
             help="similarity scan mode (default auto: verified-exact)",
         )
         sp.add_argument(
-            "--precision", default="int8", choices=("int8", "int4"),
+            "--precision", default=None, choices=("int8", "int4"),
             help="semantic index precision: int4 packs 2x rows per chip "
-            "at coarser distances (catalog keeps full u8 hashes)",
+            "at coarser distances (catalog keeps full u8 hashes). "
+            "Persisted in the library; later commands inherit it.",
         )
         return sp
 

@@ -76,17 +76,24 @@ class Engine:
         phash_compat: bool = True,
         blip: bool = False,
         blip_kwargs: Optional[dict] = None,
-        semantic_precision: str = "int8",
+        semantic_precision: Optional[str] = None,
     ):
-        assert semantic_precision in ("int8", "int4"), semantic_precision
+        assert semantic_precision in (None, "int8", "int4"), semantic_precision
         self.catalog = Catalog(db_path, create=create)
         self.db_path = db_path
         self.phash_compat = phash_compat
         #: "int8" (default, reference-exact distances) or "int4": the
         #: device index packs two 4-bit codes per byte (ops/int4.py) —
         #: 2× rows per chip at coarser distances.  The catalog keeps the
-        #: full u8 hashes either way, so the precision can be changed on
-        #: reopen.
+        #: full u8 hashes either way.  The chosen precision PERSISTS in
+        #: the catalog: pass None (default) to keep the library's
+        #: setting; an explicit value overrides and re-persists it.
+        if semantic_precision is None:
+            semantic_precision = (
+                self.catalog.get_setting("semantic_precision") or "int8"
+            )
+        else:
+            self.catalog.set_setting("semantic_precision", semantic_precision)
         self.semantic_precision = semantic_precision
         self._blip_enabled = blip
         self._blip_kwargs = dict(blip_kwargs or {})
@@ -168,6 +175,11 @@ class Engine:
         return cls(db_path, create=False, **kwargs)
 
     def _new_sem_store(self, dim: int) -> VectorStore:
+        if self.semantic_precision == "int4" and dim % 2 != 0:
+            raise ValueError(
+                f"semantic_precision='int4' packs two dims per byte and "
+                f"needs an even embedding dim, got {dim}"
+            )
         kind = "semantic4" if self.semantic_precision == "int4" else "semantic"
         return VectorStore(dim=dim, kind=kind)
 

@@ -361,6 +361,32 @@ class Catalog:
             conn.commit()
 
     # ------------------------------------------------------------------ #
+    # Framework settings (additive table; reference DBs gain it lazily)
+
+    def set_setting(self, key: str, value: str) -> None:
+        conn = self._connect()
+        with self._lock:
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS pixelbox_settings"
+                " (key TEXT PRIMARY KEY, value TEXT)"
+            )
+            conn.execute(
+                "INSERT INTO pixelbox_settings (key, value) VALUES (?, ?)"
+                " ON CONFLICT(key) DO UPDATE SET value = excluded.value",
+                (key, value),
+            )
+            conn.commit()
+
+    def get_setting(self, key: str) -> Optional[str]:
+        conn = self._connect()
+        if not self._table_exists("pixelbox_settings"):
+            return None
+        row = conn.execute(
+            "SELECT value FROM pixelbox_settings WHERE key = ?", (key,)
+        ).fetchone()
+        return None if row is None else row[0]
+
+    # ------------------------------------------------------------------ #
     # Tracked folders (engine.rs:404-439)
 
     def add_tracked_folder(self, folder_glob: str) -> None:

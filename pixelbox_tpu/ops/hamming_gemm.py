@@ -135,25 +135,15 @@ def hamming_gemm_scan_topk_auto(
         q, index, meta, sample.data, sample.valid, k=k,
         max_distance=max_distance, wrap_u8=wrap_u8,
     )
-    ok = np.asarray(exact)
-    if not ok.all():
-        best_d = np.asarray(best_d).copy()
-        best_i = np.asarray(best_i).copy()
-        bad = np.nonzero(~ok)[0]
-        bucket = 8
-        while bucket < len(bad):
-            bucket *= 4
-        q_np = np.asarray(q)
-        repair = np.zeros((bucket, q_np.shape[1]), dtype=np.uint8)
-        repair[: len(bad)] = q_np[bad]
-        rd, ri = hamming_gemm_scan_topk(
-            jnp.asarray(repair), index, k=k, max_distance=max_distance,
+    from pixelbox_tpu.ops.scan import repair_unproven
+
+    best_d, best_i = repair_unproven(
+        q, best_d, best_i, exact,
+        lambda rq: hamming_gemm_scan_topk(
+            rq, index, k=k, max_distance=max_distance,
             block_rows=block_rows, wrap_u8=wrap_u8, mode="exact",
-        )
-        best_d[bad] = np.asarray(rd)[: len(bad)]
-        best_i[bad] = np.asarray(ri)[: len(bad)]
-        best_d = jnp.asarray(best_d)
-        best_i = jnp.asarray(best_i)
+        ),
+    )
     if squeeze:
         return best_d[0], best_i[0]
     return best_d, best_i

@@ -85,10 +85,13 @@ def semantic4_rows_from_u8(rows_u8: np.ndarray):
     """u8 rows [n, D] → (packed [n, D/2], row_sum [n], row_mag2 [n])."""
     v4 = quantize_u8_to_u4(rows_u8)
     packed = pack_u4_rows(v4)
-    v = v4.astype(np.int64)
-    row_sum = np.sum(v, axis=-1).astype(np.int32)
+    # int32 temporaries like the u8 twin (packed.py): |34v−255| ≤ 255, so
+    # row_mag2 ≤ 65025·D fits int32 for any realistic D — int64 would
+    # double host peak memory on every store realloc.
+    v = v4.astype(np.int32)
+    row_sum = np.sum(v, axis=-1, dtype=np.int32)
     c = 34 * v - 255
-    row_mag2 = np.sum(c * c, axis=-1).astype(np.int32)
+    row_mag2 = np.sum(c * c, axis=-1, dtype=np.int32)
     return packed, row_sum, row_mag2
 
 
@@ -136,10 +139,18 @@ def cosine4_distance_np(a_u8: np.ndarray, b_u8: np.ndarray) -> np.ndarray:
 
 
 def cosine4_scan_topk_np(query_u8, db_u8, k=100, max_distance=1e3):
+    """Oracle for :func:`cosine4_scan_topk`.  Memory-bounded like the u8
+    oracle: the naive broadcast would materialize [Q, N, D] int64."""
     from pixelbox_tpu.ops.oracle import _scan_topk_np
 
     q = np.atleast_2d(np.asarray(query_u8, dtype=np.uint8))
-    dist = cosine4_distance_np(q[:, None, :], np.asarray(db_u8)[None, :, :])
+    db = np.asarray(db_u8, dtype=np.uint8)
+    n, dim = db.shape
+    chunk = max(1, (1 << 27) // max(1, n * dim))
+    dist = np.empty((q.shape[0], n), dtype=np.float32)
+    for s in range(0, q.shape[0], chunk):
+        e = min(s + chunk, q.shape[0])
+        dist[s:e] = cosine4_distance_np(q[s:e, None, :], db[None, :, :])
     return _scan_topk_np(dist, k, max_distance)
 
 
@@ -339,10 +350,11 @@ def pallas_threshold4_scan_topk(
 
 
 def build_semantic4_meta(index: PackedSemantic4Index) -> jnp.ndarray:
-    """[2, N] int32 meta for the int4 threshold kernel: (row_sum,
-    row_mag2 with 0 marking invalid rows)."""
-    mag2 = jnp.where(index.valid, index.row_mag2, 0)
-    return jnp.stack([index.row_sum, mag2], axis=0).astype(jnp.int32)
+    """[2, N] int32 meta for the int4 threshold kernel — the same layout
+    as the u8 kernel's (row_sum; row_mag2 with 0 marking invalid)."""
+    from pixelbox_tpu.ops.pallas_scan import build_row_meta
+
+    return build_row_meta(index)
 
 
 def cosine4_scan_topk_auto(
@@ -364,42 +376,42 @@ def cosine4_scan_topk_auto(
     squeeze = q.ndim == 1
     if squeeze:
         q = q[None, :]
-    use_pallas = (
-        prefer_pallas if prefer_pallas is not None else _default_backend_is_tpu()
-    ) and index.capacity % 2048 == 0 and index.dim % 128 == 0 and q.shape[0] <= 512
-    if index.capacity <= 4 * block_rows or not use_pallas:
+    if index.capacity <= 4 * block_rows:
+        # Small index: selection costs are negligible; scan directly.
         best_d, best_i = cosine4_scan_topk(
             q, index, k=k, max_distance=max_distance, block_rows=block_rows
         )
         if squeeze:
             return best_d[0], best_i[0]
         return best_d, best_i
+    use_pallas = (
+        prefer_pallas if prefer_pallas is not None else _default_backend_is_tpu()
+    ) and index.capacity % 2048 == 0 and index.dim % 128 == 0 and q.shape[0] <= 512
     if sample is None:
         sample = build_scan_sample(index)
-    if meta is None:
-        meta = build_semantic4_meta(index)
-    best_d, best_i, exact = pallas_threshold4_scan_topk(
-        q, index, meta, sample, k=k, max_distance=max_distance
-    )
-    ok = np.asarray(exact)
-    if not ok.all():
-        best_d = np.asarray(best_d).copy()
-        best_i = np.asarray(best_i).copy()
-        bad = np.nonzero(~ok)[0]
-        bucket = 8
-        while bucket < len(bad):
-            bucket *= 4
-        q_np = np.asarray(q)
-        repair = np.zeros((bucket, q_np.shape[1]), dtype=np.uint8)
-        repair[: len(bad)] = q_np[bad]
-        rd, ri = cosine4_scan_topk(
-            jnp.asarray(repair), index, k=k, max_distance=max_distance,
-            block_rows=block_rows,
+    if use_pallas:
+        if meta is None:
+            meta = build_semantic4_meta(index)
+        best_d, best_i, exact = pallas_threshold4_scan_topk(
+            q, index, meta, sample, k=k, max_distance=max_distance
         )
-        best_d[bad] = np.asarray(rd)[: len(bad)]
-        best_i[bad] = np.asarray(ri)[: len(bad)]
-        best_d = jnp.asarray(best_d)
-        best_i = jnp.asarray(best_i)
+    else:
+        # Off the Mosaic path (CPU/GPU, odd shapes, huge batches) the XLA
+        # threshold scan still beats the direct exact scan.
+        from pixelbox_tpu.ops.scan import cosine_scan_topk_threshold
+
+        best_d, best_i, exact = cosine_scan_topk_threshold(
+            q, index, sample, k=k, max_distance=max_distance,
+            block_rows=block_rows, precision="int4",
+        )
+    from pixelbox_tpu.ops.scan import repair_unproven
+
+    best_d, best_i = repair_unproven(
+        q, best_d, best_i, exact,
+        lambda rq: cosine4_scan_topk(
+            rq, index, k=k, max_distance=max_distance, block_rows=block_rows
+        ),
+    )
     if squeeze:
         return best_d[0], best_i[0]
     return best_d, best_i

@@ -375,11 +375,12 @@ def build_scan_sample(
     jax.jit,
     static_argnames=(
         "k", "block_rows", "budget", "target_count", "chunk", "method",
+        "precision",
     ),
 )
 def cosine_scan_topk_threshold(
     query_u8: jnp.ndarray,
-    index: PackedSemanticIndex,
+    index,
     sample: ScanSample,
     k: int = 100,
     max_distance: jnp.ndarray | float = 1e3,
@@ -388,6 +389,7 @@ def cosine_scan_topk_threshold(
     target_count: int | None = None,
     chunk: int = 128,
     method: str = "topk",
+    precision: str = "int8",
 ):
     """Sampled-threshold scan.  Returns (dist [Q,k], idx [Q,k], exact [Q]).
 
@@ -395,7 +397,17 @@ def cosine_scan_topk_threshold(
     (see the module comment above); the auto wrapper repairs the rest.
     ``budget`` = candidates kept per `chunk`-lane chunk (extract-min
     rounds); overflowing chunks mark the query unproven.
+    ``precision="int4"`` scans a PackedSemantic4Index with the int4
+    distance spec (ops/int4.py) through the same machinery.
     """
+    if precision == "int4":
+        from pixelbox_tpu.ops.int4 import (
+            _cosine4_block_dist as block_dist,
+            query4_moments_from_u8 as moments,
+        )
+    else:
+        block_dist = _cosine_block_dist
+        moments = query_moments_from_u8
     squeeze = query_u8.ndim == 1
     if squeeze:
         query_u8 = query_u8[None, :]
@@ -416,11 +428,11 @@ def cosine_scan_topk_threshold(
     budget = min(chunk, max(budget, int(3 * lam + 4)))
 
     md = jnp.asarray(max_distance, dtype=jnp.float32)
-    q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
+    q_i8, q_sum, q_mag2 = moments(query_u8)
     q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
 
     # Sample pass: θ = j-th smallest sample distance, capped at md.
-    s_dist = _cosine_block_dist(
+    s_dist = block_dist(
         q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
         sample.valid, md, d,
     )
@@ -433,7 +445,7 @@ def cosine_scan_topk_threshold(
     unbound = ~(theta_j < md)[:, 0]                     # [Q]
 
     xs = (
-        index.data.reshape(nb, block_rows, d),
+        index.data.reshape(nb, block_rows, index.data.shape[1]),
         index.row_sum.reshape(nb, block_rows),
         index.row_mag2.reshape(nb, block_rows),
         index.valid.reshape(nb, block_rows),
@@ -443,7 +455,7 @@ def cosine_scan_topk_threshold(
     def body(carry, x):
         count, overflow = carry
         blk, blk_sum, blk_mag2, blk_valid, base = x
-        dist = _cosine_block_dist(
+        dist = block_dist(
             q_i8, q_sum, q_mag2_f, blk, blk_sum, blk_mag2, blk_valid,
             theta, d,                                   # strict dist < θ
         )
@@ -467,6 +479,33 @@ def cosine_scan_topk_threshold(
     if squeeze:
         return best_d[0], best_i[0], exact[0]
     return best_d, best_i, exact
+
+
+def repair_unproven(q, best_d, best_i, exact, exact_scan):
+    """Splice exact re-scans over queries whose threshold results weren't
+    proven (the shared host-side repair protocol of every auto scan).
+
+    ``exact_scan(q_bucket) -> (d, i)`` runs the exact path on a zero-
+    padded query bucket (bucket sizes 8·4^n bound compile-cache churn).
+    """
+    import numpy as np
+
+    ok = np.asarray(exact)
+    if ok.all():
+        return best_d, best_i
+    best_d = np.asarray(best_d).copy()
+    best_i = np.asarray(best_i).copy()
+    bad = np.nonzero(~ok)[0]
+    bucket = 8
+    while bucket < len(bad):
+        bucket *= 4
+    q_np = np.asarray(q)
+    repair = np.zeros((bucket, q_np.shape[1]), dtype=np.uint8)
+    repair[: len(bad)] = q_np[bad]
+    rd, ri = exact_scan(jnp.asarray(repair))
+    best_d[bad] = np.asarray(rd)[: len(bad)]
+    best_i[bad] = np.asarray(ri)[: len(bad)]
+    return jnp.asarray(best_d), jnp.asarray(best_i)
 
 
 def _default_backend_is_tpu() -> bool:
@@ -563,27 +602,13 @@ def cosine_scan_topk_auto(
             q, index, sample, k=k, max_distance=max_distance,
             block_rows=block_rows, budget=budget,
         )
-    ok = np.asarray(exact)
-    if not ok.all():
-        best_d = np.asarray(best_d).copy()
-        best_i = np.asarray(best_i).copy()
-        bad = np.nonzero(~ok)[0]
-        # Pad failing queries to a bounded set of shapes (bounded compile
-        # cache churn).
-        bucket = 8
-        while bucket < len(bad):
-            bucket *= 4
-        q_np = np.asarray(q)
-        repair = np.zeros((bucket, q_np.shape[1]), dtype=np.uint8)
-        repair[: len(bad)] = q_np[bad]
-        rd, ri = cosine_scan_topk(
-            jnp.asarray(repair), index, k=k, max_distance=max_distance,
+    best_d, best_i = repair_unproven(
+        q, best_d, best_i, exact,
+        lambda rq: cosine_scan_topk(
+            rq, index, k=k, max_distance=max_distance,
             block_rows=block_rows, mode="exact", gate=False,
-        )
-        best_d[bad] = np.asarray(rd)[: len(bad)]
-        best_i[bad] = np.asarray(ri)[: len(bad)]
-        best_d = jnp.asarray(best_d)
-        best_i = jnp.asarray(best_i)
+        ),
+    )
     if squeeze:
         return best_d[0], best_i[0]
     return best_d, best_i

@@ -239,25 +239,15 @@ def sharded_cosine_scan_topk_auto(
         return merged_d, merged_i, exact_all
 
     best_d, best_i, exact = scan_shard(query_u8, index)
-    ok = np.asarray(exact)
-    if not ok.all():
-        best_d = np.asarray(best_d).copy()
-        best_i = np.asarray(best_i).copy()
-        bad = np.nonzero(~ok)[0]
-        bucket = 8
-        while bucket < len(bad):
-            bucket *= 4
-        q_np = np.asarray(query_u8)
-        repair = np.zeros((bucket, q_np.shape[1]), dtype=np.uint8)
-        repair[: len(bad)] = q_np[bad]
-        rd, ri = sharded_cosine_scan_topk(
-            jnp.asarray(repair), index, mesh, k=k, max_distance=max_distance,
+    from pixelbox_tpu.ops.scan import repair_unproven
+
+    best_d, best_i = repair_unproven(
+        query_u8, best_d, best_i, exact,
+        lambda rq: sharded_cosine_scan_topk(
+            rq, index, mesh, k=k, max_distance=max_distance,
             block_rows=block_rows, axis=axis, mode="exact",
-        )
-        best_d[bad] = np.asarray(rd)[: len(bad)]
-        best_i[bad] = np.asarray(ri)[: len(bad)]
-        best_d = jnp.asarray(best_d)
-        best_i = jnp.asarray(best_i)
+        ),
+    )
     best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
     if squeeze:
         return best_d[0], best_i[0]

@@ -87,9 +87,17 @@ def test_mesh_raises_clearly(int4_engine):
         eng.scan_mesh = None
 
 
-def test_reopen_as_int8_restores_reference_distances(int4_engine, tmp_path):
+def test_precision_persists_and_explicit_override(int4_engine, tmp_path):
     eng, d, db = int4_engine
-    eng2 = Engine.open(db, embedder="stub", embedder_kwargs={"dim": 32})
+    # Reopen WITHOUT the flag: the library's persisted precision applies.
+    eng_keep = Engine.open(db, embedder="stub", embedder_kwargs={"dim": 32})
+    assert eng_keep.semantic_precision == "int4"
+    assert eng_keep._sem_store.kind == "semantic4"
+    eng_keep.close()
+
+    # Explicit override reopens at full precision (catalog keeps u8).
+    eng2 = Engine.open(db, embedder="stub", embedder_kwargs={"dim": 32},
+                       semantic_precision="int8")
     eng2.max_distance_from_query = 1e7
     assert eng2._sem_store.kind == "semantic"
     rec = eng2.load_image(str(d / "s2.png"))
@@ -97,6 +105,20 @@ def test_reopen_as_int8_restores_reference_distances(int4_engine, tmp_path):
     assert eng2.get_query_results()[0].filename == "s2.png"
     assert eng2.get_query_results()[0].distance_from_query == 0.0
     eng2.close()
+    # The override persisted; flip the library back to int4 for any
+    # later tests sharing the fixture.
+    Engine.open(db, embedder="stub", embedder_kwargs={"dim": 32},
+                semantic_precision="int4").close()
+
+
+def test_odd_dim_rejected_for_int4(tmp_path):
+    eng = Engine.new(str(tmp_path / "odd.db"), embedder="stub",
+                     embedder_kwargs={"dim": 33}, semantic_precision="int4")
+    img = tmp_path / "a.png"
+    Image.fromarray(textured_image(seed=1, size=(32, 32))).save(img)
+    with pytest.raises(ValueError, match="even embedding dim"):
+        eng.insert_image_from_path(str(img))
+    eng.close()
 
 
 def test_similar_text_query_uses_int4(int4_engine):

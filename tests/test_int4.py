@@ -77,10 +77,11 @@ def test_pallas_threshold4_matches_oracle(db, index4, rng):
     check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
 
 
-def test_auto_wrapper_small_dim_falls_back_exact(db, index4, rng):
-    """dim 32 fails the pallas lane gate (packed lanes must be 128-
-    aligned on hardware) — the wrapper must fall back to the exact scan
-    even with prefer_pallas=True."""
+def test_auto_wrapper_small_dim_falls_back_threshold(db, index4, rng):
+    """dim 32 fails the pallas gate (the gate checks the UNPACKED dim %
+    128 — at the primary d=128 deployment the packed block is 64 lanes,
+    which Mosaic pads internally) — the wrapper must fall back to the
+    XLA threshold scan + repair and still match the oracle."""
     q = rng.integers(0, 256, size=(4, 32), dtype=np.uint8)
     d, i = cosine4_scan_topk_auto(
         q, index4, k=40, prefer_pallas=True, block_rows=512
