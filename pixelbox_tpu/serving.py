@@ -153,8 +153,20 @@ class BatchingScanService:
             for i, r in enumerate(batch):
                 queries[i] = r.query
             index = self._provider()
+            from pixelbox_tpu.ops.int4 import PackedSemantic4Index
+
+            int4 = isinstance(index, PackedSemantic4Index)
             with timed("serving.batched_scan"):
-                if self.mode == "auto":
+                if int4:
+                    from pixelbox_tpu.ops.int4 import cosine4_scan_topk_auto
+
+                    sample, meta = self._scan_aux(index)
+                    dist, idx = cosine4_scan_topk_auto(
+                        queries, index, k=self.k,
+                        max_distance=self.max_distance, sample=sample,
+                        meta=meta,
+                    )
+                elif self.mode == "auto":
                     sample, meta = self._scan_aux(index)
                     dist, idx = cosine_scan_topk_auto(
                         queries, index, k=self.k,
