@@ -302,6 +302,7 @@ def main(argv=None) -> int:
                         "semantic_dim": (
                             engine._sem_store.dim if engine._sem_store else None
                         ),
+                        "semantic_precision": engine.semantic_precision,
                         "phash_dim": engine._ph_store.dim if engine._ph_store else None,
                         "timings": get_stats(),
                     },

@@ -311,6 +311,7 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "indexing": engine.is_indexing_active(),
                         "max_search_results": engine.max_search_results,
                         "max_distance": engine.max_distance_from_query,
+                        "semantic_precision": engine.semantic_precision,
                     }
                     if scan_service is not None:
                         status["scan_batches"] = scan_service.batches_run
