@@ -121,17 +121,23 @@ function render(items){
   // as text, never as markup).
   for (const it of items){
     const d = document.createElement('div'); d.className='card';
+    const link = document.createElement('a');
+    link.href = '/api/image?id='+encodeURIComponent(it.id);
+    link.target = '_blank';  // full-image view (view panel analog)
     const img = document.createElement('img');
     img.src = '/api/thumbnail?id='+encodeURIComponent(it.id);
+    link.appendChild(img);
     const name = document.createElement('div'); name.className='name';
     name.textContent = it.filename;
-    name.title = it.path;
+    name.title = it.path + (Object.keys(it.tags||{}).length
+      ? '\\n' + Object.entries(it.tags).map(([k,v])=>k+': '+v).join('\\n')
+      : '');
     const dist = document.createElement('div'); dist.className='dist';
     dist.textContent = it.distance==null ? '' : 'dist '+it.distance.toFixed(4);
     const a = document.createElement('a'); a.href='#';
     a.textContent = 'find similar';
     a.onclick = () => { similar(it.id); return false; };
-    d.append(img, name, dist, a);
+    d.append(link, name, dist, a);
     el.appendChild(d);
   }
   document.getElementById('pageinfo').textContent =
@@ -155,6 +161,13 @@ for (const t of [document.body, drop]){
 }
 poll();
 document.getElementById('q').addEventListener('keydown', e=>{if(e.key=='Enter')search()});
+// Auto-search past the minimum length (search.rs:40-49), debounced.
+let searchTimer = null;
+document.getElementById('q').addEventListener('input', e=>{
+  clearTimeout(searchTimer);
+  if (e.target.value.length >= 3)
+    searchTimer = setTimeout(search, 300);
+});
 </script></body></html>"""
 
 
@@ -296,6 +309,26 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     png = buf.getvalue()
                     thumb_cache.put(image_id, png)
                     return self._send(200, png, "image/png")
+                if parsed.path == "/api/image":
+                    # Full-image view (the reference's view panel,
+                    # ui/view.rs:14-78): serves the ORIGINAL indexed file.
+                    image_id = int(qs["id"][0])
+                    info = engine.catalog.get_image(image_id)
+                    if info is None:
+                        return self._send(404, {"error": "no such image"})
+                    try:
+                        with open(info["path"], "rb") as f:
+                            data = f.read()
+                    except OSError:
+                        return self._send(410, {"error": "file unreadable"})
+                    ext = info["path"].rsplit(".", 1)[-1].lower()
+                    ctype = {
+                        "jpg": "image/jpeg", "jpeg": "image/jpeg",
+                        "jfif": "image/jpeg", "png": "image/png",
+                        "gif": "image/gif", "webp": "image/webp",
+                        "bmp": "image/bmp", "tiff": "image/tiff",
+                    }.get(ext, "application/octet-stream")
+                    return self._send(200, data, ctype)
                 if parsed.path == "/api/results":
                     # Page through the cached results WITHOUT re-running the
                     # query (the pagination the reference stubbed,
