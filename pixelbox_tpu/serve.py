@@ -61,6 +61,8 @@ a{color:#8cf}
 <div id="settings">
 max results <input id="maxres" type="number" min="1" max="10000">
 max distance <input id="maxdist" type="number" step="0.05" min="0">
+min search len <input id="minlen" type="number" min="0" max="255" title="auto-search after this many characters; 0 disables">
+thumb px <input id="thumbsz" type="number" min="60" max="512">
 <button onclick="saveSettings()">apply</button>
 </div>
 <div id="pager">
@@ -98,10 +100,18 @@ async function reindex(){
   await fetch('/api/reindex', {method:'POST'});
   poll();
 }
+let minSearchLen = 3;
 async function saveSettings(){
+  minSearchLen = +document.getElementById('minlen').value;
+  applyThumbSize(+document.getElementById('thumbsz').value);
   await fetch('/api/settings', {method:'POST', body:JSON.stringify({
     max_search_results: +document.getElementById('maxres').value,
-    max_distance: +document.getElementById('maxdist').value})});
+    max_distance: +document.getElementById('maxdist').value,
+    search_min_length: minSearchLen,
+    thumbnail_size: +document.getElementById('thumbsz').value})});
+}
+function applyThumbSize(px){
+  for (const c of document.querySelectorAll('.card')) c.style.width = px+'px';
 }
 async function poll(){
   const r = await (await fetch('/api/status')).json();
@@ -111,6 +121,10 @@ async function poll(){
   if (mr.value === '') mr.value = r.max_search_results;
   const md = document.getElementById('maxdist');
   if (md.value === '') md.value = r.max_distance;
+  const ml = document.getElementById('minlen');
+  if (ml.value === '') { ml.value = r.search_min_length; minSearchLen = r.search_min_length; }
+  const ts = document.getElementById('thumbsz');
+  if (ts.value === '') ts.value = r.thumbnail_size;
   if (r.indexing) setTimeout(poll, 1000);
 }
 function render(items){
@@ -142,6 +156,8 @@ function render(items){
   }
   document.getElementById('pageinfo').textContent =
     'page ' + (1 + offset/PAGE) + (items.length < PAGE ? ' (end)' : '');
+  const ts = +document.getElementById('thumbsz').value;
+  if (ts) applyThumbSize(ts);
 }
 const drop = document.getElementById('drop');
 const fileInput = document.getElementById('file');
@@ -161,11 +177,12 @@ for (const t of [document.body, drop]){
 }
 poll();
 document.getElementById('q').addEventListener('keydown', e=>{if(e.key=='Enter')search()});
-// Auto-search past the minimum length (search.rs:40-49), debounced.
+// Auto-search past the minimum length (search.rs:40-49; settings.rs:
+// "0 disables automatic searching"), debounced.
 let searchTimer = null;
 document.getElementById('q').addEventListener('input', e=>{
   clearTimeout(searchTimer);
-  if (e.target.value.length >= 3)
+  if (minSearchLen > 0 && e.target.value.length >= minSearchLen)
     searchTimer = setTimeout(search, 300);
 });
 </script></body></html>"""
@@ -223,6 +240,10 @@ class _ThumbCache:
 
 def make_handler(engine, lock: threading.Lock, scan_service=None):
     thumb_cache = _ThumbCache()
+    # UI-level settings (reference MainApp state, settings.rs:9-20):
+    # search_min_length 0 disables auto-search; thumbnail_size is the
+    # card width in px.
+    ui_settings = {"search_min_length": 3, "thumbnail_size": 180}
 
     def _similar_by_record(rec):
         """Similarity results for a decoded record.
@@ -345,6 +366,7 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "max_search_results": engine.max_search_results,
                         "max_distance": engine.max_distance_from_query,
                         "semantic_precision": engine.semantic_precision,
+                        **ui_settings,
                     }
                     if scan_service is not None:
                         status["scan_batches"] = scan_service.batches_run
@@ -384,6 +406,12 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         engine.max_search_results = int(data["max_search_results"])
                     if "max_distance" in data:
                         engine.max_distance_from_query = float(data["max_distance"])
+                    if "search_min_length" in data:
+                        ui_settings["search_min_length"] = int(
+                            data["search_min_length"]
+                        )
+                    if "thumbnail_size" in data:
+                        ui_settings["thumbnail_size"] = int(data["thumbnail_size"])
                     return self._send(200, {"ok": True})
                 return self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001
