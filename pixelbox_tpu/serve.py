@@ -74,12 +74,15 @@ thumb px <input id="thumbsz" type="number" min="60" max="512">
 <script>
 const PAGE = 60;
 let offset = 0;
+let searchSeq = 0;  // staleness guard: only the newest query may render
 async function search(){
   const q = document.getElementById('q').value;
   offset = 0;
+  const seq = ++searchSeq;
   const r = await fetch('/api/search?q='+encodeURIComponent(q)
                         +'&offset=0&limit='+PAGE);
-  render(await r.json());
+  const items = await r.json();
+  if (seq === searchSeq) render(items);
 }
 async function similar(id){
   offset = 0;
@@ -102,13 +105,14 @@ async function reindex(){
 }
 let minSearchLen = 3;
 async function saveSettings(){
-  minSearchLen = +document.getElementById('minlen').value;
-  applyThumbSize(+document.getElementById('thumbsz').value);
-  await fetch('/api/settings', {method:'POST', body:JSON.stringify({
+  const body = {
     max_search_results: +document.getElementById('maxres').value,
-    max_distance: +document.getElementById('maxdist').value,
-    search_min_length: minSearchLen,
-    thumbnail_size: +document.getElementById('thumbsz').value})});
+    max_distance: +document.getElementById('maxdist').value};
+  const ml = document.getElementById('minlen').value;
+  if (ml !== '') { minSearchLen = +ml; body.search_min_length = minSearchLen; }
+  const ts = +document.getElementById('thumbsz').value;
+  if (ts >= 60) { applyThumbSize(ts); body.thumbnail_size = ts; }
+  await fetch('/api/settings', {method:'POST', body:JSON.stringify(body)});
 }
 function applyThumbSize(px){
   for (const c of document.querySelectorAll('.card')) c.style.width = px+'px';
@@ -157,7 +161,7 @@ function render(items){
   document.getElementById('pageinfo').textContent =
     'page ' + (1 + offset/PAGE) + (items.length < PAGE ? ' (end)' : '');
   const ts = +document.getElementById('thumbsz').value;
-  if (ts) applyThumbSize(ts);
+  if (ts >= 60) applyThumbSize(ts);
 }
 const drop = document.getElementById('drop');
 const fileInput = document.getElementById('file');
@@ -184,6 +188,9 @@ document.getElementById('q').addEventListener('input', e=>{
   clearTimeout(searchTimer);
   if (minSearchLen > 0 && e.target.value.length >= minSearchLen)
     searchTimer = setTimeout(search, 300);
+});
+document.getElementById('q').addEventListener('keydown', e=>{
+  if (e.key=='Enter') clearTimeout(searchTimer);
 });
 </script></body></html>"""
 
@@ -332,16 +339,16 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     return self._send(200, png, "image/png")
                 if parsed.path == "/api/image":
                     # Full-image view (the reference's view panel,
-                    # ui/view.rs:14-78): serves the ORIGINAL indexed file.
+                    # ui/view.rs:14-78): streams the ORIGINAL indexed
+                    # file (no whole-file buffering — originals can be
+                    # hundreds of MB and handler threads are concurrent).
+                    import os
+                    import shutil
+
                     image_id = int(qs["id"][0])
                     info = engine.catalog.get_image(image_id)
                     if info is None:
                         return self._send(404, {"error": "no such image"})
-                    try:
-                        with open(info["path"], "rb") as f:
-                            data = f.read()
-                    except OSError:
-                        return self._send(410, {"error": "file unreadable"})
                     ext = info["path"].rsplit(".", 1)[-1].lower()
                     ctype = {
                         "jpg": "image/jpeg", "jpeg": "image/jpeg",
@@ -349,7 +356,18 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "gif": "image/gif", "webp": "image/webp",
                         "bmp": "image/bmp", "tiff": "image/tiff",
                     }.get(ext, "application/octet-stream")
-                    return self._send(200, data, ctype)
+                    try:
+                        f = open(info["path"], "rb")
+                    except OSError:
+                        return self._send(410, {"error": "file unreadable"})
+                    with f:
+                        size = os.fstat(f.fileno()).st_size
+                        self.send_response(200)
+                        self.send_header("Content-Type", ctype)
+                        self.send_header("Content-Length", str(size))
+                        self.end_headers()
+                        shutil.copyfileobj(f, self.wfile)
+                    return None
                 if parsed.path == "/api/results":
                     # Page through the cached results WITHOUT re-running the
                     # query (the pagination the reference stubbed,
@@ -407,11 +425,13 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     if "max_distance" in data:
                         engine.max_distance_from_query = float(data["max_distance"])
                     if "search_min_length" in data:
-                        ui_settings["search_min_length"] = int(
-                            data["search_min_length"]
+                        ui_settings["search_min_length"] = min(
+                            255, max(0, int(data["search_min_length"]))
                         )
                     if "thumbnail_size" in data:
-                        ui_settings["thumbnail_size"] = int(data["thumbnail_size"])
+                        ui_settings["thumbnail_size"] = min(
+                            512, max(60, int(data["thumbnail_size"]))
+                        )
                     return self._send(200, {"ok": True})
                 return self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001

@@ -157,7 +157,15 @@ class BatchingScanService:
 
             int4 = isinstance(index, PackedSemantic4Index)
             with timed("serving.batched_scan"):
-                if int4:
+                if int4 and self.mode != "auto":
+                    # Honor an explicitly requested execution strategy.
+                    from pixelbox_tpu.ops.int4 import cosine4_scan_topk
+
+                    dist, idx = cosine4_scan_topk(
+                        jnp.asarray(queries), index, k=self.k,
+                        max_distance=self.max_distance,
+                    )
+                elif int4:
                     from pixelbox_tpu.ops.int4 import cosine4_scan_topk_auto
 
                     sample, meta = self._scan_aux(index)

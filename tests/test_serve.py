@@ -142,3 +142,39 @@ def test_unknown_route_404(server):
         assert False, "should 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_full_image_endpoint(server):
+    base, eng, photos = server
+    res = get_json(base, "/api/search?q=img1")
+    image_id = res[0]["id"]
+    ct, body = get(base, f"/api/image?id={image_id}")
+    assert ct == "image/png"
+    assert body == (photos / "img1.png").read_bytes()
+    # Unknown id → 404.
+    import urllib.error
+    import urllib.request
+    try:
+        urllib.request.urlopen(base + "/api/image?id=999999", timeout=30)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_ui_settings_roundtrip_and_clamping(server):
+    base, _, _ = server
+    code, body = post(
+        base, "/api/settings",
+        json.dumps({"search_min_length": 7, "thumbnail_size": 999}).encode(),
+    )
+    assert code == 200 and body == {"ok": True}
+    s = get_json(base, "/api/status")
+    assert s["search_min_length"] == 7
+    assert s["thumbnail_size"] == 512  # clamped to the valid range
+    post(base, "/api/settings",
+         json.dumps({"search_min_length": -3, "thumbnail_size": 1}).encode())
+    s = get_json(base, "/api/status")
+    assert s["search_min_length"] == 0
+    assert s["thumbnail_size"] == 60
+    post(base, "/api/settings",
+         json.dumps({"search_min_length": 3, "thumbnail_size": 180}).encode())

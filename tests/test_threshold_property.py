@@ -31,7 +31,7 @@ def _random_db(rng, n, d):
 
 
 @pytest.mark.parametrize("trial", range(6))
-def test_cosine_auto_randomized(trial, rng):
+def test_cosine_auto_randomized(trial):
     r = np.random.default_rng(100 + trial)
     n = int(r.integers(2000, 9000))
     d = int(r.choice([16, 32, 64]))
@@ -52,7 +52,7 @@ def test_cosine_auto_randomized(trial, rng):
 
 
 @pytest.mark.parametrize("trial", range(3))
-def test_hamming_auto_randomized(trial, rng):
+def test_hamming_auto_randomized(trial):
     r = np.random.default_rng(200 + trial)
     n = int(r.integers(2000, 6000))
     h = int(r.choice([16, 32]))
@@ -70,7 +70,7 @@ def test_hamming_auto_randomized(trial, rng):
 
 
 @pytest.mark.parametrize("trial", range(3))
-def test_int4_auto_randomized(trial, rng):
+def test_int4_auto_randomized(trial):
     r = np.random.default_rng(300 + trial)
     n = int(r.integers(2000, 6000))
     d = int(r.choice([16, 32]))
