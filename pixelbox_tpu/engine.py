@@ -24,7 +24,10 @@ Deliberate divergences (reference bugs fixed, each noted inline):
 - ``filename:`` matches the remainder, not the whole token (engine.rs:556-558);
 - a pure ``similar:<path>`` query works alone (in the reference an empty
   WHERE clause makes the assembled SQL fail to parse);
-- SQL filters are parameterized (injection at engine.rs:543-560 fixed).
+- SQL filters are parameterized (injection at engine.rs:543-560 fixed);
+- image ids are never recycled (AUTOINCREMENT — the reference's plain
+  rowid would reuse a removed max id; moot there since removal was
+  never implemented).
 """
 
 from __future__ import annotations
@@ -826,6 +829,7 @@ class Engine:
                 store._host_rows[start:end],
                 store._host_valid[start:end],
                 start,
+                kind=store.kind,
             )
         else:
             self._sharded_index = shard_semantic_index(
@@ -878,6 +882,36 @@ class Engine:
             return
         self.query_by_image_hash_from_image(record)
 
+    def _int4_single_chip_scan(self, record: IndexedImage, k: int):
+        from pixelbox_tpu.ops.int4 import (
+            cosine4_scan_topk,
+            cosine4_scan_topk_auto,
+        )
+        from pixelbox_tpu.ops.scan import (
+            DEFAULT_BLOCK_ROWS,
+            _default_backend_is_tpu,
+        )
+
+        index = self._sem_store.device_index
+        if self.scan_mode == "exact":
+            return cosine4_scan_topk(
+                jnp.asarray(record.visual_hash), index, k=k,
+                max_distance=float(self.max_distance_from_query),
+            )
+        # auto / fast / pallas → the guaranteed-exact auto
+        meta = None
+        if (
+            _default_backend_is_tpu()
+            and index.capacity > 4 * DEFAULT_BLOCK_ROWS
+        ):
+            meta = self._get_pallas_meta()
+        return cosine4_scan_topk_auto(
+            record.visual_hash, index, k=k,
+            max_distance=float(self.max_distance_from_query),
+            sample=self._get_scan_sample(),
+            meta=meta,
+        )
+
     def query_by_image_hash_from_image(self, record: IndexedImage) -> None:
         if record.visual_hash is None:
             print("TODO: IndexedImage is somehow missing a hash!", file=sys.stderr)
@@ -891,39 +925,26 @@ class Engine:
         with timed("engine.similarity_scan"):
             if self.semantic_precision == "int4":
                 if self.scan_mesh is not None:
-                    raise ValueError(
-                        "the int4 index does not support serve_on_mesh yet;"
-                        " reopen with semantic_precision='int8'"
-                    )
-                from pixelbox_tpu.ops.int4 import (
-                    cosine4_scan_topk,
-                    cosine4_scan_topk_auto,
-                )
-
-                index = self._sem_store.device_index
-                if self.scan_mode == "exact":
-                    dist, idx = cosine4_scan_topk(
-                        jnp.asarray(record.visual_hash), index, k=k,
-                        max_distance=float(self.max_distance_from_query),
-                    )
-                else:  # auto / fast / pallas → the guaranteed-exact auto
-                    from pixelbox_tpu.ops.scan import (
-                        DEFAULT_BLOCK_ROWS,
-                        _default_backend_is_tpu,
+                    from pixelbox_tpu.parallel.sharded_scan import (
+                        sharded_cosine4_scan_topk,
+                        sharded_cosine4_scan_topk_auto,
                     )
 
-                    meta = None
-                    if (
-                        _default_backend_is_tpu()
-                        and index.capacity > 4 * DEFAULT_BLOCK_ROWS
-                    ):
-                        meta = self._get_pallas_meta()
-                    dist, idx = cosine4_scan_topk_auto(
-                        record.visual_hash, index, k=k,
-                        max_distance=float(self.max_distance_from_query),
-                        sample=self._get_scan_sample(),
-                        meta=meta,
+                    fn = (
+                        sharded_cosine4_scan_topk
+                        if self.scan_mode == "exact"
+                        else sharded_cosine4_scan_topk_auto
                     )
+                    dist, idx = fn(
+                        jnp.asarray(record.visual_hash),
+                        self._get_sharded_index(),
+                        self.scan_mesh,
+                        k=k,
+                        max_distance=float(self.max_distance_from_query),
+                    )
+                    # Falls through to the shared result assembly below.
+                else:
+                    dist, idx = self._int4_single_chip_scan(record, k)
             elif self.scan_mesh is not None:
                 from pixelbox_tpu.parallel.sharded_scan import (
                     sharded_cosine_scan_topk,

@@ -42,18 +42,20 @@ from pixelbox_tpu.ops.scan import (
 
 def shard_semantic_index(
     index: PackedSemanticIndex, mesh: Mesh, axis: str = "data"
-) -> PackedSemanticIndex:
+):
     """Lay the packed index out row-sharded across the mesh.
 
     Capacity must divide evenly by the axis size (stores pad in block
     multiples; choose block_rows ≥ a multiple of the mesh size).
+    Works for both the u8 (PackedSemanticIndex) and int4
+    (PackedSemantic4Index) layouts — same four fields.
     """
     n = index.capacity
     n_shards = mesh.shape[axis]
     assert n % n_shards == 0, (n, n_shards)
     row_sharding = NamedSharding(mesh, P(axis))
     mat_sharding = NamedSharding(mesh, P(axis, None))
-    return PackedSemanticIndex(
+    return type(index)(
         jax.device_put(index.data, mat_sharding),
         jax.device_put(index.row_sum, row_sharding),
         jax.device_put(index.row_mag2, row_sharding),
@@ -133,6 +135,134 @@ def sharded_cosine_scan_topk(
         return _merge_gathered(g_d, g_i, k)
 
     best_d, best_i = scan_shard(query_u8, index)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i
+
+
+def sharded_cosine4_scan_topk(
+    query_u8: jnp.ndarray,
+    index,                         # sharded PackedSemantic4Index
+    mesh: Mesh,
+    k: int = 100,
+    max_distance: float = 1e3,
+    block_rows: Optional[int] = None,
+    axis: str = "data",
+):
+    """Distributed exact top-k over a row-sharded int4 index
+    (ops/int4.py): per-chip blocked scan + ICI candidate merge, same
+    result semantics as :func:`sharded_cosine_scan_topk`."""
+    from pixelbox_tpu.ops.int4 import PackedSemantic4Index, cosine4_scan_topk
+
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    n_shards = mesh.shape[axis]
+    local_rows = index.capacity // n_shards
+    if block_rows is None:
+        block_rows = min(32768, local_rows)
+    md = jnp.float32(max_distance)
+    index_specs = PackedSemantic4Index(P(axis, None), P(axis), P(axis), P(axis))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), index_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def scan_shard(q, local_index):
+        local_d, local_i = cosine4_scan_topk(
+            q, local_index, k=k, max_distance=md, block_rows=block_rows
+        )
+        offset = lax.axis_index(axis).astype(jnp.int32) * jnp.int32(local_rows)
+        global_i = jnp.where(local_i >= 0, local_i + offset, -1)
+        g_d = lax.all_gather(local_d, axis)
+        g_i = lax.all_gather(global_i, axis)
+        return _merge_gathered(g_d, g_i, k)
+
+    best_d, best_i = scan_shard(query_u8, index)
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i
+
+
+def sharded_cosine4_scan_topk_auto(
+    query_u8: jnp.ndarray,
+    index,
+    mesh: Mesh,
+    k: int = 100,
+    max_distance: float = 1e3,
+    block_rows: Optional[int] = None,
+    axis: str = "data",
+):
+    """Guaranteed-exact distributed int4 scan: per-shard sampled-threshold
+    pass (XLA; the int4 distance spec), local-proof flags ANDed over ICI,
+    unproven queries repaired with the exact sharded scan."""
+    from pixelbox_tpu.ops.int4 import PackedSemantic4Index
+    from pixelbox_tpu.ops.scan import repair_unproven
+
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    n_shards = mesh.shape[axis]
+    local_rows = index.capacity // n_shards
+    if block_rows is None:
+        block_rows = min(32768, local_rows)
+    if local_rows <= 4 * block_rows:
+        best_d, best_i = sharded_cosine4_scan_topk(
+            query_u8, index, mesh, k=k, max_distance=max_distance,
+            block_rows=block_rows, axis=axis,
+        )
+        if squeeze:
+            return best_d[0], best_i[0]
+        return best_d, best_i
+
+    stride = 1
+    while (
+        stride * 2 <= max(1, local_rows // 65536)
+        and local_rows % (stride * 2) == 0
+    ):
+        stride *= 2
+    md = jnp.float32(max_distance)
+    index_specs = PackedSemantic4Index(P(axis, None), P(axis), P(axis), P(axis))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), index_specs),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def scan_shard(q, local_index):
+        sample = ScanSample(
+            local_index.data[::stride],
+            local_index.row_sum[::stride],
+            local_index.row_mag2[::stride],
+            local_index.valid[::stride],
+        )
+        local_d, local_i, exact = cosine_scan_topk_threshold(
+            q, local_index, sample, k=k, max_distance=md,
+            block_rows=block_rows, precision="int4",
+        )
+        offset = lax.axis_index(axis).astype(jnp.int32) * jnp.int32(local_rows)
+        global_i = jnp.where(local_i >= 0, local_i + offset, -1)
+        g_d = lax.all_gather(local_d, axis)
+        g_i = lax.all_gather(global_i, axis)
+        merged_d, merged_i = _merge_gathered(g_d, g_i, k)
+        exact_all = jnp.all(lax.all_gather(exact, axis), axis=0)
+        return merged_d, merged_i, exact_all
+
+    best_d, best_i, exact = scan_shard(query_u8, index)
+    best_d, best_i = repair_unproven(
+        query_u8, best_d, best_i, exact,
+        lambda rq: sharded_cosine4_scan_topk(
+            rq, index, mesh, k=k, max_distance=max_distance,
+            block_rows=block_rows, axis=axis,
+        ),
+    )
     best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
     if squeeze:
         return best_d[0], best_i[0]
@@ -268,11 +398,12 @@ def _sharded_dus(index: PackedSemanticIndex, data, row_sum, row_mag2, valid, sta
 
 
 def append_to_sharded_index(
-    sharded: PackedSemanticIndex,
+    sharded,
     rows_u8: np.ndarray,
     valid: np.ndarray,
     start: int,
-) -> PackedSemanticIndex:
+    kind: str = "semantic",
+):
     """Write freshly appended rows [start, start+m) into an existing
     sharded index WITHOUT re-transferring it (continuous ingest under
     serve_on_mesh).  ``rows_u8`` may include already-present rows before
@@ -281,8 +412,14 @@ def append_to_sharded_index(
     ``valid`` carries the rows' CURRENT validity (padding may cover rows
     tombstoned before an earlier full reshard — writing True there would
     resurrect them).  Capacity changes / new deletes must be handled by
-    the caller (full reshard)."""
-    data, row_sum, row_mag2 = semantic_rows_from_u8(rows_u8)
+    the caller (full reshard).  ``kind`` matches the store's
+    ("semantic" or "semantic4")."""
+    if kind == "semantic4":
+        from pixelbox_tpu.ops.int4 import semantic4_rows_from_u8
+
+        data, row_sum, row_mag2 = semantic4_rows_from_u8(rows_u8)
+    else:
+        data, row_sum, row_mag2 = semantic_rows_from_u8(rows_u8)
     return _sharded_dus(
         sharded,
         jnp.asarray(data),

@@ -74,17 +74,29 @@ def test_exact_mode_matches_auto(int4_engine):
     assert exact == auto
 
 
-def test_mesh_raises_clearly(int4_engine):
+def test_mesh_matches_single_chip(int4_engine):
     from pixelbox_tpu.parallel.mesh import make_mesh
 
     eng, d, _ = int4_engine
+    rec = eng.load_image(str(d / "s0.png"))
+    eng.scan_mesh = None
+    eng.query_by_image_hash_from_image(rec)
+    single = [
+        (r.id, round(r.distance_from_query, 6)) for r in eng.get_query_results()
+    ]
     eng.serve_on_mesh(make_mesh(8))
     try:
-        rec = eng.load_image(str(d / "s0.png"))
-        with pytest.raises(ValueError, match="int4"):
+        for mode in ("auto", "exact"):
+            eng.scan_mode = mode
             eng.query_by_image_hash_from_image(rec)
+            sharded = [
+                (r.id, round(r.distance_from_query, 6))
+                for r in eng.get_query_results()
+            ]
+            assert sharded == single, mode
     finally:
         eng.scan_mesh = None
+        eng.scan_mode = "auto"
 
 
 def test_precision_persists_and_explicit_override(int4_engine, tmp_path):

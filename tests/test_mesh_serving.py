@@ -45,6 +45,26 @@ def test_sharded_auto_duplicate_flood_repairs(rng):
     check_topk_parity(np.asarray(got_d), np.asarray(got_i), exp_d, exp_i)
 
 
+def test_sharded_int4_auto_matches_oracle(rng):
+    from pixelbox_tpu.ops.int4 import (
+        build_semantic4_index,
+        cosine4_scan_topk_np,
+    )
+    from pixelbox_tpu.parallel.sharded_scan import (
+        sharded_cosine4_scan_topk_auto,
+    )
+
+    db = rng.integers(0, 256, size=(16384, 32), dtype=np.uint8)
+    mesh = make_mesh(8)
+    index = shard_semantic_index(build_semantic4_index(db, block_rows=2048), mesh)
+    q = rng.integers(0, 256, size=(5, 32), dtype=np.uint8)
+    got_d, got_i = sharded_cosine4_scan_topk_auto(
+        jnp.asarray(q), index, mesh, k=25, block_rows=256
+    )
+    exp_d, exp_i = cosine4_scan_topk_np(q, db, k=25)
+    check_topk_parity(np.asarray(got_d), np.asarray(got_i), exp_d, exp_i)
+
+
 @pytest.fixture(scope="module")
 def mesh_engine(tmp_path_factory):
     d = tmp_path_factory.mktemp("photos")
