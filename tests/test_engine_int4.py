@@ -140,3 +140,34 @@ def test_similar_text_query_uses_int4(int4_engine):
     assert results[0].filename == "s4.png"
     dists = [r.distance_from_query for r in results]
     assert dists == sorted(dists)
+
+
+def test_semantic4_store_lifecycle(tmp_path, rng):
+    """save/load/delete/compact round-trip for the packed int4 store."""
+    from pixelbox_tpu.index.store import VectorStore
+    from pixelbox_tpu.ops.int4 import unpack_u4_rows_np, quantize_u8_to_u4
+
+    store = VectorStore(dim=32, kind="semantic4", block_rows=1024)
+    rows = rng.integers(0, 256, size=(300, 32), dtype=np.uint8)
+    ids = store.append(rows)
+    assert store.device_index.data.shape[1] == 16  # packed
+    # Device nibbles decode back to the quantized codes.
+    got = unpack_u4_rows_np(np.asarray(store.device_index.data)[:300])
+    np.testing.assert_array_equal(got, quantize_u8_to_u4(rows))
+
+    store.delete(ids[:10])
+    assert store.size == 290
+    assert not bool(np.asarray(store.device_index.valid)[:10].any())
+
+    p = str(tmp_path / "s4.npz")
+    store.save(p)
+    loaded = VectorStore.load(p)
+    assert loaded.kind == "semantic4"
+    assert loaded.size == 290
+    np.testing.assert_array_equal(
+        np.asarray(loaded.device_index.data), np.asarray(store.device_index.data)
+    )
+
+    mapping = store.compact()
+    assert store.n == 290 and store.n_deleted == 0
+    assert (mapping[:10] == -1).all()
