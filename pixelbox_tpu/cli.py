@@ -125,6 +125,15 @@ def main(argv=None) -> int:
     sp.add_argument("--max-distance", type=float, default=1e3)
 
     sp = add_db_cmd(
+        "similar-id", help="find images similar to an INDEXED image "
+        "(uses its stored hash — no re-decode)"
+    )
+    sp.add_argument("id", type=int)
+    sp.add_argument("--json", action="store_true")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.add_argument("--max-distance", type=float, default=1e3)
+
+    sp = add_db_cmd(
         "phash-similar", help="find near-duplicates by perceptual hash"
     )
     sp.add_argument("image")
@@ -262,6 +271,14 @@ def main(argv=None) -> int:
             engine.max_search_results = args.limit
             engine.max_distance_from_query = args.max_distance
             engine.query_by_image_hash_from_file(args.image)
+            if engine.last_query_error:
+                print(f"error: {engine.last_query_error}", file=sys.stderr)
+                return 1
+            _print_results(engine, as_json=args.json)
+        elif args.cmd == "similar-id":
+            engine.max_search_results = args.limit
+            engine.max_distance_from_query = args.max_distance
+            engine.query_by_image_hash_from_id(args.id)
             if engine.last_query_error:
                 print(f"error: {engine.last_query_error}", file=sys.stderr)
                 return 1

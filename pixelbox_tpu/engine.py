@@ -912,6 +912,31 @@ class Engine:
             meta=meta,
         )
 
+    def query_by_image_hash_from_id(self, image_id: int) -> None:
+        """Find-similar on an INDEXED image using its stored hash.
+
+        The reference's per-result "Search for Similar" re-decodes and
+        re-embeds the file (search.rs:100 → engine.rs:352-361); using the
+        stored hash is faster (no decode/forward) and guarantees an exact
+        self-match (re-embedding can drift by quantization ulps when
+        ingest batched the forward — PERF.md).  File-based queries keep
+        the reference's recompute semantics.
+        """
+        self._cached_search_results = None
+        blob = self.catalog.get_hash("semantic_hashes", image_id)
+        if blob is None:
+            self.last_query_error = f"image {image_id} has no semantic hash"
+            self._cached_search_results = []
+            return
+        info = self.catalog.get_image(image_id)
+        record = IndexedImage(
+            id=image_id,
+            filename=info["filename"] if info else "",
+            path=info["path"] if info else "",
+            visual_hash=np.frombuffer(blob, dtype=np.uint8),
+        )
+        self.query_by_image_hash_from_image(record)
+
     def query_by_image_hash_from_image(self, record: IndexedImage) -> None:
         if record.visual_hash is None:
             print("TODO: IndexedImage is somehow missing a hash!", file=sys.stderr)

@@ -310,9 +310,20 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     info = engine.catalog.get_image(image_id)
                     if info is None:
                         return self._send(404, {"error": "no such image"})
-                    rec = engine.load_image(info["path"])
-                    if rec is None:
-                        return self._send(410, {"error": "file unreadable"})
+                    # Find-similar on a result uses the STORED hash: no
+                    # decode/embed, and the image matches itself exactly.
+                    blob = engine.catalog.get_hash("semantic_hashes", image_id)
+                    if blob is None:
+                        return self._send(410, {"error": "no semantic hash"})
+                    import numpy as np
+
+                    from pixelbox_tpu.records import IndexedImage
+
+                    rec = IndexedImage(
+                        id=image_id, filename=info["filename"],
+                        path=info["path"],
+                        visual_hash=np.frombuffer(blob, dtype=np.uint8),
+                    )
                     # Serialize the list returned to THIS request — the
                     # engine cache is shared and a concurrent query may
                     # overwrite it before we read it back.

@@ -170,3 +170,21 @@ def test_pallas_scan_mode(engine, photo_dir):
         assert results[0].distance_from_query < 1e-5
     finally:
         engine.scan_mode = "auto"
+
+
+def test_query_by_image_hash_from_id(engine):
+    """Find-similar on an indexed image uses the STORED hash: exact
+    self-match at dist 0 with no re-decode."""
+    eng = engine
+    eng.query("tex")  # populate results to grab an id
+    target = eng.get_query_results()[0]
+    eng.max_distance_from_query = 1e7
+    eng.query_by_image_hash_from_id(target.id)
+    results = eng.get_query_results()
+    assert results[0].id == target.id
+    assert results[0].distance_from_query == 0.0
+    # Unknown id → friendly error, empty results.
+    eng.query_by_image_hash_from_id(10 ** 9)
+    assert eng.get_query_results() == []
+    assert "no semantic hash" in eng.last_query_error
+    eng.max_distance_from_query = 1e3
