@@ -290,7 +290,7 @@ def pallas_threshold4_scan_topk(
     q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
 
     s = sample.data.shape[0]
-    tc = target_count if target_count is not None else max(4 * k, 256)
+    tc = target_count if target_count is not None else max(16 * k // 5, 256)  # ~3.2k: proof stays 1.0, fewer rounds
     j = min(s, max(1, -(-tc * s // n_pad)))
     s_dist = _cosine4_block_dist(
         q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
@@ -340,10 +340,11 @@ def pallas_threshold4_scan_topk(
 
     best_d = best_d[:qn, :k]
     best_i = best_i[:qn, :k]
-    count = counts[:qn, 0]
+    flag = counts[:qn, 0]  # 0 = clean, very negative = poisoned
     keep = jnp.isfinite(best_d)
     best_i = jnp.where(keep, best_i, -1)
-    exact = (count >= k) | (unbound & (count >= 0))
+    # kth finite ⟺ ≥ k rows passed θ (see _threshold_insert_kernel).
+    exact = (jnp.isfinite(best_d[:, k - 1]) | unbound) & (flag >= 0)
     if squeeze:
         return best_d[0], best_i[0], exact[0]
     return best_d, best_i, exact

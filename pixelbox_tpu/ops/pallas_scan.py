@@ -112,8 +112,10 @@ def _fused_scan_kernel(
     big_col = jnp.int32(2 ** 30)
 
     def insert_round(state):
-        dist, _ = state
-        m = jnp.min(dist, axis=1, keepdims=True)                   # [Q,1]
+        # The carried m is the per-query min of the carried dist (one
+        # fresh [Q, T] reduce per round — the post-mask min below doubles
+        # as the next round's extract-min).
+        dist, m, _ = state
         theta = best_d_ref[:, k_lanes - 1 : k_lanes]               # [Q,1]
         ins = m < theta                                            # [Q,1]
         midx = jnp.min(
@@ -132,17 +134,13 @@ def _fused_scan_kernel(
         best_i_ref[:] = jnp.where(ins, new_i, cur_i)
         # Mask the extracted minima (for every row: guarantees progress).
         dist = jnp.where(col == midx, _INF, dist)
-        more = jnp.any(
-            jnp.min(dist, axis=1, keepdims=True)
-            < best_d_ref[:, k_lanes - 1 : k_lanes]
-        )
-        return dist, more
+        m = jnp.min(dist, axis=1, keepdims=True)                   # [Q,1]
+        more = jnp.any(m < best_d_ref[:, k_lanes - 1 : k_lanes])
+        return dist, m, more
 
-    init_more = jnp.any(
-        jnp.min(dist, axis=1, keepdims=True)
-        < best_d_ref[:, k_lanes - 1 : k_lanes]
-    )
-    lax.while_loop(lambda s: s[1], insert_round, (dist, init_more))
+    m0 = jnp.min(dist, axis=1, keepdims=True)
+    init_more = jnp.any(m0 < best_d_ref[:, k_lanes - 1 : k_lanes])
+    lax.while_loop(lambda s: s[2], insert_round, (dist, m0, init_more))
 
 
 def _threshold_extract_kernel(
@@ -236,17 +234,12 @@ def _threshold_extract_kernel(
     lane_cap = lax.broadcasted_iota(jnp.int32, (qn, cap), 1)
     big_col = jnp.int32(2 ** 30)
 
-    def pending_any(dist):
-        cursor = counts_ref[:, 1:2]
-        pending = jnp.isfinite(jnp.min(dist, axis=1, keepdims=True)) & (
-            cursor < cap
-        )
-        return jnp.any(pending)
-
     def extract_round(state):
-        dist, rounds, _ = state
+        # Carried m = per-query min of the carried dist — one fresh
+        # [Q, T] reduce per round (the post-mask min feeds the next
+        # round and the pending check).
+        dist, m, rounds, _ = state
         cursor = counts_ref[:, 1:2]                                # [Q,1]
-        m = jnp.min(dist, axis=1, keepdims=True)
         can = jnp.isfinite(m) & (cursor < cap)
         midx = jnp.min(
             jnp.where(dist == m, col, big_col), axis=1, keepdims=True
@@ -260,12 +253,16 @@ def _threshold_extract_kernel(
         )
         # Mask the extracted minima only where actually collected.
         dist = jnp.where((col == midx) & can, _INF, dist)
-        return dist, rounds + 1, pending_any(dist)
+        m = jnp.min(dist, axis=1, keepdims=True)
+        pending = jnp.any(jnp.isfinite(m) & (counts_ref[:, 1:2] < cap))
+        return dist, m, rounds + 1, pending
 
+    m0 = jnp.min(dist, axis=1, keepdims=True)
+    pending0 = jnp.any(jnp.isfinite(m0) & (counts_ref[:, 1:2] < cap))
     lax.while_loop(
-        lambda s: s[2] & (s[1] < max_rounds),
+        lambda s: s[3] & (s[2] < max_rounds),
         extract_round,
-        (dist, jnp.int32(0), pending_any(dist)),
+        (dist, m0, jnp.int32(0), pending0),
     )
     # Rows left uncollected (buffer full / round bound) stay visible as
     # collected < count — the wrapper's exactness proof catches them.
@@ -398,15 +395,24 @@ def _threshold_insert_kernel(
     sized for ~400/1M hits), each a roll+select on the [Q, K] carry —
     ~8× less VMEM traffic than v1's [Q, 1024] buffer writes, and no
     final TopK: the output is already the exact top-k of {dist < θ}.
-    Exactness proof simplifies to count ≥ k (∨ θ == max_distance): the
+
+    Exactness proof: only θ-passing rows are ever inserted and the
     insertion loop never drops a row that beats the running k-th, so
-    when ≥ k rows pass θ the carry IS the true top-k.
+    ``best_d[k-1]`` finite ⟺ ≥ k rows passed θ ⟺ the carry IS the true
+    top-k of {dist < θ} (the wrapper also accepts θ == max_distance
+    with fewer hits).  That makes a separate per-tile passing-row count
+    (a full [Q, T] reduce per tile in the first version of this kernel)
+    redundant — ``counts_ref`` lane 0 only carries the poison flag.
 
     A max_rounds bound per tile guards pathological tie floods;
-    hitting it can only LOSE candidates, which shows up as
+    hitting it can only LOSE candidates, which would show up as
     best_d[k-1] > some uninserted row... so instead of risking a silent
-    miss, hitting the bound poisons the query's count (set to -1) —
-    unproven → exact repair.
+    miss, hitting the bound poisons the query's flag (set very negative)
+    — unproven → exact repair.
+
+    The per-round loop carries the running per-query min: each round
+    costs ONE fresh [Q, T] reduce (the post-mask min doubles as the
+    next round's extract-min) instead of two.
     """
     t = pl.program_id(0)
     qn = q_ref.shape[0]
@@ -472,17 +478,13 @@ def _threshold_insert_kernel(
         dist = jnp.where((row_valid > 0) & (dist < theta), dist, _INF)
 
     lane128 = lax.broadcasted_iota(jnp.int32, (qn, 128), 1)
-    c = jnp.sum(jnp.isfinite(dist), axis=1, keepdims=True).astype(jnp.int32)
-    counts_ref[:] = counts_ref[:] + jnp.where(lane128 == 0, c, 0)
-
     base = t * tile_rows
     col = lax.broadcasted_iota(jnp.int32, (qn, tile_rows), 1)
     lane = lax.broadcasted_iota(jnp.int32, (qn, k_lanes), 1)
     big_col = jnp.int32(2 ** 30)
 
     def insert_round(state):
-        dist, rounds, _ = state
-        m = jnp.min(dist, axis=1, keepdims=True)                   # [Q,1]
+        dist, m, rounds, _ = state
         kth = best_d_ref[:, k_lanes - 1 : k_lanes]
         ins = m < kth
         midx = jnp.min(
@@ -500,31 +502,24 @@ def _threshold_insert_kernel(
         best_d_ref[:] = jnp.where(ins, new_d, cur_d)
         best_i_ref[:] = jnp.where(ins, new_i, cur_i)
         dist = jnp.where(col == midx, _INF, dist)
-        more = jnp.any(
-            jnp.min(dist, axis=1, keepdims=True)
-            < best_d_ref[:, k_lanes - 1 : k_lanes]
-        )
-        return dist, rounds + 1, more
+        m = jnp.min(dist, axis=1, keepdims=True)                   # [Q,1]
+        more = jnp.any(m < best_d_ref[:, k_lanes - 1 : k_lanes])
+        return dist, m, rounds + 1, more
 
-    init_more = jnp.any(
-        jnp.min(dist, axis=1, keepdims=True)
-        < best_d_ref[:, k_lanes - 1 : k_lanes]
-    )
-    dist, rounds, more = lax.while_loop(
-        lambda s: s[2] & (s[1] < max_rounds),
+    m0 = jnp.min(dist, axis=1, keepdims=True)
+    init_more = jnp.any(m0 < best_d_ref[:, k_lanes - 1 : k_lanes])
+    dist, m_last, rounds, more = lax.while_loop(
+        lambda s: s[3] & (s[2] < max_rounds),
         insert_round,
-        (dist, jnp.int32(0), init_more),
+        (dist, m0, jnp.int32(0), init_more),
     )
 
     @pl.when(more)
     def _poison():
         # Round bound hit with insertions pending: results for queries
-        # with pending rows may be incomplete — poison their counts so
+        # with pending rows may be incomplete — poison their flag so
         # the wrapper proves them unexact and repairs.
-        pending = jnp.isfinite(jnp.min(dist, axis=1, keepdims=True)) & (
-            jnp.min(dist, axis=1, keepdims=True)
-            < best_d_ref[:, k_lanes - 1 : k_lanes]
-        )
+        pending = m_last < best_d_ref[:, k_lanes - 1 : k_lanes]
         counts_ref[:] = jnp.where(
             pending & (lane128 == 0), jnp.int32(-(2 ** 30)), counts_ref[:]
         )
@@ -565,7 +560,7 @@ def pallas_threshold_scan_topk_v2(
     q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
 
     s = sample.data.shape[0]
-    tc = target_count if target_count is not None else max(4 * k, 256)
+    tc = target_count if target_count is not None else max(16 * k // 5, 256)  # ~3.2k: proof stays 1.0, fewer rounds
     j = min(s, max(1, -(-tc * s // n_pad)))
     s_dist = _cosine_block_dist(
         q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
@@ -615,10 +610,11 @@ def pallas_threshold_scan_topk_v2(
 
     best_d = best_d[:qn, :k]
     best_i = best_i[:qn, :k]
-    count = counts[:qn, 0]
+    flag = counts[:qn, 0]  # 0 = clean, very negative = poisoned
     keep = jnp.isfinite(best_d)
     best_i = jnp.where(keep, best_i, -1)
-    exact = (count >= k) | (unbound & (count >= 0))
+    # kth finite ⟺ ≥ k rows passed θ (see _threshold_insert_kernel).
+    exact = (jnp.isfinite(best_d[:, k - 1]) | unbound) & (flag >= 0)
     if squeeze:
         return best_d[0], best_i[0], exact[0]
     return best_d, best_i, exact
@@ -777,7 +773,7 @@ def pallas_hamming_threshold_scan_topk_v2(
     md = jnp.asarray(max_distance, dtype=jnp.float32)
 
     s = sample_data.shape[0]
-    tc = target_count if target_count is not None else max(4 * k, 256)
+    tc = target_count if target_count is not None else max(16 * k // 5, 256)  # ~3.2k: proof stays 1.0, fewer rounds
     j = min(s, max(1, -(-tc * s // n_pad)))
     s_dot = lax.dot_general(
         q_pm, sample_data,
@@ -833,10 +829,11 @@ def pallas_hamming_threshold_scan_topk_v2(
 
     best_d = best_d[:qn, :k]
     best_i = best_i[:qn, :k]
-    count = counts[:qn, 0]
+    flag = counts[:qn, 0]  # 0 = clean, very negative = poisoned
     keep = jnp.isfinite(best_d)
     best_i = jnp.where(keep, best_i, -1)
-    exact = (count >= k) | (unbound & (count >= 0))
+    # kth finite ⟺ ≥ k rows passed θ (see _threshold_insert_kernel).
+    exact = (jnp.isfinite(best_d[:, k - 1]) | unbound) & (flag >= 0)
     if squeeze:
         return best_d[0], best_i[0], exact[0]
     return best_d, best_i, exact

@@ -37,6 +37,7 @@ from pixelbox_tpu.ops.resample import (
     grayscale_np,
     resample_weights,
     resize_dimensions,
+    resize_native,
     resize_np,
     to_u8,
 )
@@ -79,15 +80,26 @@ def phash(
         out_w, out_h = resize_dimensions(w, h, HASH_SIZE, HASH_SIZE, fill=False)
     else:
         out_w, out_h = HASH_SIZE, HASH_SIZE
+    small_u8 = None
     if fast:
         # Box-prefilter only pays off above ~2MP (numpy mean temporaries
         # cost more than the tensordot resample below that).
         factor = max(1, min(h, w) // 1024)
         if factor >= 2:
             img = box_downsample_np(img, factor)
-    small = resize_np(img, out_w, out_h, "gaussian")
-    # The reference resizes u8→u8 (rounded) then grayscales u8→u8 (rounded).
-    grey = to_u8(grayscale_np(to_u8(small)))
+        elif img.dtype == np.uint8:
+            # Sub-2MP u8 input (the ingest hot path: native decode DCT-
+            # scales JPEGs to min-dim >=448): the C++ separable gaussian
+            # resample shares resample_weights' definition and the same
+            # round-half-away u8 output as to_u8(resize_np(...)) — only
+            # f32 accumulation order differs (ulp-level, within the
+            # cross-path hash tolerance the batched TPU path already has).
+            small_u8 = resize_native(img, out_w, out_h, "gaussian")
+    if small_u8 is None:
+        # The reference resizes u8→u8 (rounded) then grayscales u8→u8
+        # (rounded).
+        small_u8 = to_u8(resize_np(img, out_w, out_h, "gaussian"))
+    grey = to_u8(grayscale_np(small_u8))
     flat = grey.ravel().astype(np.uint64)
     # Fixed 256 divisor regardless of actual pixel count (phash.rs:10),
     # with integer (floor) division like the Rust u64 division.
@@ -107,13 +119,17 @@ def dhash(img_rgb: np.ndarray, fast: bool = True) -> np.ndarray:
     img = np.asarray(img_rgb)
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
+    small_u8 = None
     if fast:
         h, w = img.shape[:2]
         factor = max(1, min(h, w) // 1024)
         if factor >= 2:
             img = box_downsample_np(img, factor)
-    small = resize_np(img, 9, 8, "triangle")  # [8 rows, 9 cols]
-    grey = grayscale_np(to_u8(small))
+        elif img.dtype == np.uint8:
+            small_u8 = resize_native(img, 9, 8, "triangle")
+    if small_u8 is None:
+        small_u8 = to_u8(resize_np(img, 9, 8, "triangle"))  # [8 rows, 9 cols]
+    grey = grayscale_np(small_u8)
     bits = (grey[:, :-1] < grey[:, 1:]).astype(np.uint8)  # [8, 8]
     return pack_bits_lsb_first(bits.ravel())
 

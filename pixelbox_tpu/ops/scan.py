@@ -578,9 +578,10 @@ def cosine_scan_topk_auto(
         if row_meta is None:
             row_meta = build_row_meta(index)
         # v2 (in-kernel running top-k) wins everywhere it fits VMEM:
-        # 22.2 Gdots/s @Q=256 t2048, 20.2 @Q=1024 t1024 (the [Q, tile]
+        # 24.8 Gdots/s @Q=256 t2048, 23.3 @Q=1024 t1024 (the [Q, tile]
         # loop carry caps Q·tile at ~2^21 f32); v1's candidate buffer
-        # covers larger batches.
+        # covers larger batches.  Chunking big batches through 512-query
+        # v2 passes measured worse (PERF.md) — don't.
         qn_now = q.shape[0]
         if qn_now <= 512:
             best_d, best_i, exact = pallas_threshold_scan_topk_v2(
