@@ -365,14 +365,14 @@ def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
         from pixelbox_tpu.ops.hamming_gemm import build_hamming_scan_sample
         from pixelbox_tpu.ops.pallas_scan import (
             build_hamming_meta,
-            pallas_hamming_threshold_scan_topk,
+            pallas_hamming_threshold_scan_topk_v2,
         )
 
         sample = build_hamming_scan_sample(gidx)
         meta = build_hamming_meta(gidx)
 
         def one_thresh(qi, gidx, meta, sd, sv):
-            dist, idx, exact = pallas_hamming_threshold_scan_topk(
+            dist, idx, exact = pallas_hamming_threshold_scan_topk_v2(
                 qi, gidx, meta, sd, sv, k=k
             )
             return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
@@ -380,7 +380,7 @@ def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
         dt_t, _ = _device_loop(
             one_thresh, qs, iters, gidx, meta, sample.data, sample.valid
         )
-        _, _, exact = pallas_hamming_threshold_scan_topk(
+        _, _, exact = pallas_hamming_threshold_scan_topk_v2(
             qs[0], gidx, meta, sample.data, sample.valid, k=k
         )
         out["hashes_per_sec_threshold_exact"] = n * q / dt_t
