@@ -83,7 +83,11 @@ def main(argv=None) -> int:
     def add_db_cmd(name, **kw):
         sp = sub.add_parser(name, **kw)
         sp.add_argument("db", help="catalog database path")
-        sp.add_argument("--embedder", default="stub", help="stub|efficientnet|nomic")
+        sp.add_argument(
+            "--embedder", default="stub",
+            help="stub|efficientnet|nomic|none ('none' = tags-only mode: "
+            "index without semantic hashes, similarity search disabled)",
+        )
         sp.add_argument("--dim", type=int, default=None, help="embedding width")
         sp.add_argument(
             "--blip", action="store_true",
@@ -112,6 +116,24 @@ def main(argv=None) -> int:
 
     sp = add_db_cmd("index", help="crawl tracked folders and index new images")
     sp.add_argument("--workers", type=int, default=None)
+
+    sp = add_db_cmd(
+        "watch",
+        help="index once, then keep watching tracked folders for new "
+        "images until interrupted (reference roadmap 'Watched "
+        "directories')",
+    )
+    sp.add_argument("--workers", type=int, default=None)
+    sp.add_argument("--interval", type=float, default=30.0,
+                    help="poll interval in seconds")
+
+    sp = add_db_cmd("tag", help="set a user tag on an indexed image")
+    sp.add_argument("id", type=int)
+    sp.add_argument("name")
+    sp.add_argument("value", nargs="?", default="")
+    sp = add_db_cmd("untag", help="remove a tag from an indexed image")
+    sp.add_argument("id", type=int)
+    sp.add_argument("name")
 
     sp = add_db_cmd("search", help="text query (supports similar:/tag:/exif:/all:)")
     sp.add_argument("query", nargs="+")
@@ -257,6 +279,36 @@ def main(argv=None) -> int:
             engine.wait_for_indexing()
             pl = engine._pipeline
             print(f"Indexed images: {engine.get_num_indexed_images()}")
+        elif args.cmd == "watch":
+            engine.start_indexing(num_workers=args.workers)
+            engine.wait_for_indexing()
+            print(f"Indexed images: {engine.get_num_indexed_images()}")
+            engine.watch(interval_s=args.interval, num_workers=args.workers)
+            print(
+                f"Watching {len(engine.get_tracked_folders())} folder(s) "
+                f"every {args.interval:g}s — Ctrl-C to stop."
+            )
+            try:
+                import time as _time
+
+                while True:
+                    _time.sleep(3600)
+            except KeyboardInterrupt:
+                pass
+        elif args.cmd == "tag":
+            if engine.set_tag(args.id, args.name, args.value):
+                print(f"Tagged {args.id}: {args.name}={args.value!r}")
+            else:
+                print(f"No image with id {args.id}", file=sys.stderr)
+                return 1
+        elif args.cmd == "untag":
+            if engine.remove_tag(args.id, args.name):
+                print(f"Untagged {args.id}: {args.name}")
+            else:
+                print(
+                    f"No tag {args.name!r} on image {args.id}", file=sys.stderr
+                )
+                return 1
         elif args.cmd == "search":
             from pixelbox_tpu.query import QueryTokenizeError
 

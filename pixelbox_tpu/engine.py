@@ -160,6 +160,9 @@ class Engine:
         self._ph_sharded = None
         self._ph_sharded_at_ver = -1
         self._pipeline = None
+        self._watcher: Optional[threading.Thread] = None
+        self._watch_stop: Optional[threading.Event] = None
+        self.watch_passes = 0
         self._cached_index_size: Optional[int] = None
         self._recently_indexed: List[str] = []
         self._recent_lock = threading.Lock()
@@ -223,6 +226,19 @@ class Engine:
 
     @property
     def embedder(self):
+        """The semantic embedder, or None in tags-only mode.
+
+        ``embedder="none"`` implements the reference roadmap item "If a
+        model is unavailable, don't perform image hash and just disable
+        similarity search so people can use it for just tags"
+        (README.md TODOs): ingest indexes filename/EXIF/phash/thumbnail
+        without semantic hashes, text and phash search work, and
+        embed-requiring paths set a friendly ``last_query_error``.
+        Similar-by-id still works when stored hashes exist (e.g. a
+        library indexed earlier with a model).
+        """
+        if self._embedder_name in (None, "none"):
+            return None
         if self._embedder is None:
             self._embedder = get_embedder(self._embedder_name, **self._embedder_kwargs)
         return self._embedder
@@ -290,6 +306,64 @@ class Engine:
         if done:
             self._pipeline = None
         return done
+
+    # ------------------------------------------------------------------ #
+    # Watched directories (reference roadmap README.md "Watched
+    # directories via notify crate" — never built there).  A poll loop
+    # rather than inotify: it needs no extra dependency, works on network
+    # filesystems, and re-uses the idempotent-by-path pipeline, so a
+    # spurious trigger costs one cheap skip pass.
+
+    def watch(
+        self, interval_s: float = 30.0, num_workers: Optional[int] = None
+    ) -> None:
+        """Start a background watcher: poll tracked folders and index any
+        file the catalog doesn't know yet.  Idempotent; stop with
+        :meth:`stop_watching` (close() stops it too)."""
+        if self._watcher is not None and self._watcher.is_alive():
+            return
+        self._watch_stop = threading.Event()
+        self.watch_passes = 0  # observability (tests/status surface)
+
+        def _has_new_files() -> bool:
+            from pixelbox_tpu.ingest.crawler import crawl
+            from pixelbox_tpu.ingest.decode import stringify_filepath
+
+            conn = self.catalog._connect()
+            known = {r[0] for r in conn.execute("SELECT path FROM images")}
+            for p in crawl(self.get_tracked_folders()):
+                if stringify_filepath(p) not in known:
+                    return True
+                if self._watch_stop.is_set():
+                    return False
+            return False
+
+        def _loop() -> None:
+            while not self._watch_stop.wait(interval_s):
+                try:
+                    if self.is_indexing_active():
+                        continue
+                    if _has_new_files():
+                        self.start_indexing(num_workers=num_workers)
+                        self.wait_for_indexing()
+                    self.watch_passes += 1
+                except Exception as e:  # noqa: BLE001 — keep watching
+                    print(f"watch: {type(e).__name__}: {e}", file=sys.stderr)
+
+        self._watcher = threading.Thread(
+            target=_loop, name="pixelbox-watch", daemon=True
+        )
+        self._watcher.start()
+
+    def is_watching(self) -> bool:
+        return self._watcher is not None and self._watcher.is_alive()
+
+    def stop_watching(self) -> None:
+        if self._watcher is None:
+            return
+        self._watch_stop.set()
+        self._watcher.join(timeout=10)
+        self._watcher = None
 
     def insert_image_from_path(self, path: str) -> Optional[int]:
         record = self.load_image(path)
@@ -443,7 +517,7 @@ class Engine:
     def _record_from_decoded(self, decoded: DecodedImage) -> IndexedImage:
         thumb = qoi_encode(make_thumbnail(decoded.rgb))
         ph = phash_ops.phash(decoded.rgb, aspect_preserving=self.phash_compat)
-        vh = self.embedder.mlhash(decoded.rgb)
+        vh = None if self.embedder is None else self.embedder.mlhash(decoded.rgb)
         return IndexedImage(
             filename=decoded.filename,
             path=decoded.path,
@@ -552,6 +626,20 @@ class Engine:
         return len(ids)
 
     # ------------------------------------------------------------------ #
+    # Editable tags (reference roadmap README.md "Editable tags";
+    # searchable immediately via the existing tag:/all: operators)
+
+    def set_tag(self, image_id: int, name: str, value: str = "") -> bool:
+        """Set/overwrite a user tag on an indexed image."""
+        if self.catalog.get_image(image_id) is None:
+            return False
+        self.catalog.set_tag(image_id, name, value)
+        return True
+
+    def remove_tag(self, image_id: int, name: str) -> bool:
+        return self.catalog.remove_tag(image_id, name)
+
+    # ------------------------------------------------------------------ #
     # Tracked folders (engine.rs:404-439)
 
     def add_tracked_folder(self, folder_glob: str) -> None:
@@ -601,6 +689,24 @@ class Engine:
         # `text:` — semantic text→image modality over the BLIP index.
         if parsed.text_query is not None:
             self._query_text_filtered(parsed)
+            return
+
+        # Tags-only mode with no stored hashes: serve text queries straight
+        # from the catalog (the reference's INNER JOIN semantic_hashes
+        # would hide everything; its roadmap asks exactly for this
+        # fallback — "use it for just tags").
+        if self.embedder is None and not self._sem_image_ids:
+            if parsed.has_filter:
+                ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
+            else:
+                conn = self.catalog._connect()
+                ids = [r[0] for r in conn.execute("SELECT id FROM images ORDER BY id")]
+            k = int(self.max_search_results)
+            ids = ids[:k]
+            self._cached_search_results = self._results_from_image_ids(
+                ids, np.zeros(len(ids), dtype=np.float32)
+            )
+            print(f"{len(self._cached_search_results)} results", file=sys.stderr)
             return
 
         # Candidate rows: text filters via the catalog; INNER JOIN
@@ -874,6 +980,14 @@ class Engine:
 
     def query_by_image_hash_from_file(self, path: str) -> None:
         self._cached_search_results = None
+        if self.embedder is None:
+            self.last_query_error = (
+                "similarity search disabled: no embedder model "
+                "(embedder='none'); tag/filename/phash search and "
+                "similar-id on stored hashes remain available"
+            )
+            self._cached_search_results = []
+            return
         t0 = time.perf_counter()
         record = self.load_image(path)
         print(f"Time to compute image hash: {time.perf_counter()-t0:.3f}s", file=sys.stderr)
@@ -1244,5 +1358,6 @@ class Engine:
     # ------------------------------------------------------------------ #
 
     def close(self) -> None:
+        self.stop_watching()
         self.stop_indexing()
         self.catalog.close()

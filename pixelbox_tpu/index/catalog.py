@@ -305,6 +305,38 @@ class Catalog:
             )
         }
 
+    def set_tag(self, image_id: int, name: str, value: str = "") -> None:
+        """Set (or overwrite) a user tag — the reference's roadmap
+        "Editable tags" item (README.md TODOs), never implemented there.
+
+        The reference's tags table has no uniqueness constraint
+        (engine.rs:41-46: EXIF inserts use INSERT OR IGNORE but duplicate
+        (image_id, name) rows are possible); editing therefore deletes
+        any existing rows for the name first so a tag has one value.
+        """
+        conn = self._connect()
+        with self._lock:
+            conn.execute(
+                "DELETE FROM tags WHERE image_id = ? AND name = ?",
+                (image_id, name),
+            )
+            conn.execute(
+                "INSERT INTO tags (image_id, name, value) VALUES (?, ?, ?)",
+                (image_id, name, value),
+            )
+            conn.commit()
+
+    def remove_tag(self, image_id: int, name: str) -> bool:
+        """Delete a tag by name; True if any row was removed."""
+        conn = self._connect()
+        with self._lock:
+            cur = conn.execute(
+                "DELETE FROM tags WHERE image_id = ? AND name = ?",
+                (image_id, name),
+            )
+            conn.commit()
+            return cur.rowcount > 0
+
     # ------------------------------------------------------------------ #
     # Hashes (durable mirror of the device stores)
 

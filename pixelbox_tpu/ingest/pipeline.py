@@ -75,10 +75,11 @@ class IngestPipeline:
         self.batch_size = batch_size
         # Turbo: one host resize per image; phash (square mode) + embed
         # preprocessing run batched on device.  Requires compat-off phash
-        # (the aspect-preserving variable-length hash is host-only).
+        # (the aspect-preserving variable-length hash is host-only) and an
+        # embedder (tags-only mode has no device frames to hash from).
         self.turbo = (
             turbo if turbo is not None else not getattr(engine, "phash_compat", True)
-        )
+        ) and engine.embedder is not None
         self._stop = threading.Event()
         self._path_q: "queue.Queue" = queue.Queue()
         self._item_q: "queue.Queue" = queue.Queue(maxsize=MAX_PENDING_TX)
@@ -155,7 +156,12 @@ class IngestPipeline:
                 # Embed input always ships to the device as a u8 frame
                 # (4x less host->device transfer than f32; /255 happens on
                 # device).  Turbo additionally moves phash to the device.
-                pre = fill_resize_u8(decoded.rgb, engine.embedder.input_size)
+                # Tags-only mode (embedder None) skips the frame entirely.
+                pre = (
+                    None
+                    if engine.embedder is None
+                    else fill_resize_u8(decoded.rgb, engine.embedder.input_size)
+                )
                 ph = (
                     None
                     if self.turbo
@@ -232,27 +238,32 @@ class IngestPipeline:
 
     def _embed_and_insert(self, batch: List[_Item]) -> None:
         m = len(batch)
-        with timed("ingest.embed_batch"):
-            frames_u8 = jnp.asarray(
-                self._pad_batch(np.stack([it.preprocessed for it in batch]))
-            )  # u8 [B, S, S, 3]
-            if self.turbo:
-                phashes = np.asarray(phash_ops.phash_batch_tpu(frames_u8))[:m]
-                for it, ph in zip(batch, phashes):
-                    it.record.phash = ph
-            stacked = _normalize_frames(frames_u8)
-            mesh = getattr(self.engine, "mesh", None)
-            if mesh is not None:
-                from pixelbox_tpu.parallel.data_parallel import embed_batch_sharded
-
-                latents = jnp.asarray(
-                    embed_batch_sharded(
-                        self.engine.embedder, np.asarray(stacked), mesh
+        if self.engine.embedder is None:
+            hashes = [None] * m  # tags-only mode: no semantic hashes
+        else:
+            with timed("ingest.embed_batch"):
+                frames_u8 = jnp.asarray(
+                    self._pad_batch(np.stack([it.preprocessed for it in batch]))
+                )  # u8 [B, S, S, 3]
+                if self.turbo:
+                    phashes = np.asarray(phash_ops.phash_batch_tpu(frames_u8))[:m]
+                    for it, ph in zip(batch, phashes):
+                        it.record.phash = ph
+                stacked = _normalize_frames(frames_u8)
+                mesh = getattr(self.engine, "mesh", None)
+                if mesh is not None:
+                    from pixelbox_tpu.parallel.data_parallel import (
+                        embed_batch_sharded,
                     )
-                )
-            else:
-                latents = self.engine.embedder.embed_preprocessed(stacked)
-            hashes = np.asarray(quantize_embedding(latents))[:m]
+
+                    latents = jnp.asarray(
+                        embed_batch_sharded(
+                            self.engine.embedder, np.asarray(stacked), mesh
+                        )
+                    )
+                else:
+                    latents = self.engine.embedder.embed_preprocessed(stacked)
+                hashes = np.asarray(quantize_embedding(latents))[:m]
         blip = getattr(self.engine, "blip_searcher", None)
         if blip is not None and all(it.preprocessed_blip is not None for it in batch):
             with timed("ingest.blip_embed_batch"):

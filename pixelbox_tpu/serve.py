@@ -395,6 +395,7 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "max_search_results": engine.max_search_results,
                         "max_distance": engine.max_distance_from_query,
                         "semantic_precision": engine.semantic_precision,
+                        "watching": engine.is_watching(),
                         **ui_settings,
                     }
                     if scan_service is not None:
@@ -430,6 +431,33 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                 if parsed.path == "/api/stop":
                     engine.stop_indexing()
                     return self._send(200, {"stopped": True})
+                if parsed.path == "/api/tag":
+                    # Editable tags (reference roadmap item): body
+                    # {"id": N, "name": ..., "value": ...}.
+                    ok = engine.set_tag(
+                        int(data["id"]), str(data["name"]),
+                        str(data.get("value", "")),
+                    )
+                    if not ok:
+                        return self._send(404, {"error": "no such image"})
+                    return self._send(
+                        200, {"tags": engine.catalog.get_tags(int(data["id"]))}
+                    )
+                if parsed.path == "/api/untag":
+                    ok = engine.remove_tag(int(data["id"]), str(data["name"]))
+                    return self._send(
+                        200 if ok else 404,
+                        {"tags": engine.catalog.get_tags(int(data["id"]))}
+                        if ok else {"error": "no such tag"},
+                    )
+                if parsed.path == "/api/watch":
+                    if data.get("stop"):
+                        engine.stop_watching()
+                    else:
+                        engine.watch(
+                            interval_s=float(data.get("interval", 30.0))
+                        )
+                    return self._send(200, {"watching": engine.is_watching()})
                 if parsed.path == "/api/settings":
                     if "max_search_results" in data:
                         engine.max_search_results = int(data["max_search_results"])

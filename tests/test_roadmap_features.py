@@ -1,0 +1,212 @@
+"""Reference-roadmap features the reference never built (README.md TODOs):
+editable tags, tags-only mode (embedder='none'), watched directories."""
+
+import json
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixelbox_tpu.cli import main as cli_main
+from pixelbox_tpu.engine import Engine
+
+from fixtures import textured_image
+
+
+@pytest.fixture()
+def photo_dir(tmp_path):
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in (1, 2):
+        Image.fromarray(textured_image(seed=s, size=(64, 64))).save(
+            d / f"img{s}.png"
+        )
+    return d
+
+
+# ------------------------------------------------------------------ #
+# Editable tags
+
+
+def test_set_search_and_remove_tag(photo_dir, tmp_path):
+    eng = Engine.new(
+        str(tmp_path / "t.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.add_tracked_folder(str(photo_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+
+    eng.query("img1")
+    target = eng.get_query_results()[0].id
+
+    assert eng.set_tag(target, "animal", "cat")
+    assert eng.catalog.get_tags(target)["animal"] == "cat"
+
+    # Searchable immediately through the existing tag: operator.
+    eng.query("tag:cat")
+    assert [r.id for r in eng.get_query_results()] == [target]
+
+    # Overwrite: one value per name.
+    eng.set_tag(target, "animal", "dog")
+    assert eng.catalog.get_tags(target)["animal"] == "dog"
+    eng.query("tag:cat")
+    assert eng.get_query_results() == []
+
+    assert eng.remove_tag(target, "animal")
+    assert "animal" not in eng.catalog.get_tags(target)
+    assert not eng.remove_tag(target, "animal")  # already gone
+    assert not eng.set_tag(999999, "x", "y")  # unknown image
+    eng.close()
+
+
+def test_tag_cli(photo_dir, tmp_path, capsys):
+    db = str(tmp_path / "c.db")
+    assert cli_main(["init", db, "--dim", "16"]) == 0
+    assert cli_main(["add-folder", db, str(photo_dir)]) == 0
+    assert cli_main(["index", db, "--dim", "16"]) == 0
+    assert cli_main(["tag", db, "1", "mood", "happy", "--dim", "16"]) == 0
+    capsys.readouterr()  # clear earlier commands' output
+    assert cli_main(["search", db, "tag:happy", "--json", "--dim", "16"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [r["id"] for r in out] == [1]
+    assert cli_main(["untag", db, "1", "mood", "--dim", "16"]) == 0
+    assert cli_main(["untag", db, "1", "mood", "--dim", "16"]) == 1
+
+
+def test_tag_web_api(photo_dir, tmp_path):
+    from pixelbox_tpu.serve import make_handler
+
+    eng = Engine.new(
+        str(tmp_path / "w.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.add_tracked_folder(str(photo_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(eng, threading.Lock())
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        got = post("/api/tag", {"id": 1, "name": "place", "value": "beach"})
+        assert got["tags"]["place"] == "beach"
+        assert eng.catalog.get_tags(1)["place"] == "beach"
+        got = post("/api/untag", {"id": 1, "name": "place"})
+        assert "place" not in got["tags"]
+    finally:
+        httpd.shutdown()
+        eng.close()
+
+
+# ------------------------------------------------------------------ #
+# Tags-only mode (embedder='none')
+
+
+def test_none_embedder_indexes_without_semantic_hashes(photo_dir, tmp_path):
+    eng = Engine.new(str(tmp_path / "n.db"), embedder="none")
+    eng.add_tracked_folder(str(photo_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    assert eng.get_num_indexed_images() == 2
+    # No semantic hashes; phashes still present (no model needed).
+    assert eng._sem_store is None
+    assert eng._ph_store is not None and eng._ph_store.size == 2
+
+    # Text search works from the catalog.
+    eng.query("img1")
+    assert [r.filename for r in eng.get_query_results()] == ["img1.png"]
+    eng.query("img")
+    assert len(eng.get_query_results()) == 2
+
+    # Similarity-by-file is disabled with a friendly error.
+    eng.query_by_image_hash_from_file(str(photo_dir / "img1.png"))
+    assert "disabled" in (eng.last_query_error or "")
+    assert eng.get_query_results() == []
+
+    # phash near-duplicate search still works (model-free).
+    from pixelbox_tpu.ingest.decode import decode_image_file
+    from pixelbox_tpu.ops.phash import phash
+
+    decoded = decode_image_file(str(photo_dir / "img1.png"))
+    eng.query_by_phash(phash(decoded.rgb, aspect_preserving=True))
+    results = eng.get_query_results()
+    assert results and results[0].filename == "img1.png"
+    assert results[0].distance_from_query == 0.0
+    eng.close()
+
+
+def test_none_embedder_keeps_stored_hashes_usable(photo_dir, tmp_path):
+    """A library indexed WITH a model, reopened with embedder='none':
+    similar-id on stored hashes must still work (reference README.md's
+    'after finding a seed image you can right-click and do find
+    similar')."""
+    db = str(tmp_path / "m.db")
+    eng = Engine.new(db, embedder="stub", embedder_kwargs={"dim": 16})
+    eng.add_tracked_folder(str(photo_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    eng.close()
+
+    eng = Engine.open(db, embedder="none")
+    eng.query_by_image_hash_from_id(1)
+    results = eng.get_query_results()
+    assert results and results[0].id == 1
+    assert results[0].distance_from_query == 0.0
+    # Text queries keep reference INNER-JOIN semantics (hashes exist).
+    eng.query("img")
+    assert len(eng.get_query_results()) == 2
+    eng.close()
+
+
+# ------------------------------------------------------------------ #
+# Watched directories
+
+
+def test_watch_indexes_new_files(photo_dir, tmp_path):
+    eng = Engine.new(
+        str(tmp_path / "wd.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.add_tracked_folder(str(photo_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    assert eng.get_num_indexed_images() == 2
+
+    eng.watch(interval_s=0.2, num_workers=2)
+    assert eng.is_watching()
+    # A poll pass with nothing new must not reindex forever.
+    deadline = time.time() + 30
+    while eng.watch_passes < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    assert eng.watch_passes >= 1
+    assert eng.get_num_indexed_images() == 2
+
+    Image.fromarray(textured_image(seed=3, size=(64, 64))).save(
+        photo_dir / "img3.png"
+    )
+    # Poll on the QUERY (the catalog insert commits a moment before the
+    # device-store append becomes visible to text search).
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        eng.query("img3")
+        if eng.get_query_results():
+            break
+        time.sleep(0.1)
+    assert eng.get_num_indexed_images() == 3
+    assert [r.filename for r in eng.get_query_results()] == ["img3.png"]
+
+    eng.stop_watching()
+    assert not eng.is_watching()
+    eng.close()  # close() after stop is a no-op for the watcher
