@@ -24,13 +24,39 @@ def expand_folder_glob(folder: str) -> str:
     return os.path.join(folder, "**", "*.*")
 
 
+def zip_member_paths(zip_path: str) -> Iterator[str]:
+    """Yield ``archive.zip!/member`` pseudo-paths for image members.
+
+    Reference roadmap "Index inside of zip files" (README.md TODOs),
+    never built there.  Unreadable/corrupt archives are skipped like
+    per-file decode failures (crawler.rs:78-80 semantics).
+    """
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(zip_path) as zf:
+            names = zf.namelist()
+    except (OSError, zipfile.BadZipFile):
+        return
+    from pixelbox_tpu.ingest.decode import ZIP_SEP
+
+    for name in names:
+        if not name.endswith("/") and is_supported_image(name):
+            yield zip_path + ZIP_SEP + name
+
+
 def crawl(folders: Iterable[str]) -> Iterator[str]:
-    """Yield supported image file paths under the tracked folder globs."""
+    """Yield supported image file paths under the tracked folder globs
+    (plus image members of any .zip archives found there)."""
     for folder in folders:
         pattern = expand_folder_glob(folder)
         for path in globlib.iglob(pattern, recursive=True):
-            if os.path.isfile(path) and is_supported_image(path):
+            if not os.path.isfile(path):
+                continue
+            if is_supported_image(path):
                 yield path
+            elif path.lower().endswith(".zip"):
+                yield from zip_member_paths(path)
 
 
 def crawl_list(folders: Iterable[str]) -> List[str]:

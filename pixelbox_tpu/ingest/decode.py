@@ -178,17 +178,57 @@ def decode_image_bytes(
         return None
 
 
-def decode_image_file(path: str) -> Optional[DecodedImage]:
+#: Pseudo-path separator for images inside zip archives (reference
+#: roadmap "Index inside of zip files", README.md TODOs):
+#: ``/photos/a.zip!/sub/cat.png`` names member ``sub/cat.png`` of the
+#: archive — jar-URL style, unambiguous because ``!`` never follows
+#: ``.zip`` in a real directory hierarchy the crawler produces.
+ZIP_SEP = "!/"
+
+
+def split_zip_path(path: str) -> Optional[Tuple[str, str]]:
+    """``a.zip!/member`` → (archive path, member name); None otherwise."""
+    i = path.lower().find(".zip" + ZIP_SEP)
+    if i < 0:
+        return None
+    return path[: i + 4], path[i + 4 + len(ZIP_SEP):]
+
+
+def read_file_bytes(path: str) -> Optional[bytes]:
+    """Read a plain file OR a zip member pseudo-path."""
+    zp = split_zip_path(path)
+    if zp is not None:
+        import zipfile
+
+        zpath, member = zp
+        try:
+            with zipfile.ZipFile(zpath) as zf:
+                return zf.read(member)
+        except (OSError, KeyError, zipfile.BadZipFile):
+            return None
     try:
         with open(path, "rb") as f:
-            data = f.read()
+            return f.read()
     except OSError:
+        return None
+
+
+def decode_image_file(path: str) -> Optional[DecodedImage]:
+    data = read_file_bytes(path)
+    if data is None:
         return None
     return decode_image_bytes(data, os.path.basename(path), stringify_filepath(path))
 
 
 def stringify_filepath(path: str) -> str:
-    """Canonical path string (reference src/indexed_image.rs:101-103)."""
+    """Canonical path string (reference src/indexed_image.rs:101-103).
+
+    Zip-member pseudo-paths canonicalize the ARCHIVE part only (the
+    member name is already canonical within the archive)."""
+    zp = split_zip_path(path)
+    if zp is not None:
+        zpath, member = zp
+        return stringify_filepath(zpath) + ZIP_SEP + member
     try:
         return os.path.realpath(path)
     except OSError:

@@ -367,6 +367,31 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "gif": "image/gif", "webp": "image/webp",
                         "bmp": "image/bmp", "tiff": "image/tiff",
                     }.get(ext, "application/octet-stream")
+                    from pixelbox_tpu.ingest.decode import split_zip_path
+
+                    zp = split_zip_path(info["path"])
+                    if zp is not None:
+                        # Zip-member pseudo-path: stream from the archive.
+                        import zipfile
+
+                        try:
+                            zf = zipfile.ZipFile(zp[0])
+                        except (OSError, zipfile.BadZipFile):
+                            return self._send(410, {"error": "file unreadable"})
+                        with zf:
+                            try:
+                                zinfo = zf.getinfo(zp[1])
+                            except KeyError:
+                                return self._send(410, {"error": "file unreadable"})
+                            self.send_response(200)
+                            self.send_header("Content-Type", ctype)
+                            self.send_header(
+                                "Content-Length", str(zinfo.file_size)
+                            )
+                            self.end_headers()
+                            with zf.open(zinfo) as f:
+                                shutil.copyfileobj(f, self.wfile)
+                        return None
                     try:
                         f = open(info["path"], "rb")
                     except OSError:

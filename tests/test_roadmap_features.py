@@ -210,3 +210,77 @@ def test_watch_indexes_new_files(photo_dir, tmp_path):
     eng.stop_watching()
     assert not eng.is_watching()
     eng.close()  # close() after stop is a no-op for the watcher
+
+
+# ------------------------------------------------------------------ #
+# Index inside zip files
+
+
+@pytest.fixture()
+def zip_dir(tmp_path):
+    import io
+    import zipfile
+
+    d = tmp_path / "zphotos"
+    d.mkdir()
+    Image.fromarray(textured_image(seed=1, size=(64, 64))).save(d / "loose.png")
+
+    def png_bytes(seed):
+        buf = io.BytesIO()
+        Image.fromarray(textured_image(seed=seed, size=(64, 64))).save(
+            buf, "PNG"
+        )
+        return buf.getvalue()
+
+    with zipfile.ZipFile(d / "bundle.zip", "w") as zf:
+        zf.writestr("ziptex.png", png_bytes(4))
+        zf.writestr("nested/deep.png", png_bytes(5))
+        zf.writestr("notes.txt", b"not an image")
+    (d / "corrupt.zip").write_bytes(b"PK\x03\x04 not really a zip")
+    return d
+
+
+def test_zip_members_are_indexed_and_searchable(zip_dir, tmp_path):
+    eng = Engine.new(
+        str(tmp_path / "z.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.add_tracked_folder(str(zip_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    # loose.png + 2 zip members; notes.txt and the corrupt zip skipped.
+    assert eng.get_num_indexed_images() == 3
+
+    eng.query("deep")
+    results = eng.get_query_results()
+    assert len(results) == 1
+    assert results[0].path.endswith("bundle.zip!/nested/deep.png")
+    assert results[0].filename == "deep.png"
+
+    # Re-index is idempotent for pseudo-paths too.
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    assert eng.get_num_indexed_images() == 3
+
+    # Similarity by the member's id: exact self-match from the stored hash.
+    member_id = results[0].id
+    eng.query_by_image_hash_from_id(member_id)
+    sim = eng.get_query_results()
+    assert sim and sim[0].id == member_id and sim[0].distance_from_query == 0.0
+    eng.close()
+
+
+def test_zip_member_decode_roundtrip(zip_dir):
+    from pixelbox_tpu.ingest.crawler import crawl
+    from pixelbox_tpu.ingest.decode import decode_image_file, split_zip_path
+
+    paths = sorted(crawl([str(zip_dir)]))
+    members = [p for p in paths if "!/" in p]
+    assert len(members) == 2
+    decoded = decode_image_file(members[0])
+    assert decoded is not None and decoded.rgb.shape == (64, 64, 3)
+    zpath, member = split_zip_path(decoded.path)
+    assert zpath.endswith("bundle.zip") and member in (
+        "ziptex.png", "nested/deep.png"
+    )
+    # Nonexistent member: decode fails cleanly.
+    assert decode_image_file(str(zip_dir / "bundle.zip") + "!/nope.png") is None
