@@ -163,6 +163,21 @@ def main(argv=None) -> int:
     sp.add_argument("--limit", type=int, default=100)
     sp.add_argument("--max-distance", type=float, default=1e3)
 
+    sp = add_db_cmd(
+        "duplicates",
+        help="find near-duplicate image pairs across the whole index "
+        "(batched device self-scan)",
+    )
+    sp.add_argument("--by", default="phash", choices=("phash", "semantic"))
+    sp.add_argument(
+        "--max-distance", type=float, default=None,
+        help="strict distance cutoff (default: 0.1 hamming for phash, "
+        "0.05 reciprocal-cosine for semantic)",
+    )
+    sp.add_argument("--k", type=int, default=8,
+                    help="max neighbors considered per image")
+    sp.add_argument("--json", action="store_true")
+
     sp = add_db_cmd("show", help="show one indexed image's metadata")
     sp.add_argument("id", type=int)
 
@@ -349,6 +364,32 @@ def main(argv=None) -> int:
                 phash_fn(decoded.rgb, aspect_preserving=engine.phash_compat)
             )
             _print_results(engine, as_json=args.json)
+        elif args.cmd == "duplicates":
+            md = args.max_distance
+            if md is None:
+                md = 0.1 if args.by == "phash" else 0.05
+            pairs = engine.find_duplicate_pairs(
+                max_distance=md, k=args.k, by=args.by
+            )
+            if args.json:
+                print(
+                    json.dumps(
+                        [
+                            {"a": a, "b": b, "distance": d}
+                            for a, b, d in pairs
+                        ],
+                        indent=2,
+                    )
+                )
+            else:
+                for a, b, d in pairs:
+                    ia = engine.catalog.get_image(a)
+                    ib = engine.catalog.get_image(b)
+                    print(
+                        f"dist={d:.6f}  {a}:{ia['path'] if ia else '?'}"
+                        f"  <->  {b}:{ib['path'] if ib else '?'}"
+                    )
+                print(f"{len(pairs)} near-duplicate pairs", file=sys.stderr)
         elif args.cmd == "show":
             info = engine.catalog.get_image(args.id)
             if info is None:

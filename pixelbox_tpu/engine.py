@@ -122,6 +122,10 @@ class Engine:
         self._pallas_meta_at_ver = -1
         self._scan_sample = None
         self._scan_sample_at_ver = -1
+        self._blip_scan_sample = None
+        self._blip_scan_sample_at_ver = -1
+        self._blip_pallas_meta = None
+        self._blip_pallas_meta_at_ver = -1
         self._cached_search_results: Optional[List[IndexedImage]] = None
         self._cached_image_search: Optional[IndexedImage] = None
         self.last_query_error: Optional[str] = None
@@ -814,7 +818,8 @@ class Engine:
             # resident BLIP index (any catalog filter folds into the
             # validity mask).  No full-index host gather on this path.
             index = self._blip_store.device_index
-            if len(rows) != n_rows:
+            filtered = len(rows) != n_rows
+            if filtered:
                 mask = jnp.zeros(index.capacity, dtype=bool).at[
                     jnp.asarray(rows)
                 ].set(True)
@@ -822,9 +827,20 @@ class Engine:
                     valid=jnp.logical_and(index.valid, mask)
                 )
             with timed("engine.text_to_image_scan"):
-                dists, idxs = cosine_scan_topk(
-                    jnp.asarray(q_hash), index, k=k, max_distance=np.inf
-                )
+                if filtered:
+                    # θ-sampling assumes the sample mirrors the scanned
+                    # validity set; a filter-shrunk set would just fail
+                    # proofs into repairs — scan exactly instead.
+                    dists, idxs = cosine_scan_topk(
+                        jnp.asarray(q_hash), index, k=k, max_distance=np.inf
+                    )
+                else:
+                    dists, idxs = cosine_scan_topk_auto(
+                        jnp.asarray(q_hash), index, k=k,
+                        max_distance=np.inf,
+                        sample=self._get_blip_scan_sample(),
+                        row_meta=self._get_blip_pallas_meta(),
+                    )
             dists = np.asarray(dists)
             idxs = np.asarray(idxs)
             keep = idxs >= 0
@@ -974,6 +990,32 @@ class Engine:
             self._scan_sample = build_scan_sample(index)
             self._scan_sample_at_ver = self._sem_store.version
         return self._scan_sample
+
+    def _get_blip_scan_sample(self):
+        """BLIP-store twin of :meth:`_get_scan_sample` (text: queries)."""
+        from pixelbox_tpu.ops.scan import DEFAULT_BLOCK_ROWS, build_scan_sample
+
+        index = self._blip_store.device_index
+        if index.capacity <= 4 * DEFAULT_BLOCK_ROWS:
+            return None
+        if (
+            self._blip_scan_sample is None
+            or self._blip_scan_sample_at_ver != self._blip_store.version
+        ):
+            self._blip_scan_sample = build_scan_sample(index)
+            self._blip_scan_sample_at_ver = self._blip_store.version
+        return self._blip_scan_sample
+
+    def _get_blip_pallas_meta(self):
+        from pixelbox_tpu.ops.pallas_scan import build_row_meta
+
+        if (
+            self._blip_pallas_meta is None
+            or self._blip_pallas_meta_at_ver != self._blip_store.version
+        ):
+            self._blip_pallas_meta = build_row_meta(self._blip_store.device_index)
+            self._blip_pallas_meta_at_ver = self._blip_store.version
+        return self._blip_pallas_meta
 
     # ------------------------------------------------------------------ #
     # Visual similarity query (engine.rs:352-396)
@@ -1204,12 +1246,12 @@ class Engine:
             ids, dist[keep]
         )
 
-    def _phash_gemm_scan(self, q: np.ndarray, k: int, max_distance: float):
+    def _ensure_ph_gemm(self):
+        """Lazy ±1 bit-unpacked GEMM index + θ sample + kernel meta for
+        the packed phash store (cache keyed on the store version)."""
         from pixelbox_tpu.ops.hamming_gemm import (
             build_hamming_gemm_index,
             build_hamming_scan_sample,
-            hamming_gemm_scan_topk,
-            hamming_gemm_scan_topk_auto,
         )
 
         if (
@@ -1222,6 +1264,14 @@ class Engine:
             self._ph_gemm_sample = build_hamming_scan_sample(self._ph_gemm)
             self._ph_gemm_meta = build_hamming_meta(self._ph_gemm)
             self._ph_gemm_at_ver = self._ph_store.version
+
+    def _phash_gemm_scan(self, q: np.ndarray, k: int, max_distance: float):
+        from pixelbox_tpu.ops.hamming_gemm import (
+            hamming_gemm_scan_topk,
+            hamming_gemm_scan_topk_auto,
+        )
+
+        self._ensure_ph_gemm()
         if self.scan_mode == "fast":
             dist, idx = hamming_gemm_scan_topk(
                 jnp.asarray(q), self._ph_gemm, k=k, max_distance=max_distance,
@@ -1299,6 +1349,151 @@ class Engine:
         out_d[: len(order)] = all_d[order]
         out_i[: len(order)] = all_i[order]
         return out_d, out_i
+
+    # ------------------------------------------------------------------ #
+    # Duplicate finding (built on the batched device scans; the
+    # reference's only dedup affordance is manual per-image
+    # "find similar", search.rs:100)
+
+    def find_duplicate_pairs(
+        self,
+        max_distance: float = 0.1,
+        k: int = 8,
+        batch: int = 256,
+        by: str = "phash",
+    ) -> List[tuple]:
+        """All near-duplicate image pairs across the whole index.
+
+        Scans the index against itself in query batches on device.
+        ``by="phash"``: normalized Hamming over perceptual hashes with
+        strict ``dist < max_distance`` (default 0.1 ≈ under 26 of 256
+        bits differing).  ``by="semantic"``: reciprocal-cosine over the
+        semantic index (guaranteed-exact auto scan; honors the
+        library's int4 precision).
+
+        Returns unique ``(id_a, id_b, dist)`` with ``id_a < id_b``,
+        sorted by (dist, id_a, id_b).  Each image contributes at most
+        ``k-1`` neighbors per direction (k includes the self-match) —
+        raise ``k`` for heavily duplicated corpora.  Mixed-width compat
+        phash libraries compare within same-true-width groups only
+        (duplicate renders share geometry, so cross-aspect pairs are
+        not duplicates).
+        """
+        assert by in ("phash", "semantic"), by
+        if by == "phash":
+            store, row_by_image, image_ids = (
+                self._ph_store, self._ph_row_by_image, self._ph_image_ids,
+            )
+        else:
+            store, row_by_image, image_ids = (
+                self._sem_store, self._sem_row_by_image, self._sem_image_ids,
+            )
+        if store is None or store.size == 0:
+            return []
+        live_rows = np.asarray(sorted(row_by_image.values()), dtype=np.int64)
+
+        # (group_rows, scan_fn(q_batch) -> (dist [B,k], idx [B,k]))
+        groups = []
+        if by == "phash":
+            widths = np.asarray(self._ph_widths, dtype=np.int64)
+            uniform = bool(np.all(widths[live_rows] == store.dim))
+            if uniform:
+                from pixelbox_tpu.ops.hamming_gemm import (
+                    hamming_gemm_scan_topk_auto,
+                )
+
+                self._ensure_ph_gemm()
+
+                def scan(qb):
+                    d, i = hamming_gemm_scan_topk_auto(
+                        jnp.asarray(qb), self._ph_gemm, k=k,
+                        max_distance=max_distance,
+                        sample=self._ph_gemm_sample, meta=self._ph_gemm_meta,
+                    )
+                    return np.asarray(d), np.asarray(i)
+
+                groups.append((live_rows, scan))
+            else:
+                from pixelbox_tpu.ops.scan import hamming_scan_topk
+
+                index = self._ph_store.device_index
+                for w in np.unique(widths[live_rows]):
+                    w = int(w)
+                    if w == 0:
+                        continue
+                    rows = live_rows[widths[live_rows] == w]
+                    mask = np.zeros(index.capacity, dtype=bool)
+                    mask[rows] = True
+                    masked = index._replace(
+                        valid=jnp.logical_and(index.valid, jnp.asarray(mask))
+                    )
+
+                    def scan(qb, masked=masked, w=w):
+                        d, i = hamming_scan_topk(
+                            jnp.asarray(qb), masked, k=k,
+                            max_distance=max_distance, byte_limit=w,
+                        )
+                        return np.asarray(d), np.asarray(i)
+
+                    groups.append((rows, scan))
+        else:
+            index = store.device_index
+            if self.semantic_precision == "int4":
+                from pixelbox_tpu.ops.int4 import cosine4_scan_topk_auto
+                from pixelbox_tpu.ops.scan import (
+                    DEFAULT_BLOCK_ROWS,
+                    _default_backend_is_tpu,
+                )
+
+                meta = (
+                    self._get_pallas_meta()
+                    if _default_backend_is_tpu()
+                    and index.capacity > 4 * DEFAULT_BLOCK_ROWS
+                    else None
+                )
+
+                def scan(qb):
+                    d, i = cosine4_scan_topk_auto(
+                        jnp.asarray(qb), index, k=k,
+                        max_distance=max_distance,
+                        sample=self._get_scan_sample(), meta=meta,
+                    )
+                    return np.asarray(d), np.asarray(i)
+            else:
+                def scan(qb):
+                    d, i = cosine_scan_topk_auto(
+                        jnp.asarray(qb), index, k=k,
+                        max_distance=max_distance,
+                        sample=self._get_scan_sample(),
+                        row_meta=self._get_pallas_meta(),
+                    )
+                    return np.asarray(d), np.asarray(i)
+
+            groups.append((live_rows, scan))
+
+        seen = set()
+        out = []
+        with timed("engine.duplicate_scan"):
+            for rows, scan in groups:
+                qrows = store.get_rows(rows)
+                for s in range(0, len(rows), batch):
+                    qb = qrows[s : s + batch]
+                    dists, idxs = scan(qb)
+                    for qi in range(len(qb)):
+                        a = image_ids[int(rows[s + qi])]
+                        for d, r in zip(dists[qi], idxs[qi]):
+                            if r < 0:
+                                break  # hits are sorted; -1 padding follows
+                            b = image_ids[int(r)]
+                            if b == a:
+                                continue
+                            key = (min(a, b), max(a, b))
+                            if key in seen:
+                                continue
+                            seen.add(key)
+                            out.append((key[0], key[1], float(d)))
+        out.sort(key=lambda p: (p[2], p[0], p[1]))
+        return out
 
     # ------------------------------------------------------------------ #
     # Results (engine.rs:398-402)
