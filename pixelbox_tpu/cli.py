@@ -176,6 +176,8 @@ def main(argv=None) -> int:
     )
     sp.add_argument("--k", type=int, default=8,
                     help="max neighbors considered per image")
+    sp.add_argument("--groups", action="store_true",
+                    help="print transitive duplicate GROUPS instead of pairs")
     sp.add_argument("--json", action="store_true")
 
     sp = add_db_cmd("show", help="show one indexed image's metadata")
@@ -368,6 +370,20 @@ def main(argv=None) -> int:
             md = args.max_distance
             if md is None:
                 md = 0.1 if args.by == "phash" else 0.05
+            if args.groups:
+                groups = engine.find_duplicate_groups(
+                    max_distance=md, k=args.k, by=args.by
+                )
+                if args.json:
+                    print(json.dumps(groups, indent=2))
+                else:
+                    for g in groups:
+                        print("group:")
+                        for i in g:
+                            info = engine.catalog.get_image(i)
+                            print(f"  {i}  {info['path'] if info else '?'}")
+                    print(f"{len(groups)} duplicate groups", file=sys.stderr)
+                return 0
             pairs = engine.find_duplicate_pairs(
                 max_distance=md, k=args.k, by=args.by
             )

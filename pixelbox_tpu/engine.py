@@ -1495,6 +1495,32 @@ class Engine:
         out.sort(key=lambda p: (p[2], p[0], p[1]))
         return out
 
+    def find_duplicate_groups(self, **kwargs) -> List[List[int]]:
+        """Connected components of :meth:`find_duplicate_pairs` — each
+        group is a sorted list of mutually-near-duplicate image ids
+        (transitively: A~B and B~C group A,B,C even if A,C are just
+        past the cutoff).  Groups sorted by size desc, then first id."""
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, _ in self.find_duplicate_pairs(**kwargs):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups: dict = {}
+        for x in parent:
+            groups.setdefault(find(x), []).append(x)
+        out = [sorted(g) for g in groups.values()]
+        out.sort(key=lambda g: (-len(g), g[0]))
+        return out
+
     # ------------------------------------------------------------------ #
     # Results (engine.rs:398-402)
 

@@ -88,6 +88,20 @@ def test_duplicates_respect_removal(engine):
     assert frozenset(("orig.png", "lossy.jpg")) in names
 
 
+def test_duplicate_groups(engine):
+    """orig/copy/lossy form one transitive group (run before removal
+    tests would shrink it — module fixture order puts this after
+    test_duplicates_respect_removal, so copy.png is already gone:
+    expect the 2-element group)."""
+    groups = engine.find_duplicate_groups(max_distance=0.1, by="phash")
+    names = [
+        sorted(engine.catalog.get_image(i)["filename"] for i in g)
+        for g in groups
+    ]
+    assert ["lossy.jpg", "orig.png"] in names
+    assert all(len(g) >= 2 for g in groups)
+
+
 def test_duplicates_cli(dup_dir, tmp_path_factory, capsys):
     db = str(tmp_path_factory.mktemp("db2") / "c.db")
     assert cli_main(["init", db, "--dim", "16"]) == 0
