@@ -16,7 +16,12 @@ drag-drop @1M), 5 (BLIP text→image) — each pays a first-time jit compile.
 Timing methodology: host↔device roundtrips (or async-dispatch semantics on
 tunneled platforms) can dominate or fabricate numbers, so iterations run
 back-to-back ON DEVICE inside one jitted lax.scan over distinct inputs,
-with a single tiny device→host fetch as the barrier.
+with a single tiny device→host fetch as the barrier.  The fetch itself
+costs one tunnel round-trip (~34 ms on the test attachment) amortized
+over the iterations — scan configs therefore run 50 iterations (~0.7 ms
+residual per batch), and the measured null-body floor is reported as
+``null_floor_ms_per_iter`` so readers can bound the residual; nothing is
+subtracted.
 """
 
 import json
@@ -71,7 +76,7 @@ def build_semantic_index(n, d, rng, block_rows):
     return db[:n], index
 
 
-def bench_cosine_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
+def bench_cosine_scan(n=1_000_000, d=128, q=256, k=100, iters=50,
                       block_rows=2**17, rng=None):
     """Config 1 scaled to 1M (headline) — batched scan throughput."""
     import jax.numpy as jnp
@@ -100,7 +105,7 @@ def bench_cosine_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     }
 
 
-def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
+def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=50,
                     block_rows=2**17, rng=None):
     """Guaranteed-exact threshold scan (the engine's default auto mode).
 
@@ -186,7 +191,7 @@ def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     }
 
 
-def bench_fast_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
+def bench_fast_scan(n=1_000_000, d=128, q=256, k=100, iters=50,
                     block_rows=2**17, rng=None):
     """Fast-mode (approx_min_k) batched scan + recall vs the exact C++ oracle."""
     import ctypes
@@ -241,7 +246,7 @@ def bench_fast_scan(n=1_000_000, d=128, q=256, k=100, iters=10,
     return out
 
 
-def bench_int4_scan(n=1_000_000, d=128, q=256, k=100, iters=10, rng=None):
+def bench_int4_scan(n=1_000_000, d=128, q=256, k=100, iters=50, rng=None):
     """Half-byte index option: 2x rows per HBM byte; exact vs the int4
     oracle via the fused threshold kernel (XLA exact path on CPU)."""
     import jax.numpy as jnp
@@ -311,7 +316,7 @@ def bench_recall_parity(n=10_000, d=128, q=16, k=10, rng=None):
     return {"recall_at_10_vs_oracle": hits, "n": n, "queries": q}
 
 
-def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=10,
+def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=50,
                   block_rows=2**16, rng=None):
     """Config 2: perceptual-hash Hamming search."""
     import jax.numpy as jnp
@@ -577,6 +582,18 @@ def main():
 
     detail = {}
     rng = np.random.default_rng(0)
+
+    # Measurement floor: a null body through the same device loop — one
+    # tunnel round-trip amortized over the iterations.  Reported, never
+    # subtracted.
+    try:
+        import jax.numpy as jnp
+
+        _null_in = jnp.zeros((50, 8, 8), jnp.float32)
+        _dt, _ = _device_loop(lambda x: jnp.sum(x), _null_in, 50)
+        detail["measurement_floor"] = {"null_floor_ms_per_iter": _dt * 1e3}
+    except Exception as e:  # noqa: BLE001
+        detail["measurement_floor"] = {"error": str(e)}
 
     # Headline: the engine's default guaranteed-exact scan (verified-fast
     # with per-query exact repair).  End-to-end number, exact semantics.

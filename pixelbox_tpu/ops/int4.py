@@ -288,29 +288,40 @@ def pallas_threshold4_scan_topk(
     md = jnp.asarray(max_distance, dtype=jnp.float32)
     q_i8, q_sum, q_mag2 = query4_moments_from_u8(query_u8)
     q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_i8_p = (
+        jnp.pad(q_i8, ((0, q_pad - qn), (0, 0))) if q_pad != qn else q_i8
+    )
 
     s = sample.data.shape[0]
     tc = target_count if target_count is not None else max(16 * k // 5, 256)  # ~3.2k: proof stays 1.0, fewer rounds
     j = min(s, max(1, -(-tc * s // n_pad)))
-    s_dist = _cosine4_block_dist(
-        q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
-        sample.valid, md, d,
-    )
-    s_top, _ = topk_ops.block_topk(
-        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
-    )
-    theta_j = s_top[:, j - 1 : j]
+    if s % tile_rows == 0:
+        from pixelbox_tpu.ops.pallas_scan import _pallas_sample_theta
+
+        meta2 = jnp.stack(
+            [sample.row_sum, jnp.where(sample.valid, sample.row_mag2, 0)]
+        ).astype(jnp.int32)
+        theta_j = _pallas_sample_theta(
+            "cosine4", q_i8_p, sample.data, meta2, md, j,
+            dim=d, tile_rows=tile_rows,
+        )[:qn]
+    else:
+        s_dist = _cosine4_block_dist(
+            q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum,
+            sample.row_mag2, sample.valid, md, d,
+        )
+        s_top, _ = topk_ops.block_topk(
+            s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+        )
+        theta_j = s_top[:, j - 1 : j]
     theta = jnp.minimum(theta_j, md)
     unbound = ~(theta_j < md)[:, 0]
-
-    q_pad = max(32, -(-qn // 32) * 32)
-    q_i8_p = q_i8
-    theta_p = theta
-    if q_pad != qn:
-        q_i8_p = jnp.pad(q_i8, ((0, q_pad - qn), (0, 0)))
-        theta_p = jnp.pad(
-            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
-        )
+    theta_p = (
+        jnp.pad(theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf)
+        if q_pad != qn
+        else theta
+    )
 
     kernel = partial(
         _threshold_insert_kernel,

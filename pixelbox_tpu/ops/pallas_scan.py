@@ -44,6 +44,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pixelbox_tpu.ops import topk as topk_ops
 from pixelbox_tpu.ops.packed import PackedSemanticIndex
 
 # numpy scalars (NOT jnp arrays — pallas kernels may not close over
@@ -63,8 +64,10 @@ def build_row_meta(index: PackedSemanticIndex) -> jnp.ndarray:
 
 def _fused_scan_kernel(
     md_ref,       # SMEM [1, 1] f32: max_distance
-    q_ref,        # VMEM [Q, D] int8
-    data_ref,     # VMEM [T, D] int8 (current tile)
+    q_ref,        # VMEM [Q, D] int8 (u8-128 codes; ±1 bits for hamming;
+                  #                   4-bit codes for cosine4)
+    data_ref,     # VMEM [T, D] int8 (current tile; packed [T, D/2] u8
+                  #                   for cosine4)
     meta_ref,     # VMEM [2, T] int32 (current tile)
     best_d_ref,   # VMEM [Q, K] f32 out (sorted ascending)
     best_i_ref,   # VMEM [Q, K] i32 out
@@ -72,6 +75,8 @@ def _fused_scan_kernel(
     tile_rows: int,
     k_lanes: int,
     dim: int,
+    kind: str = "cosine",
+    wrap_u8: bool = False,
 ):
     t = pl.program_id(0)
     qn = q_ref.shape[0]
@@ -82,29 +87,56 @@ def _fused_scan_kernel(
         best_i_ref[:] = jnp.full((qn, k_lanes), -1, jnp.int32)
 
     q_i8 = q_ref[:]
-    q_i32 = q_i8.astype(jnp.int32)
-    q_sum = jnp.sum(q_i32, axis=1, keepdims=True)                  # [Q,1]
-    qc = 2 * q_i32 + 1                                             # centered 2q-255
-    q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
-
+    md = md_ref[0, 0]
+    if kind == "cosine4":
+        p32 = data_ref[:].astype(jnp.int32)
+        blk = jnp.concatenate(
+            [p32 & 15, (p32 >> 4) & 15], axis=-1
+        ).astype(jnp.int8)
+    else:
+        blk = data_ref[:]
     dot8 = lax.dot_general(
         q_i8,
-        data_ref[:],
+        blk,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                                              # [Q,T]
-    row_sum = meta_ref[0, :][None, :]                              # [1,T]
-    row_mag2 = meta_ref[1, :][None, :]                             # [1,T]
-    dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
-    mag2_b = row_mag2.astype(jnp.float32)
-    sp = jnp.sqrt(q_mag2 * mag2_b)                                 # [Q,T]
-    mag = sp * _RECIP_65025
-    cos = dot_c.astype(jnp.float32) / sp
-    dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
-    dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
-    # Validity + strict threshold (engine.rs:375-383 WHERE dist < ?).
-    md = md_ref[0, 0]
-    dist = jnp.where((row_mag2 > 0) & (dist < md), dist, _INF)
+
+    def _cosine_dist(dot_c, row_mag2, q_mag2):
+        mag2_b = row_mag2.astype(jnp.float32)
+        sp = jnp.sqrt(q_mag2 * mag2_b)                             # [Q,T]
+        mag = sp * _RECIP_65025
+        cos = dot_c.astype(jnp.float32) / sp
+        dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+        dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
+        # Validity + strict threshold (engine.rs:375-383 WHERE dist < ?).
+        return jnp.where((row_mag2 > 0) & (dist < md), dist, _INF)
+
+    if kind == "cosine":
+        q_i32 = q_i8.astype(jnp.int32)
+        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)              # [Q,1]
+        qc = 2 * q_i32 + 1                                         # 2q-255
+        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+        dot_c = 4 * dot8 + 2 * (q_sum + meta_ref[0, :][None, :]) + jnp.int32(dim)
+        dist = _cosine_dist(dot_c, meta_ref[1, :][None, :], q_mag2)
+    elif kind == "cosine4":
+        q_i32 = q_i8.astype(jnp.int32)
+        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)
+        qc = 34 * q_i32 - 255
+        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+        dot_c = (
+            1156 * dot8
+            - 8670 * (q_sum + meta_ref[0, :][None, :])
+            + jnp.int32(65025 * dim)
+        )
+        dist = _cosine_dist(dot_c, meta_ref[1, :][None, :], q_mag2)
+    else:  # hamming over ±1 rows (dim = total bits)
+        row_valid = meta_ref[0, :][None, :]
+        diff_bits = (jnp.int32(dim) - dot8) >> 1
+        if wrap_u8:
+            diff_bits = diff_bits % 256
+        dist = diff_bits.astype(jnp.float32) * np.float32(1.0 / dim)
+        dist = jnp.where((row_valid > 0) & (dist < md), dist, _INF)
 
     base = t * tile_rows
     col = lax.broadcasted_iota(jnp.int32, (qn, tile_rows), 1)
@@ -141,6 +173,139 @@ def _fused_scan_kernel(
     m0 = jnp.min(dist, axis=1, keepdims=True)
     init_more = jnp.any(m0 < best_d_ref[:, k_lanes - 1 : k_lanes])
     lax.while_loop(lambda s: s[2], insert_round, (dist, m0, init_more))
+
+
+def _xla_kind_dist(kind, q_p, data, meta2, md, dim, wrap_u8):
+    """[Qp, S] distances in XLA with the same f32 epilogue spec as the
+    kernels (mini-subsample helper for the two-stage θ)."""
+    if kind == "cosine4":
+        p32 = data.astype(jnp.int32)
+        blk = jnp.concatenate([p32 & 15, (p32 >> 4) & 15], axis=-1).astype(
+            jnp.int8
+        )
+    else:
+        blk = data
+    dot = lax.dot_general(
+        q_p, blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    if kind == "hamming":
+        row_valid = meta2[0, :][None, :]
+        diff_bits = (jnp.int32(dim) - dot) >> 1
+        if wrap_u8:
+            diff_bits = diff_bits % 256
+        dist = diff_bits.astype(jnp.float32) * np.float32(1.0 / dim)
+        return jnp.where((row_valid > 0) & (dist < md), dist, jnp.inf)
+    q_i32 = q_p.astype(jnp.int32)
+    q_sum = jnp.sum(q_i32, axis=1, keepdims=True)
+    if kind == "cosine":
+        qc = 2 * q_i32 + 1
+        dot_c = 4 * dot + 2 * (q_sum + meta2[0, :][None, :]) + jnp.int32(dim)
+    else:  # cosine4
+        qc = 34 * q_i32 - 255
+        dot_c = (
+            1156 * dot
+            - 8670 * (q_sum + meta2[0, :][None, :])
+            + jnp.int32(65025 * dim)
+        )
+    q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+    row_mag2 = meta2[1, :][None, :]
+    sp = jnp.sqrt(q_mag2 * row_mag2.astype(jnp.float32))
+    mag = sp * _RECIP_65025
+    cos = dot_c.astype(jnp.float32) / sp
+    dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+    dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
+    return jnp.where((row_mag2 > 0) & (dist < md), dist, jnp.inf)
+
+
+def _pallas_sample_theta(
+    kind: str,
+    q_p: jnp.ndarray,        # padded queries [Qp, D] int8 (±1 / 4-bit codes)
+    sample_data: jnp.ndarray,  # [S, D] (packed [S, D/2] for cosine4)
+    meta2: jnp.ndarray,      # [2, S] int32 (same layout as the main meta)
+    md: jnp.ndarray,         # f32 scalar max_distance
+    j: int,
+    *,
+    dim: int,
+    tile_rows: int,
+    wrap_u8: bool = False,
+):
+    """Per-query j-th smallest sample distance — the θ estimate for the
+    threshold wrappers — in two stages:
+
+    1. θ0 from a 1/16 mini-subsample via plain XLA, sized to hold ~4j
+       sample rows (the [Qp, S0] intermediates are tiny);
+    2. the θ0-filtered insert kernel over the FULL sample extracts the
+       exact top-j of {sample dist < θ0} — its only HBM traffic is the
+       sample itself.
+
+    The single-stage XLA formulation materializes the [Q, S] int32 GEMM
+    output + f32 epilogue + TopK traffic (~3.7 ms at Q=256, S=64k — a
+    third of the whole scan); an unfiltered fused sample top-j kernel is
+    no better (~4.2 ms: its extract loop runs with no θ gate).
+
+    If θ0 comes up short (fewer than j sample rows under it, or a tie
+    flood poisons the kernel's round bound), the returned value falls
+    back to θ0 itself — a LARGER, still-sound threshold (main-pass
+    proofs govern correctness either way; accuracy only shapes work).
+    Returns [Qp, 1]; value == md ⟺ the caller should treat θ as
+    unbound."""
+    qn = q_p.shape[0]
+    s = sample_data.shape[0]
+    assert s % tile_rows == 0, (s, tile_rows)
+
+    # ---- stage 1: θ0 (XLA, mini-subsample)
+    stride = 16
+    while stride > 1 and (s // stride < 1024 or s % stride != 0):
+        stride //= 2
+    mini = sample_data[::stride]
+    mmeta = meta2[:, ::stride]
+    s0 = mini.shape[0]
+    j0 = min(s0, max(1, -(-4 * j * s0 // s)))
+    dist0 = _xla_kind_dist(kind, q_p, mini, mmeta, md, dim, wrap_u8)
+    t0, _ = topk_ops.block_topk(dist0, jnp.zeros(dist0.shape, jnp.int32), j0)
+    theta0 = jnp.minimum(t0[:, j0 - 1 : j0], md)   # [Qp, 1]; INF → md
+
+    # ---- stage 2: exact top-j of {dist < θ0} over the full sample.
+    # Round bound scaled to the expected per-tile θ0-passing rows (≈4j
+    # spread over s/tile_rows tiles — tiny at production shapes, but a
+    # small index with few tiles concentrates them).
+    max_rounds = max(96, 4 * j * tile_rows // s + 64)
+    k_lanes = max(128, -(-j // 128) * 128)
+    kernel = partial(
+        _threshold_insert_kernel,
+        tile_rows=tile_rows, k_lanes=k_lanes, dim=dim, max_rounds=max_rounds,
+        kind=kind, wrap_u8=wrap_u8,
+    )
+    best_d, _, counts = pl.pallas_call(
+        kernel,
+        grid=(s // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((qn, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (qn, q_p.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_rows, sample_data.shape[1]), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((qn, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qn, k_lanes), jnp.float32),
+            jax.ShapeDtypeStruct((qn, k_lanes), jnp.int32),
+            jax.ShapeDtypeStruct((qn, 128), jnp.int32),
+        ),
+    )(theta0, q_p, sample_data, meta2)
+    jth = best_d[:, j - 1 : j]
+    ok = jnp.isfinite(jth) & (counts[:, 0:1] >= 0)
+    return jnp.where(ok, jth, theta0)
 
 
 def _threshold_extract_kernel(
@@ -309,31 +474,40 @@ def pallas_threshold_scan_topk(
     md = jnp.asarray(max_distance, dtype=jnp.float32)
     q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
     q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+    # Pad queries to the int8 sublane minimum; padded θ = -inf (no hits).
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_i8_p = (
+        jnp.pad(q_i8, ((0, q_pad - qn), (0, 0))) if q_pad != qn else q_i8
+    )
 
-    # θ from the strided sample (XLA — tiny next to the main pass).
+    # θ from the strided sample (fused kernel when tile-divisible).
     s = sample.data.shape[0]
     tc = target_count if target_count is not None else max(4 * k, 256)
     j = min(s, max(1, -(-tc * s // n_pad)))
-    s_dist = _cosine_block_dist(
-        q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
-        sample.valid, md, d,
-    )
-    s_top, _ = topk_ops.block_topk(
-        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
-    )
-    theta_j = s_top[:, j - 1 : j]
+    if s % tile_rows == 0:
+        meta2 = jnp.stack(
+            [sample.row_sum, jnp.where(sample.valid, sample.row_mag2, 0)]
+        ).astype(jnp.int32)
+        theta_j = _pallas_sample_theta(
+            "cosine", q_i8_p, sample.data, meta2, md, j,
+            dim=d, tile_rows=tile_rows,
+        )[:qn]
+    else:
+        s_dist = _cosine_block_dist(
+            q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum,
+            sample.row_mag2, sample.valid, md, d,
+        )
+        s_top, _ = topk_ops.block_topk(
+            s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+        )
+        theta_j = s_top[:, j - 1 : j]
     theta = jnp.minimum(theta_j, md)
     unbound = ~(theta_j < md)[:, 0]
-
-    # Pad queries to the int8 sublane minimum; padded θ = -inf (no hits).
-    q_pad = max(32, -(-qn // 32) * 32)
-    q_i8_p = q_i8
-    theta_p = theta
-    if q_pad != qn:
-        q_i8_p = jnp.pad(q_i8, ((0, q_pad - qn), (0, 0)))
-        theta_p = jnp.pad(
-            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
-        )
+    theta_p = (
+        jnp.pad(theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf)
+        if q_pad != qn
+        else theta
+    )
 
     kernel = partial(
         _threshold_extract_kernel,
@@ -558,29 +732,40 @@ def pallas_threshold_scan_topk_v2(
     md = jnp.asarray(max_distance, dtype=jnp.float32)
     q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
     q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_i8_p = (
+        jnp.pad(q_i8, ((0, q_pad - qn), (0, 0))) if q_pad != qn else q_i8
+    )
 
     s = sample.data.shape[0]
     tc = target_count if target_count is not None else max(16 * k // 5, 256)  # ~3.2k: proof stays 1.0, fewer rounds
     j = min(s, max(1, -(-tc * s // n_pad)))
-    s_dist = _cosine_block_dist(
-        q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum, sample.row_mag2,
-        sample.valid, md, d,
-    )
-    s_top, _ = topk_ops.block_topk(
-        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
-    )
-    theta_j = s_top[:, j - 1 : j]
+    if s % tile_rows == 0:
+        # Fused θ estimate (only HBM traffic = the sample; the XLA
+        # formulation below materializes [Q, S] intermediates).
+        meta2 = jnp.stack(
+            [sample.row_sum, jnp.where(sample.valid, sample.row_mag2, 0)]
+        ).astype(jnp.int32)
+        theta_j = _pallas_sample_theta(
+            "cosine", q_i8_p, sample.data, meta2, md, j,
+            dim=d, tile_rows=tile_rows,
+        )[:qn]
+    else:
+        s_dist = _cosine_block_dist(
+            q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum,
+            sample.row_mag2, sample.valid, md, d,
+        )
+        s_top, _ = topk_ops.block_topk(
+            s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+        )
+        theta_j = s_top[:, j - 1 : j]
     theta = jnp.minimum(theta_j, md)
     unbound = ~(theta_j < md)[:, 0]
-
-    q_pad = max(32, -(-qn // 32) * 32)
-    q_i8_p = q_i8
-    theta_p = theta
-    if q_pad != qn:
-        q_i8_p = jnp.pad(q_i8, ((0, q_pad - qn), (0, 0)))
-        theta_p = jnp.pad(
-            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
-        )
+    theta_p = (
+        jnp.pad(theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf)
+        if q_pad != qn
+        else theta
+    )
 
     kernel = partial(
         _threshold_insert_kernel,
@@ -618,6 +803,37 @@ def pallas_threshold_scan_topk_v2(
     if squeeze:
         return best_d[0], best_i[0], exact[0]
     return best_d, best_i, exact
+
+
+def _hamming_sample_theta(
+    q_pm, q_pm_p, sample_data, sample_valid, md, j, *,
+    bits, tile_rows, wrap_u8, qn,
+):
+    """θ_j for the hamming wrappers: fused kernel when the sample is
+    tile-divisible, XLA GEMM + block TopK otherwise."""
+    s = sample_data.shape[0]
+    if s % tile_rows == 0:
+        meta2 = jnp.stack(
+            [sample_valid.astype(jnp.int32), jnp.zeros(s, jnp.int32)]
+        )
+        return _pallas_sample_theta(
+            "hamming", q_pm_p, sample_data, meta2, md, j,
+            dim=bits, tile_rows=tile_rows, wrap_u8=wrap_u8,
+        )[:qn]
+    s_dot = lax.dot_general(
+        q_pm, sample_data,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s_bits = (jnp.int32(bits) - s_dot) >> 1
+    if wrap_u8:
+        s_bits = s_bits % 256
+    s_dist = s_bits.astype(jnp.float32) * jnp.float32(1.0 / bits)
+    s_dist = jnp.where(sample_valid[None, :] & (s_dist < md), s_dist, jnp.inf)
+    s_top, _ = topk_ops.block_topk(
+        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
+    )
+    return s_top[:, j - 1 : j]
 
 
 def build_hamming_meta(gemm_index) -> jnp.ndarray:
@@ -665,36 +881,26 @@ def pallas_hamming_threshold_scan_topk(
     qb = jnp.unpackbits(query_u8, axis=-1, bitorder="little")
     q_pm = (qb.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
     md = jnp.asarray(max_distance, dtype=jnp.float32)
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_pm_p = (
+        jnp.pad(q_pm, ((0, q_pad - qn), (0, 0))) if q_pad != qn else q_pm
+    )
 
-    # θ from the sample (XLA).
+    # θ from the sample (fused kernel when tile-divisible).
     s = sample_data.shape[0]
     tc = target_count if target_count is not None else max(4 * k, 256)
     j = min(s, max(1, -(-tc * s // n_pad)))
-    s_dot = lax.dot_general(
-        q_pm, sample_data,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+    theta_j = _hamming_sample_theta(
+        q_pm, q_pm_p, sample_data, sample_valid, md, j,
+        bits=bits, tile_rows=tile_rows, wrap_u8=wrap_u8, qn=qn,
     )
-    s_bits = (jnp.int32(bits) - s_dot) >> 1
-    if wrap_u8:
-        s_bits = s_bits % 256
-    s_dist = s_bits.astype(jnp.float32) * jnp.float32(1.0 / bits)
-    s_dist = jnp.where(sample_valid[None, :] & (s_dist < md), s_dist, jnp.inf)
-    s_top, _ = topk_ops.block_topk(
-        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
-    )
-    theta_j = s_top[:, j - 1 : j]
     theta = jnp.minimum(theta_j, md)
     unbound = ~(theta_j < md)[:, 0]
-
-    q_pad = max(32, -(-qn // 32) * 32)
-    q_pm_p = q_pm
-    theta_p = theta
-    if q_pad != qn:
-        q_pm_p = jnp.pad(q_pm, ((0, q_pad - qn), (0, 0)))
-        theta_p = jnp.pad(
-            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
-        )
+    theta_p = (
+        jnp.pad(theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf)
+        if q_pad != qn
+        else theta
+    )
 
     kernel = partial(
         _threshold_extract_kernel,
@@ -771,35 +977,25 @@ def pallas_hamming_threshold_scan_topk_v2(
     qb = jnp.unpackbits(query_u8, axis=-1, bitorder="little")
     q_pm = (qb.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
     md = jnp.asarray(max_distance, dtype=jnp.float32)
+    q_pad = max(32, -(-qn // 32) * 32)
+    q_pm_p = (
+        jnp.pad(q_pm, ((0, q_pad - qn), (0, 0))) if q_pad != qn else q_pm
+    )
 
     s = sample_data.shape[0]
     tc = target_count if target_count is not None else max(16 * k // 5, 256)  # ~3.2k: proof stays 1.0, fewer rounds
     j = min(s, max(1, -(-tc * s // n_pad)))
-    s_dot = lax.dot_general(
-        q_pm, sample_data,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+    theta_j = _hamming_sample_theta(
+        q_pm, q_pm_p, sample_data, sample_valid, md, j,
+        bits=bits, tile_rows=tile_rows, wrap_u8=wrap_u8, qn=qn,
     )
-    s_bits = (jnp.int32(bits) - s_dot) >> 1
-    if wrap_u8:
-        s_bits = s_bits % 256
-    s_dist = s_bits.astype(jnp.float32) * jnp.float32(1.0 / bits)
-    s_dist = jnp.where(sample_valid[None, :] & (s_dist < md), s_dist, jnp.inf)
-    s_top, _ = topk_ops.block_topk(
-        s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
-    )
-    theta_j = s_top[:, j - 1 : j]
     theta = jnp.minimum(theta_j, md)
     unbound = ~(theta_j < md)[:, 0]
-
-    q_pad = max(32, -(-qn // 32) * 32)
-    q_pm_p = q_pm
-    theta_p = theta
-    if q_pad != qn:
-        q_pm_p = jnp.pad(q_pm, ((0, q_pad - qn), (0, 0)))
-        theta_p = jnp.pad(
-            theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf
-        )
+    theta_p = (
+        jnp.pad(theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf)
+        if q_pad != qn
+        else theta
+    )
 
     kernel = partial(
         _threshold_insert_kernel,
