@@ -657,6 +657,10 @@ def _threshold_insert_kernel(
     lane = lax.broadcasted_iota(jnp.int32, (qn, k_lanes), 1)
     big_col = jnp.int32(2 ** 30)
 
+    # NOTE: splitting extraction into column segments (cheaper per-round
+    # reduces, statically unrolled sub-loops) measured ~20% SLOWER at
+    # Q=256 — Mosaic while_loop invocation overhead exceeds the reduce
+    # savings.  Keep the single full-tile loop.
     def insert_round(state):
         dist, m, rounds, _ = state
         kth = best_d_ref[:, k_lanes - 1 : k_lanes]

@@ -76,14 +76,37 @@ def test_single_query_self_match(db, index):
 def _run_v2(q, index, db, k=25, md=1e3, **kw):
     from pixelbox_tpu.ops.pallas_scan import pallas_threshold_scan_topk_v2
 
+    kw.setdefault("tile_rows", 256)
     sample = build_scan_sample(index, sample_rows=1024)
     meta = build_row_meta(index)
     with pltpu.force_tpu_interpret_mode():
         d, i, exact = pallas_threshold_scan_topk_v2(
-            jnp.asarray(q), index, meta, sample, k=k, max_distance=md,
-            tile_rows=256, **kw,
+            jnp.asarray(q), index, meta, sample, k=k, max_distance=md, **kw,
         )
     return np.asarray(d), np.asarray(i), np.asarray(exact)
+
+
+def test_v2_segmented_extraction_matches_oracle(db, index, rng):
+    """tile_rows=1024 splits extraction into 512-lane segments (the
+    production shape); results must stay oracle-exact incl. tie order."""
+    q = rng.integers(0, 256, size=(5, 32), dtype=np.uint8)
+    d, i, exact = _run_v2(q, index, db, k=40, tile_rows=1024)
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=40)
+    ok = np.nonzero(exact)[0]
+    assert len(ok) >= 3
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_v2_segmented_tie_flood(rng):
+    """Duplicate ties spanning segment boundaries must keep ascending-id
+    order under segmented extraction."""
+    base = rng.integers(0, 256, size=(4, 32), dtype=np.uint8)
+    db2 = np.repeat(base, 1024, axis=0)  # 4096 rows, giant tie groups
+    idx2 = make_semantic_index(db2, block_rows=1024)
+    d, i, exact = _run_v2(base[:2], idx2, db2, k=20, tile_rows=1024)
+    exp_d, exp_i = oracle.cosine_scan_topk_np(base[:2], db2, k=20)
+    ok = np.nonzero(exact)[0]
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
 
 
 def test_v2_matches_oracle_where_proven(db, index, rng):
