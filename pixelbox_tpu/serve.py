@@ -413,6 +413,29 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     return self._send(200, _results_json(engine, offset, limit))
                 if parsed.path == "/api/folders":
                     return self._send(200, engine.get_tracked_folders())
+                if parsed.path == "/api/duplicates":
+                    by = qs.get("by", ["phash"])[0]
+                    md = float(
+                        qs.get(
+                            "max_distance",
+                            ["0.1" if by == "phash" else "0.05"],
+                        )[0]
+                    )
+                    if qs.get("groups", ["0"])[0] in ("1", "true"):
+                        return self._send(
+                            200,
+                            {"groups": engine.find_duplicate_groups(
+                                max_distance=md, by=by
+                            )},
+                        )
+                    pairs = engine.find_duplicate_pairs(max_distance=md, by=by)
+                    return self._send(
+                        200,
+                        {"pairs": [
+                            {"a": a, "b": b, "distance": d}
+                            for a, b, d in pairs
+                        ]},
+                    )
                 if parsed.path == "/api/status":
                     status = {
                         "images": engine.get_num_indexed_images(),

@@ -114,6 +114,30 @@ def test_duplicates_cli(dup_dir, tmp_path_factory, capsys):
     assert all(p["a"] < p["b"] for p in pairs)
 
 
+def test_duplicates_web_api(engine):
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from pixelbox_tpu.serve import make_handler
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(engine, threading.Lock())
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with urllib.request.urlopen(base + "/api/duplicates") as r:
+            got = json.loads(r.read())
+        assert got["pairs"] and all(p["a"] < p["b"] for p in got["pairs"])
+        with urllib.request.urlopen(base + "/api/duplicates?groups=1") as r:
+            got = json.loads(r.read())
+        assert got["groups"] and all(len(g) >= 2 for g in got["groups"])
+    finally:
+        httpd.shutdown()
+
+
 def test_empty_index(tmp_path_factory):
     db = tmp_path_factory.mktemp("db3") / "e.db"
     eng = Engine.new(str(db), embedder="stub", embedder_kwargs={"dim": 16})
