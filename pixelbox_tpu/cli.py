@@ -8,12 +8,19 @@ the GUI's capabilities:
     init <db>                      — "New DB" (menutabs.rs:11-19)
     add-folder/remove-folder/folders — folders panel (folders.rs:26-41)
     index <db>                     — "Reindex" button (folders.rs:60-62)
+    watch <db>                     — index + auto-index new files (roadmap)
     search <db> <query...>         — search panel text query (search.rs:40-49)
     similar <db> <image>           — drag-and-drop / "Search for similar"
+    similar-id <db> <id>           — per-result find-similar by stored hash
+    phash-similar <db> <image>     — near-duplicate search
+    duplicates <db>                — whole-index near-duplicate pairs/groups
+    tag/untag <db> <id> <name>     — editable tags (roadmap)
     show <db> <id>                 — view panel metadata (view.rs:14-78)
     stats <db>                     — settings/status surfaces
     serve <db>                     — thin web UI
-    bench                          — perf harness (see bench.py)
+    train / finalize               — offline trainer + deployable export
+
+Perf harness: ``python bench.py`` at the repo root.
 """
 
 from __future__ import annotations
@@ -335,6 +342,10 @@ def main(argv=None) -> int:
             except QueryTokenizeError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
+            if engine.last_query_error:
+                # Non-fatal (e.g. similar: in tags-only mode — filtered
+                # results still valid, ordering degraded).
+                print(f"warning: {engine.last_query_error}", file=sys.stderr)
             _print_results(engine, as_json=args.json)
         elif args.cmd == "similar":
             engine.max_search_results = args.limit

@@ -700,6 +700,10 @@ class Engine:
         # would hide everything; its roadmap asks exactly for this
         # fallback — "use it for just tags").
         if self.embedder is None and not self._sem_image_ids:
+            if parsed.similar_path is not None:
+                self.last_query_error = (
+                    "similar: requires an embedder model (tags-only mode)"
+                )
             if parsed.has_filter:
                 ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
             else:
