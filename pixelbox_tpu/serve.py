@@ -421,14 +421,18 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                             ["0.1" if by == "phash" else "0.05"],
                         )[0]
                     )
+                    # Lock like /api/search: the scan mutates the
+                    # engine's derived-index caches.
                     if qs.get("groups", ["0"])[0] in ("1", "true"):
-                        return self._send(
-                            200,
-                            {"groups": engine.find_duplicate_groups(
+                        with lock:
+                            groups = engine.find_duplicate_groups(
                                 max_distance=md, by=by
-                            )},
+                            )
+                        return self._send(200, {"groups": groups})
+                    with lock:
+                        pairs = engine.find_duplicate_pairs(
+                            max_distance=md, by=by
                         )
-                    pairs = engine.find_duplicate_pairs(max_distance=md, by=by)
                     return self._send(
                         200,
                         {"pairs": [
