@@ -326,30 +326,48 @@ class Engine:
         :meth:`stop_watching` (close() stops it too)."""
         if self._watcher is not None and self._watcher.is_alive():
             return
-        self._watch_stop = threading.Event()
+        # The loop closes over ITS OWN stop event: if stop_watching()'s
+        # bounded join times out (watcher mid-ingest) and a new watcher
+        # starts later, the old loop still sees its own (set) event and
+        # exits instead of adopting the new watcher's unset one.
+        stop = threading.Event()
+        self._watch_stop = stop
         self.watch_passes = 0  # observability (tests/status surface)
+        # Paths that survived an indexing pass without landing in the
+        # catalog (undecodable files): remembered so they don't re-trigger
+        # a pass every interval forever.  Cleared per watch() call — a
+        # watcher restart retries them.
+        failed: set = set()
 
-        def _has_new_files() -> bool:
+        def _known_paths() -> set:
+            conn = self.catalog._connect()
+            return {r[0] for r in conn.execute("SELECT path FROM images")}
+
+        def _new_paths() -> list:
             from pixelbox_tpu.ingest.crawler import crawl
             from pixelbox_tpu.ingest.decode import stringify_filepath
 
-            conn = self.catalog._connect()
-            known = {r[0] for r in conn.execute("SELECT path FROM images")}
+            known = _known_paths()
+            out = []
             for p in crawl(self.get_tracked_folders()):
-                if stringify_filepath(p) not in known:
-                    return True
-                if self._watch_stop.is_set():
-                    return False
-            return False
+                sp = stringify_filepath(p)
+                if sp not in known and sp not in failed:
+                    out.append(sp)
+                if stop.is_set():
+                    return []
+            return out
 
         def _loop() -> None:
-            while not self._watch_stop.wait(interval_s):
+            while not stop.wait(interval_s):
                 try:
                     if self.is_indexing_active():
                         continue
-                    if _has_new_files():
+                    news = _new_paths()
+                    if news:
                         self.start_indexing(num_workers=num_workers)
                         self.wait_for_indexing()
+                        still_missing = set(news) - _known_paths()
+                        failed.update(still_missing)
                     self.watch_passes += 1
                 except Exception as e:  # noqa: BLE001 — keep watching
                     print(f"watch: {type(e).__name__}: {e}", file=sys.stderr)
@@ -673,7 +691,13 @@ class Engine:
         # `similar:` — recompute the cached query image only when the path
         # changed (case-insensitive), engine.rs:510-533.  The cache is
         # sticky: later queries without `similar:` keep this ordering.
-        if parsed.similar_path is not None:
+        if parsed.similar_path is not None and self.embedder is None:
+            # Tags-only mode: the file can't be embedded — warn instead of
+            # silently returning unordered results (filters still apply).
+            self.last_query_error = (
+                "similar: requires an embedder model (tags-only mode)"
+            )
+        elif parsed.similar_path is not None:
             cached = self._cached_image_search
             needs_recalc = cached is None or not (
                 cached.path.lower() == parsed.similar_path.lower()
@@ -700,10 +724,6 @@ class Engine:
         # would hide everything; its roadmap asks exactly for this
         # fallback — "use it for just tags").
         if self.embedder is None and not self._sem_image_ids:
-            if parsed.similar_path is not None:
-                self.last_query_error = (
-                    "similar: requires an embedder model (tags-only mode)"
-                )
             if parsed.has_filter:
                 ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
             else:

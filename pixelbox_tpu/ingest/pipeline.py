@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixelbox_tpu.ingest.crawler import crawl
-from pixelbox_tpu.ingest.decode import decode_image_file
+from pixelbox_tpu.ingest.decode import decode_image_file, stringify_filepath
 from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
 from pixelbox_tpu.ops import phash as phash_ops
 from pixelbox_tpu.ops.preprocess import fill_resize_u8, preprocess_host
@@ -143,14 +143,17 @@ class IngestPipeline:
             if path is _SENTINEL:
                 break
             try:
+                if engine.catalog.has_path(stringify_filepath(path)):
+                    # INSERT OR IGNORE semantics, checked BEFORE decode so
+                    # a re-index (or a watch pass) over an already-indexed
+                    # library costs one catalog lookup per file, not a
+                    # full decode (decoded.path is stringify_filepath(path),
+                    # so the keys match exactly).
+                    self.images_skipped += 1
+                    continue
                 decoded = decode_image_file(path)
                 if decoded is None:
                     self.images_failed += 1
-                    continue
-                if engine.catalog.has_path(decoded.path):
-                    # INSERT OR IGNORE semantics, checked early so we skip
-                    # the decode-adjacent heavy work on re-index.
-                    self.images_skipped += 1
                     continue
                 thumb = qoi_encode(make_thumbnail(decoded.rgb))
                 # Embed input always ships to the device as a u8 frame

@@ -64,10 +64,8 @@ def build_row_meta(index: PackedSemanticIndex) -> jnp.ndarray:
 
 def _fused_scan_kernel(
     md_ref,       # SMEM [1, 1] f32: max_distance
-    q_ref,        # VMEM [Q, D] int8 (u8-128 codes; ±1 bits for hamming;
-                  #                   4-bit codes for cosine4)
-    data_ref,     # VMEM [T, D] int8 (current tile; packed [T, D/2] u8
-                  #                   for cosine4)
+    q_ref,        # VMEM [Q, D] int8 (u8-128 codes)
+    data_ref,     # VMEM [T, D] int8 (current tile)
     meta_ref,     # VMEM [2, T] int32 (current tile)
     best_d_ref,   # VMEM [Q, K] f32 out (sorted ascending)
     best_i_ref,   # VMEM [Q, K] i32 out
@@ -75,8 +73,6 @@ def _fused_scan_kernel(
     tile_rows: int,
     k_lanes: int,
     dim: int,
-    kind: str = "cosine",
-    wrap_u8: bool = False,
 ):
     t = pl.program_id(0)
     qn = q_ref.shape[0]
@@ -88,55 +84,27 @@ def _fused_scan_kernel(
 
     q_i8 = q_ref[:]
     md = md_ref[0, 0]
-    if kind == "cosine4":
-        p32 = data_ref[:].astype(jnp.int32)
-        blk = jnp.concatenate(
-            [p32 & 15, (p32 >> 4) & 15], axis=-1
-        ).astype(jnp.int8)
-    else:
-        blk = data_ref[:]
     dot8 = lax.dot_general(
         q_i8,
-        blk,
+        data_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )                                                              # [Q,T]
-
-    def _cosine_dist(dot_c, row_mag2, q_mag2):
-        mag2_b = row_mag2.astype(jnp.float32)
-        sp = jnp.sqrt(q_mag2 * mag2_b)                             # [Q,T]
-        mag = sp * _RECIP_65025
-        cos = dot_c.astype(jnp.float32) / sp
-        dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
-        dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
-        # Validity + strict threshold (engine.rs:375-383 WHERE dist < ?).
-        return jnp.where((row_mag2 > 0) & (dist < md), dist, _INF)
-
-    if kind == "cosine":
-        q_i32 = q_i8.astype(jnp.int32)
-        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)              # [Q,1]
-        qc = 2 * q_i32 + 1                                         # 2q-255
-        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
-        dot_c = 4 * dot8 + 2 * (q_sum + meta_ref[0, :][None, :]) + jnp.int32(dim)
-        dist = _cosine_dist(dot_c, meta_ref[1, :][None, :], q_mag2)
-    elif kind == "cosine4":
-        q_i32 = q_i8.astype(jnp.int32)
-        q_sum = jnp.sum(q_i32, axis=1, keepdims=True)
-        qc = 34 * q_i32 - 255
-        q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
-        dot_c = (
-            1156 * dot8
-            - 8670 * (q_sum + meta_ref[0, :][None, :])
-            + jnp.int32(65025 * dim)
-        )
-        dist = _cosine_dist(dot_c, meta_ref[1, :][None, :], q_mag2)
-    else:  # hamming over ±1 rows (dim = total bits)
-        row_valid = meta_ref[0, :][None, :]
-        diff_bits = (jnp.int32(dim) - dot8) >> 1
-        if wrap_u8:
-            diff_bits = diff_bits % 256
-        dist = diff_bits.astype(jnp.float32) * np.float32(1.0 / dim)
-        dist = jnp.where((row_valid > 0) & (dist < md), dist, _INF)
+    q_i32 = q_i8.astype(jnp.int32)
+    q_sum = jnp.sum(q_i32, axis=1, keepdims=True)                  # [Q,1]
+    qc = 2 * q_i32 + 1                                             # 2q-255
+    q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+    row_sum = meta_ref[0, :][None, :]
+    row_mag2 = meta_ref[1, :][None, :]
+    dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
+    mag2_b = row_mag2.astype(jnp.float32)
+    sp = jnp.sqrt(q_mag2 * mag2_b)                                 # [Q,T]
+    mag = sp * _RECIP_65025
+    cos = dot_c.astype(jnp.float32) / sp
+    dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+    dist = jnp.where(mag < _MAG_EPS, np.float32(0.0), dist)
+    # Validity + strict threshold (engine.rs:375-383 WHERE dist < ?).
+    dist = jnp.where((row_mag2 > 0) & (dist < md), dist, _INF)
 
     base = t * tile_rows
     col = lax.broadcasted_iota(jnp.int32, (qn, tile_rows), 1)
@@ -247,10 +215,11 @@ def _pallas_sample_theta(
 
     If θ0 comes up short (fewer than j sample rows under it, or a tie
     flood poisons the kernel's round bound), the returned value falls
-    back to θ0 itself — a LARGER, still-sound threshold (main-pass
-    proofs govern correctness either way; accuracy only shapes work).
-    Returns [Qp, 1]; value == md ⟺ the caller should treat θ as
-    unbound."""
+    back to θ0 itself — a TIGHTER threshold than the true sample θ_j
+    (θ_j ≥ θ0 in that case), so affected queries lean on the main
+    pass's kth-finite proof and may take the exact-repair path;
+    soundness is unaffected (θ accuracy only shapes work).  Returns
+    [Qp, 1]; value == md ⟺ the caller should treat θ as unbound."""
     qn = q_p.shape[0]
     s = sample_data.shape[0]
     assert s % tile_rows == 0, (s, tile_rows)

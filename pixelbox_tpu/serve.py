@@ -414,7 +414,14 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                 if parsed.path == "/api/folders":
                     return self._send(200, engine.get_tracked_folders())
                 if parsed.path == "/api/duplicates":
+                    # NB: holds the engine lock for the whole self-scan —
+                    # an admin-style operation; concurrent searches queue
+                    # behind it.
                     by = qs.get("by", ["phash"])[0]
+                    if by not in ("phash", "semantic"):
+                        return self._send(
+                            400, {"error": "by must be phash or semantic"}
+                        )
                     md = float(
                         qs.get(
                             "max_distance",

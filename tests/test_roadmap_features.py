@@ -212,6 +212,52 @@ def test_watch_indexes_new_files(photo_dir, tmp_path):
     eng.close()  # close() after stop is a no-op for the watcher
 
 
+def test_watch_ignores_permanently_failing_files(photo_dir, tmp_path):
+    """A corrupt file in a watched folder must trigger at most ONE
+    indexing attempt, not one per poll forever."""
+    eng = Engine.new(
+        str(tmp_path / "wf.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.add_tracked_folder(str(photo_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    (photo_dir / "broken.png").write_bytes(b"definitely not a png")
+
+    calls = []
+    orig = eng.start_indexing
+
+    def counting_start(**kw):
+        calls.append(1)
+        return orig(**kw)
+
+    eng.start_indexing = counting_start
+    eng.watch(interval_s=0.2, num_workers=2)
+    deadline = time.time() + 60
+    while eng.watch_passes < 4 and time.time() < deadline:
+        time.sleep(0.05)
+    eng.stop_watching()
+    assert eng.watch_passes >= 4
+    assert len(calls) == 1, calls  # retried once, then remembered as failed
+    assert eng.get_num_indexed_images() == 2
+    eng.close()
+
+
+def test_none_mode_similar_warns_even_with_stored_hashes(photo_dir, tmp_path):
+    db = str(tmp_path / "ws.db")
+    eng = Engine.new(db, embedder="stub", embedder_kwargs={"dim": 16})
+    eng.add_tracked_folder(str(photo_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    eng.close()
+
+    eng = Engine.open(db, embedder="none")
+    eng.query(f"similar:{photo_dir}/img1.png img")
+    assert "tags-only" in (eng.last_query_error or "")
+    # Filters still apply; results just lack similarity ordering.
+    assert len(eng.get_query_results()) == 2
+    eng.close()
+
+
 # ------------------------------------------------------------------ #
 # Index inside zip files
 
