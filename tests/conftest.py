@@ -5,8 +5,14 @@ Tests run on CPU with 8 virtual devices so multi-chip sharding
 driver's dry-run model.  Must run before jax is imported anywhere.
 """
 
+import faulthandler
 import os
 import sys
+
+# A hard crash (segfault/abort in native code or XLA) should name its
+# test: one full-suite run died with a bare "Fatal Python error:" and no
+# context (not reproduced since).
+faulthandler.enable()
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
