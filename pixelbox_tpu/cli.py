@@ -119,6 +119,19 @@ def main(argv=None) -> int:
     sp.add_argument("folder")
     sp = add_db_cmd("remove-folder", help="stop tracking a folder")
     sp.add_argument("folder")
+    sp.add_argument(
+        "--purge", action="store_true",
+        help="ALSO remove every indexed image under the folder (the "
+        "reference stages this as a TODO, engine.rs:414)",
+    )
+
+    sp = add_db_cmd("remove-image", help="remove one image from the index")
+    sp.add_argument("id", type=int)
+
+    add_db_cmd(
+        "compact",
+        help="drop tombstoned rows from the device stores after removals",
+    )
     add_db_cmd("folders", help="list tracked folders")
 
     sp = add_db_cmd("index", help="crawl tracked folders and index new images")
@@ -293,8 +306,21 @@ def main(argv=None) -> int:
             engine.add_tracked_folder(args.folder)
             print(f"Tracking {args.folder}")
         elif args.cmd == "remove-folder":
-            engine.remove_tracked_folder(args.folder)
-            print(f"Stopped tracking {args.folder}")
+            if args.purge:
+                n = engine.remove_tracked_folder_and_images(args.folder)
+                print(f"Stopped tracking {args.folder}; removed {n} images")
+            else:
+                engine.remove_tracked_folder(args.folder)
+                print(f"Stopped tracking {args.folder}")
+        elif args.cmd == "remove-image":
+            if engine.remove_image(args.id):
+                print(f"Removed image {args.id}")
+            else:
+                print(f"No image with id {args.id}", file=sys.stderr)
+                return 1
+        elif args.cmd == "compact":
+            engine.compact()
+            print("Compacted device stores")
         elif args.cmd == "folders":
             for f in engine.get_tracked_folders():
                 print(f)

@@ -482,8 +482,24 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     engine.add_tracked_folder(data["folder"])
                     return self._send(200, engine.get_tracked_folders())
                 if parsed.path == "/api/folders/remove":
+                    if data.get("purge"):
+                        with lock:
+                            n = engine.remove_tracked_folder_and_images(
+                                data["folder"]
+                            )
+                        return self._send(
+                            200,
+                            {"folders": engine.get_tracked_folders(),
+                             "removed_images": n},
+                        )
                     engine.remove_tracked_folder(data["folder"])
                     return self._send(200, engine.get_tracked_folders())
+                if parsed.path == "/api/remove":
+                    with lock:
+                        ok = engine.remove_image(int(data["id"]))
+                    if not ok:
+                        return self._send(404, {"error": "no such image"})
+                    return self._send(200, {"removed": int(data["id"])})
                 if parsed.path == "/api/reindex":
                     engine.start_indexing()
                     return self._send(200, {"started": True})
