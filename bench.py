@@ -38,6 +38,10 @@ NORTH_STAR_INGEST_PER_SEC = 5e3
 def _device_loop(fn, inputs, iters, *consts):
     """Time `fn(x, *consts)` over `iters` stacked inputs entirely on device.
 
+    ``fn`` may return a scalar or a small vector (e.g. [timing_sink,
+    success_count]); the accumulator sums it across iterations and the
+    whole accumulated value is returned alongside the per-iteration time.
+
     Large arrays (the index) MUST be passed via ``consts``, not closed
     over: closed-over device arrays are embedded as literal constants in
     the compiled program (hundreds of MB shipped per compile — remote
@@ -50,13 +54,19 @@ def _device_loop(fn, inputs, iters, *consts):
     def multi(xs, *cs):
         def body(c, x):
             return c + fn(x, *cs), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+
+        init = jnp.zeros(
+            jax.eval_shape(fn, jax.tree.map(lambda a: a[0], xs), *cs).shape,
+            jnp.float32,
+        )
+        acc, _ = jax.lax.scan(body, init, xs)
         return acc
 
-    float(np.asarray(multi(inputs, *consts)))  # warmup/compile
+    np.asarray(multi(inputs, *consts))  # warmup/compile
     t0 = time.perf_counter()
-    sink = float(np.asarray(multi(inputs, *consts)))
-    return (time.perf_counter() - t0) / iters, sink
+    sink = np.asarray(multi(inputs, *consts))
+    dt = (time.perf_counter() - t0) / iters
+    return dt, (float(sink) if sink.ndim == 0 else sink)
 
 
 def build_semantic_index(n, d, rng, block_rows):
@@ -143,47 +153,77 @@ def bench_auto_scan(n=1_000_000, d=128, q=256, k=100, iters=50,
 
         def one(qi, index, meta, sample):
             dist, idx, exact = kernel(qi, index, meta, sample, k=k)
-            return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
+            return jnp.stack(
+                [jnp.sum(dist[:, 0]), jnp.sum(exact.astype(jnp.float32))]
+            )
 
-        dt, _ = _device_loop(one, qs, iters, index, meta, sample)
-        _, _, exact = kernel(qs[0], index, meta, sample, k=k)
+        dt, sink = _device_loop(one, qs, iters, index, meta, sample)
     else:
         def one(qi, index, sample):
             dist, idx, exact = cosine_scan_topk_threshold(
                 qi, index, sample, k=k, block_rows=block_rows
             )
-            return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
+            return jnp.stack(
+                [jnp.sum(dist[:, 0]), jnp.sum(exact.astype(jnp.float32))]
+            )
 
-        dt, _ = _device_loop(one, qs, iters, index, sample)
-        _, _, exact = cosine_scan_topk_threshold(
-            qs[0], index, sample, k=k, block_rows=block_rows
-        )
-    rate = float(np.asarray(exact).mean())
+        dt, sink = _device_loop(one, qs, iters, index, sample)
+    # Proof rate over EVERY query of every timed iteration (the warmup
+    # run's accumulator is discarded; n_trials = iters·q), not one batch.
+    n_trials = iters * q
+    failures = n_trials - int(round(float(sink[1])))
+    rate = 1.0 - failures / n_trials
+    # 95% Clopper-Pearson upper bound on the per-query failure
+    # probability — the statistical guard the amortized headline uses
+    # (a single-batch estimate at q=256 cannot see rates below ~4e-3).
+    from scipy.stats import beta as _beta  # scipy ships in the image
 
-    # Repair cost: a bucketed exact re-scan of the failing queries (the
-    # auto wrapper reruns up to 32 queries exactly).  Measured on device.
+    p_fail_ub = float(_beta.ppf(0.95, failures + 1, n_trials - failures))
+
+    # Repair cost: a bucketed exact re-scan of the failing queries,
+    # through the SAME path the auto wrapper uses (the sample-free fused
+    # kernel on TPU).  Measured on device.
     repair_q = 32
 
-    def repair_one(qi, index):
-        dd, ii = cosine_scan_topk(
-            qi[:repair_q], index, k=k, block_rows=block_rows, mode="exact", gate=False
-        )
-        return jnp.sum(dd[:, 0]) + jnp.sum(ii[:, 0])
+    if use_pallas:
+        from pixelbox_tpu.ops.pallas_scan import pallas_cosine_scan_topk
 
-    dt_repair, _ = _device_loop(repair_one, qs, iters, index)
-    # Amortized exact-guaranteed throughput: the main pass plus the repair
-    # scan whenever ANY query in the batch fails its proof.
-    p_batch_repair = 1.0 - rate ** q
-    dt_total = dt + p_batch_repair * dt_repair
+        def repair_one(qi, index, meta):
+            dd, ii = pallas_cosine_scan_topk(
+                qi[:repair_q], index, meta, k=k
+            )
+            return jnp.sum(dd[:, 0]) + jnp.sum(ii[:, 0])
+
+        dt_repair, _ = _device_loop(repair_one, qs, iters, index, meta)
+    else:
+        def repair_one(qi, index):
+            dd, ii = cosine_scan_topk(
+                qi[:repair_q], index, k=k, block_rows=block_rows,
+                mode="exact", gate=False,
+            )
+            return jnp.sum(dd[:, 0]) + jnp.sum(ii[:, 0])
+
+        dt_repair, _ = _device_loop(repair_one, qs, iters, index)
+    # Amortized exact-guaranteed throughput at the 95% UPPER-confidence
+    # failure rate: main pass + the repair scan whenever ANY query in the
+    # batch fails its proof.  Robust to failure rates the point estimate
+    # cannot resolve; the point-estimate amortization is reported too.
+    p_batch_repair_ub = 1.0 - (1.0 - p_fail_ub) ** q
+    p_batch_repair_point = 1.0 - rate ** q
+    dt_total = dt + p_batch_repair_ub * dt_repair
+    dt_total_point = dt + p_batch_repair_point * dt_repair
 
     return {
         "dots_per_sec_exact_guaranteed": n * q / dt_total,
+        "dots_per_sec_at_point_estimate": n * q / dt_total_point,
         "dots_per_sec_device_main_pass": n * q / dt,
         "qps_batch": q / dt_total,
         "scan_ms_per_batch_main": dt * 1e3,
         "scan_ms_repair": dt_repair * 1e3,
         "proof_rate_per_query": rate,
-        "repair_probability_per_batch": p_batch_repair,
+        "proof_trials": n_trials,
+        "p_fail_per_query_ub95": p_fail_ub,
+        "repair_probability_per_batch_ub95": p_batch_repair_ub,
         "main_pass": "pallas_threshold" if use_pallas else "xla_threshold",
         "batch_q": q,
         "n": n,

@@ -1179,22 +1179,35 @@ class Engine:
                         mode=mode,
                     )
             elif self.scan_mode == "pallas":
-                from pixelbox_tpu.ops.pallas_scan import (
-                    build_row_meta,
-                    pallas_cosine_scan_topk,
-                )
+                from pixelbox_tpu.ops.scan import _default_backend_is_tpu
 
                 index = self._sem_store.device_index
-                self._get_pallas_meta()
-                tile = min(2048, index.capacity)
-                dist, idx = pallas_cosine_scan_topk(
-                    jnp.asarray(record.visual_hash),
-                    index,
-                    self._pallas_meta,
-                    k=k,
-                    max_distance=float(self.max_distance_from_query),
-                    tile_rows=tile,
-                )
+                if _default_backend_is_tpu() and index.capacity % 8 == 0:
+                    from pixelbox_tpu.ops.pallas_scan import (
+                        pallas_cosine_scan_topk,
+                    )
+
+                    self._get_pallas_meta()
+                    tile = min(2048, index.capacity)
+                    dist, idx = pallas_cosine_scan_topk(
+                        jnp.asarray(record.visual_hash),
+                        index,
+                        self._pallas_meta,
+                        k=k,
+                        max_distance=float(self.max_distance_from_query),
+                        tile_rows=tile,
+                    )
+                else:
+                    # Mosaic kernels don't lower off-TPU — identical
+                    # results via the exact XLA scan (same spec).
+                    dist, idx = cosine_scan_topk(
+                        jnp.asarray(record.visual_hash),
+                        index,
+                        k=k,
+                        max_distance=float(self.max_distance_from_query),
+                        block_rows=min(32768, index.capacity),
+                        mode="exact",
+                    )
             elif self.scan_mode == "auto":
                 from pixelbox_tpu.ops.scan import (
                     DEFAULT_BLOCK_ROWS,

@@ -35,7 +35,10 @@ void scan_one_query(const uint8_t* db, int64_t n, int64_t d,
     cq[j] = 2 * int64_t(query[j]) - 255;
     mag2_q += cq[j] * cq[j];
   }
-  const float mag2_q_f = float(mag2_q);
+  // Canonical spec v2 (ops/distances.py rsqrt_spec): fl(1/fl(sqrt(m2))),
+  // both ops correctly rounded here and in numpy/XLA:CPU.
+  const float rq = mag2_q > 0 ? 1.0f / std::sqrt(float(mag2_q)) : 0.0f;
+  const bool q_zero = mag2_q == 0;
 
   std::vector<std::vector<Cand>> partials(n_threads);
   std::vector<std::thread> threads;
@@ -52,16 +55,23 @@ void scan_one_query(const uint8_t* db, int64_t n, int64_t d,
           dot += cq[j] * cr;
           mag2_r += cr * cr;
         }
-        // Canonical rounding spec: ONE sqrt of the f32 product — matches
-        // ops.distances._cosine_distance_from_moments and the oracle.
-        const float sp = std::sqrt(mag2_q_f * float(mag2_r));
-        const float mag = sp * (1.0f / (255.0f * 255.0f));
+        // Canonical rounding spec v2 (separable magnitudes) — matches
+        // ops.distances._cosine_distance_from_moments and the oracle:
+        // inv = fl(rq*rr); cos = fl(dot*inv); dist = fl(1/max(cos,1e-6))-1.
+        // Integer moments make the reference's mag<1e-6 guard exactly
+        // "either magnitude is zero" (engine.rs:582-584).
         float dist;
-        if (mag < 1e-6f) {
+        const float dot_f = float(dot);
+        const float m2r_f = float(mag2_r);
+        if (q_zero || mag2_r == 0 ||
+            (dot_f == float(mag2_q) && float(mag2_q) == m2r_f)) {
+          // Zero-magnitude guard + identical-vector pin (spec guards).
           dist = 0.0f;
         } else {
-          const float cos = float(dot) / sp;
-          dist = 1.0f / std::max(cos, 1e-6f) - 1.0f;
+          const float rr = 1.0f / std::sqrt(m2r_f);
+          const float inv = rq * rr;
+          const float cos = dot_f * inv;
+          dist = std::max(1.0f / std::max(cos, 1e-6f) - 1.0f, 0.0f);
         }
         if (!(dist < max_distance)) continue;
         Cand c{dist, int32_t(i)};

@@ -42,6 +42,19 @@ _MAGNITUDE_EPS = 1e-6
 _COSINE_FLOOR = 1e-6
 
 
+def rsqrt_spec(x: jnp.ndarray) -> jnp.ndarray:
+    """Canonical reciprocal square root: ``fl(1.0 / fl(sqrt(x)))``.
+
+    Both ops are correctly rounded on CPU (and in numpy / C++), so every
+    implementation agrees bit-for-bit.  The ``optimization_barrier`` is
+    load-bearing: XLA rewrites ``divide(1, sqrt(x))`` into its ``rsqrt``
+    primitive even with fast-math disabled (measured: 59k/204k last-ulp
+    mismatches vs numpy over the integer-moment domain), and the barrier
+    is the supported way to pin the as-written composition.
+    """
+    return jnp.float32(1.0) / jax.lax.optimization_barrier(jnp.sqrt(x))
+
+
 @jax.jit
 def cosine_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Reciprocal cosine distance over u8 vectors (engine.rs:572-588).
@@ -77,26 +90,46 @@ def _cosine_distance_from_moments(
     Shared by the jnp scan, the Pallas kernel epilogue, the C++ CPU scan,
     and the oracle.
 
-    Canonical rounding spec: the magnitude product is ``sqrt(m2a * m2b)``
-    (product first, ONE sqrt).  XLA's simplifier rewrites sqrt(a)*sqrt(b)
-    into exactly this form regardless of fast-math flags, so defining the
-    spec this way keeps oracle/device/C++ bit-identical.  (The reference's
-    own f32 fold order is unreproducible on any vector hardware; parity is
-    defined against the exact-integer oracle, which this is.)
+    Canonical rounding spec (v2, separable magnitudes):
+
+        cos  = fl(dot_c · fl(rsqrt_spec(m2a) · rsqrt_spec(m2b)))
+        dist = fl(1 / max(cos, 1e-6)) − 1        (the −1 is EXACT in f32
+                                                  for any x ≥ 1, so the
+                                                  fl(1/g) plateaus define
+                                                  the tie groups)
+
+    The separable form lets device scans PRECOMPUTE ``rsqrt_spec(m2_row)``
+    per index row (cached meta), turning the per-element epilogue into two
+    multiplies plus one divide — no sqrt in the hot loop.  Every op is
+    correctly rounded on CPU (with the harness's fast-math-off flag), so
+    numpy/C++/XLA stay bit-identical; on TPU values may drift by hardware
+    sqrt/div ulps exactly as under the v1 (single-sqrt) spec.  (The
+    reference's own f32 fold order is unreproducible on any vector
+    hardware; parity is defined against the exact-integer oracle, which
+    this is.)
+
+    Zero-magnitude guard (engine.rs:582-584): the reference returns 0.0
+    when ``mag = sqrt(m2a·m2b)/255² < 1e-6``.  The moments are integers,
+    so that condition is EXACTLY ``m2a·m2b == 0`` (the smallest nonzero
+    product gives mag ≥ 1/65025 > 1e-6), which is how it is evaluated
+    here — no magnitude product needed.
     """
-    # Reference magnitude is in dequantized scale (engine.rs:578-584):
-    # mag = sqrt(m2a_c * m2b_c) / 255^2.  Scaling by a constant is ALWAYS
-    # a multiply by the f32-rounded reciprocal in this codebase (XLA
-    # rewrites constant division that way regardless of flags; baking the
-    # rewrite into the spec keeps numpy/C++/XLA bit-identical).
-    sp = jnp.sqrt(mag2_a_c * mag2_b_c)
-    mag = sp * jnp.float32(1.0 / (255.0 * 255.0))
-    # cos = dot_deq / mag — the 255^2 cancels.
-    cos = dot_c / sp
+    # cos = dot_deq / (|a|·|b|) — the 255^2 scales cancel.  Constant
+    # divisions elsewhere in this codebase are multiplies by the
+    # f32-rounded reciprocal (XLA rewrites them that way regardless of
+    # flags; the spec bakes the rewrite in).
+    inv = rsqrt_spec(mag2_a_c) * rsqrt_spec(mag2_b_c)
+    cos = dot_c * inv
     dist = jnp.float32(1.0) / jnp.maximum(cos, jnp.float32(_COSINE_FLOOR)) - jnp.float32(1.0)
-    # Zero-magnitude guard fires BEFORE the cosine divide in the reference
-    # (engine.rs:582-584): mag < 1e-6 → 0.0.
-    return jnp.where(mag < jnp.float32(_MAGNITUDE_EPS), jnp.float32(0.0), dist)
+    # Rounding guards (both part of the spec): true cos never exceeds 1
+    # (Cauchy-Schwarz), so negative dist is pure rsqrt/divide noise —
+    # clamp it; and IDENTICAL vectors (⟺ dot == m2a == m2b on the exact
+    # integer moments, the C-S equality case) score exactly 0 like the v1
+    # single-sqrt spec did, instead of ±1 ulp of it.
+    dist = jnp.maximum(dist, jnp.float32(0.0))
+    ident = (dot_c == mag2_a_c) & (mag2_a_c == mag2_b_c)
+    zero = (mag2_a_c == jnp.float32(0.0)) | (mag2_b_c == jnp.float32(0.0))
+    return jnp.where(ident | zero, jnp.float32(0.0), dist)
 
 
 @jax.jit

@@ -125,17 +125,19 @@ def cosine4_distance_np(a_u8: np.ndarray, b_u8: np.ndarray) -> np.ndarray:
     ca = 34 * quantize_u8_to_u4(a_u8).astype(np.int64) - 255
     cb = 34 * quantize_u8_to_u4(b_u8).astype(np.int64) - 255
     dot = np.sum(ca * cb, axis=-1)
-    mag_prod = np.sqrt(
-        np.sum(ca * ca, axis=-1).astype(np.float32)
-        * np.sum(cb * cb, axis=-1).astype(np.float32)
-    )
-    mag = mag_prod * np.float32(1.0 / (255.0 * 255.0))
+    mag2_a = np.sum(ca * ca, axis=-1).astype(np.float32)
+    mag2_b = np.sum(cb * cb, axis=-1).astype(np.float32)
     with np.errstate(divide="ignore", invalid="ignore"):
-        cos = dot.astype(np.float32) / mag_prod
-    dist = np.float32(1.0) / np.maximum(cos, np.float32(1e-6)) - np.float32(1.0)
-    return np.where(mag < np.float32(1e-6), np.float32(0.0), dist).astype(
-        np.float32
-    )
+        inv = (np.float32(1.0) / np.sqrt(mag2_a)) * (
+            np.float32(1.0) / np.sqrt(mag2_b)
+        )
+        cos = dot.astype(np.float32) * inv
+        dist = np.float32(1.0) / np.maximum(cos, np.float32(1e-6)) - np.float32(1.0)
+    dist = np.maximum(dist, np.float32(0.0))
+    dot_f = dot.astype(np.float32)
+    ident = (dot_f == mag2_a) & (mag2_a == mag2_b)
+    zero = (mag2_a == np.float32(0.0)) | (mag2_b == np.float32(0.0))
+    return np.where(ident | zero, np.float32(0.0), dist).astype(np.float32)
 
 
 def cosine4_scan_topk_np(query_u8, db_u8, k=100, max_distance=1e3):
@@ -266,99 +268,21 @@ def pallas_threshold4_scan_topk(
     target_count: int | None = None,
     max_rounds: int = 96,
 ):
-    """Int4 twin of ``pallas_threshold_scan_topk_v2``: the kernel reads
-    HALF the HBM bytes (packed nibbles, unpacked in VMEM).  Returns
-    (dist [Q,k], idx, exact [Q]); repair unproven queries with
-    :func:`cosine4_scan_topk`."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from pixelbox_tpu.ops.pallas_scan import _threshold_insert_kernel
-
-    squeeze = query_u8.ndim == 1
-    if squeeze:
-        query_u8 = query_u8[None, :]
-    qn, d = query_u8.shape
-    assert index.dim == d, (index.dim, d)
-    n_pad = index.capacity
-    assert n_pad % tile_rows == 0, (n_pad, tile_rows)
-    n_tiles = n_pad // tile_rows
-    k_lanes = max(128, -(-k // 128) * 128)
-
-    md = jnp.asarray(max_distance, dtype=jnp.float32)
-    q_i8, q_sum, q_mag2 = query4_moments_from_u8(query_u8)
-    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
-    q_pad = max(32, -(-qn // 32) * 32)
-    q_i8_p = (
-        jnp.pad(q_i8, ((0, q_pad - qn), (0, 0))) if q_pad != qn else q_i8
+    """Int4 twin of ``pallas_threshold_scan_topk_v2``: the one threshold
+    kernel with kind="cosine4" reads HALF the HBM bytes (packed nibbles,
+    unpacked in VMEM).  Returns (dist [Q,k], idx, exact [Q]); repair
+    unproven queries with :func:`cosine4_scan_topk`."""
+    from pixelbox_tpu.ops.pallas_scan import (
+        _generic_threshold_scan,
+        _sample_meta4,
     )
 
-    s = sample.data.shape[0]
-    tc = target_count if target_count is not None else max(16 * k // 5, 256)  # ~3.2k: proof stays 1.0, fewer rounds
-    j = min(s, max(1, -(-tc * s // n_pad)))
-    if s % tile_rows == 0:
-        from pixelbox_tpu.ops.pallas_scan import _pallas_sample_theta
-
-        meta2 = jnp.stack(
-            [sample.row_sum, jnp.where(sample.valid, sample.row_mag2, 0)]
-        ).astype(jnp.int32)
-        theta_j = _pallas_sample_theta(
-            "cosine4", q_i8_p, sample.data, meta2, md, j,
-            dim=d, tile_rows=tile_rows,
-        )[:qn]
-    else:
-        s_dist = _cosine4_block_dist(
-            q_i8, q_sum, q_mag2_f, sample.data, sample.row_sum,
-            sample.row_mag2, sample.valid, md, d,
-        )
-        s_top, _ = topk_ops.block_topk(
-            s_dist, jnp.zeros(s_dist.shape, jnp.int32), j
-        )
-        theta_j = s_top[:, j - 1 : j]
-    theta = jnp.minimum(theta_j, md)
-    unbound = ~(theta_j < md)[:, 0]
-    theta_p = (
-        jnp.pad(theta, ((0, q_pad - qn), (0, 0)), constant_values=-jnp.inf)
-        if q_pad != qn
-        else theta
+    assert index.dim == query_u8.shape[-1], (index.dim, query_u8.shape)
+    return _generic_threshold_scan(
+        "cosine4", "carry", query_u8, index.data, meta,
+        sample.data, _sample_meta4(sample), index.capacity, index.dim,
+        k, max_distance, tile_rows, target_count, max_rounds, 0,
     )
-
-    kernel = partial(
-        _threshold_insert_kernel,
-        tile_rows=tile_rows, k_lanes=k_lanes, dim=d, max_rounds=max_rounds,
-        kind="cosine4",
-    )
-    best_d, best_i, counts = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((q_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, d // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, k_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, k_lanes), jnp.int32),
-            jax.ShapeDtypeStruct((q_pad, 128), jnp.int32),
-        ),
-    )(theta_p, q_i8_p, index.data, meta)
-
-    best_d = best_d[:qn, :k]
-    best_i = best_i[:qn, :k]
-    flag = counts[:qn, 0]  # 0 = clean, very negative = poisoned
-    keep = jnp.isfinite(best_d)
-    best_i = jnp.where(keep, best_i, -1)
-    # kth finite ⟺ ≥ k rows passed θ (see _threshold_insert_kernel).
-    exact = (jnp.isfinite(best_d[:, k - 1]) | unbound) & (flag >= 0)
-    if squeeze:
-        return best_d[0], best_i[0], exact[0]
-    return best_d, best_i, exact
 
 
 def build_semantic4_meta(index: PackedSemantic4Index) -> jnp.ndarray:

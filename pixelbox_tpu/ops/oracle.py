@@ -20,16 +20,26 @@ def cosine_distance_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ca = 2 * np.asarray(a, dtype=np.int64) - 255
     cb = 2 * np.asarray(b, dtype=np.int64) - 255
     dot = np.sum(ca * cb, axis=-1)
-    mag2_a = np.sum(ca * ca, axis=-1)
-    mag2_b = np.sum(cb * cb, axis=-1)
-    # Canonical rounding spec: ONE sqrt of the f32 product — see
-    # ops.distances._cosine_distance_from_moments.
-    mag_prod = np.sqrt(mag2_a.astype(np.float32) * mag2_b.astype(np.float32))
-    mag = mag_prod * np.float32(1.0 / (255.0 * 255.0))
+    mag2_a = np.sum(ca * ca, axis=-1).astype(np.float32)
+    mag2_b = np.sum(cb * cb, axis=-1).astype(np.float32)
+    # Canonical rounding spec v2 (separable magnitudes) — see
+    # ops.distances._cosine_distance_from_moments.  numpy's f32 sqrt and
+    # division are correctly rounded, matching XLA:CPU with fast-math off.
     with np.errstate(divide="ignore", invalid="ignore"):
-        cos = dot.astype(np.float32) / mag_prod
-    dist = np.float32(1.0) / np.maximum(cos, np.float32(1e-6)) - np.float32(1.0)
-    return np.where(mag < np.float32(1e-6), np.float32(0.0), dist).astype(np.float32)
+        inv = (np.float32(1.0) / np.sqrt(mag2_a)) * (
+            np.float32(1.0) / np.sqrt(mag2_b)
+        )
+        cos = dot.astype(np.float32) * inv
+        dist = np.float32(1.0) / np.maximum(cos, np.float32(1e-6)) - np.float32(1.0)
+    # Spec rounding guards: clamp the cos>1 rounding noise, pin identical
+    # vectors (dot == m2a == m2b on the f32 moment copies) to exactly 0.
+    dist = np.maximum(dist, np.float32(0.0))
+    dot_f = dot.astype(np.float32)
+    ident = (dot_f == mag2_a) & (mag2_a == mag2_b)
+    # Integer moments: the reference's mag < 1e-6 guard fires exactly when
+    # the magnitude product is zero (engine.rs:582-584).
+    zero = (mag2_a == np.float32(0.0)) | (mag2_b == np.float32(0.0))
+    return np.where(ident | zero, np.float32(0.0), dist).astype(np.float32)
 
 
 def byte_distance_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -603,13 +603,27 @@ def cosine_scan_topk_auto(
             q, index, sample, k=k, max_distance=max_distance,
             block_rows=block_rows, budget=budget,
         )
-    best_d, best_i = repair_unproven(
-        q, best_d, best_i, exact,
-        lambda rq: cosine_scan_topk(
-            rq, index, k=k, max_distance=max_distance,
-            block_rows=block_rows, mode="exact", gate=False,
-        ),
-    )
+    if use_pallas:
+        # Repair with the sample-free fused kernel (θ = max_distance):
+        # unconditionally exact (its round bound is tile_rows, which
+        # extraction cannot exceed) and ~5× cheaper than the XLA exact
+        # scan at repair-bucket sizes — the amortized repair term in the
+        # guaranteed-throughput bound shrinks with it.
+        from pixelbox_tpu.ops.pallas_scan import pallas_cosine_scan_topk
+
+        def exact_rescan(rq):
+            return pallas_cosine_scan_topk(
+                rq, index, row_meta, k=k, max_distance=max_distance,
+                tile_rows=PALLAS_TILE_ROWS,
+            )
+    else:
+        def exact_rescan(rq):
+            return cosine_scan_topk(
+                rq, index, k=k, max_distance=max_distance,
+                block_rows=block_rows, mode="exact", gate=False,
+            )
+
+    best_d, best_i = repair_unproven(q, best_d, best_i, exact, exact_rescan)
     if squeeze:
         return best_d[0], best_i[0]
     return best_d, best_i
