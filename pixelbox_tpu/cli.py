@@ -109,7 +109,11 @@ def main(argv=None) -> int:
             "--precision", default=None, choices=("int8", "int4"),
             help="semantic index precision: int4 packs 2x rows per chip "
             "at coarser distances (catalog keeps full u8 hashes). "
-            "Persisted in the library; later commands inherit it.",
+            "Measured retrieval fidelity vs the u8 index on structured "
+            "embeddings: recall@10 ~0.5, recall@100 ~0.85 (bench.py "
+            "int4_scan recall_at_10_vs_u8) - a capacity/quality trade, "
+            "not a free win. Persisted in the library; later commands "
+            "inherit it.",
         )
         return sp
 

@@ -27,6 +27,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
+#include <mutex>
+#include <unordered_map>
 #include <vector>
 
 #include <jpeglib.h>
@@ -353,41 +356,104 @@ static void px_build_weights(int n_in, int n_out, int filter, PxWeights* pw) {
   }
 }
 
+// Weight tables depend only on (n_in, n_out, filter) — ingest resizes the
+// same shapes millions of times, so cache them (small, thread-safe).
+static const PxWeights& px_cached_weights(int n_in, int n_out, int filter) {
+  struct Key {
+    int a, b, f;
+    bool operator==(const Key& o) const {
+      return a == o.a && b == o.b && f == o.f;
+    }
+  };
+  struct KeyHash {
+    size_t operator()(const Key& k) const {
+      return ((size_t)k.a * 1000003u) ^ ((size_t)k.b << 20) ^ (size_t)k.f;
+    }
+  };
+  static std::mutex mu;
+  static std::unordered_map<Key, std::unique_ptr<PxWeights>, KeyHash> cache;
+  std::lock_guard<std::mutex> lock(mu);
+  Key key{n_in, n_out, filter};
+  auto it = cache.find(key);
+  if (it == cache.end()) {
+    auto pw = std::make_unique<PxWeights>();
+    px_build_weights(n_in, n_out, filter, pw.get());
+    it = cache.emplace(key, std::move(pw)).first;
+    if (cache.size() > 256) {  // unbounded-growth guard (arbitrary shapes)
+      // Drop everything but the newly built entry; steady-state ingest
+      // uses a handful of shapes so this almost never fires.
+      auto kept = std::move(it->second);
+      cache.clear();
+      it = cache.emplace(key, std::move(kept)).first;
+    }
+  }
+  return *it->second;
+}
+
 // src: u8 [sh, sw, ch] → dst: u8 [dh, dw, ch].  filter 0=triangle 1=gaussian.
 void px_resize(const uint8_t* src, uint32_t sw, uint32_t sh, uint32_t ch,
                uint8_t* dst, uint32_t dw, uint32_t dh, int filter) {
-  PxWeights wv, wh;
-  px_build_weights((int)sh, (int)dh, filter, &wv);
-  px_build_weights((int)sw, (int)dw, filter, &wh);
+  const PxWeights& wv = px_cached_weights((int)sh, (int)dh, filter);
+  const PxWeights& wh = px_cached_weights((int)sw, (int)dw, filter);
   // Vertical pass first (matches ops/resample.resize_np order): f32 tmp.
   std::vector<float> tmp((size_t)dh * sw * ch);
   size_t sstride = (size_t)sw * ch;
   for (uint32_t oy = 0; oy < dh; oy++) {
-    float* trow = tmp.data() + (size_t)oy * sstride;
+    // __restrict__ is load-bearing: uint8_t is a char type, so without it
+    // the compiler must assume srow aliases trow and cannot vectorize the
+    // accumulation (measured 2.3 GMAC/s → ~10 GMAC/s with it).
+    float* __restrict__ trow = tmp.data() + (size_t)oy * sstride;
     std::fill(trow, trow + sstride, 0.0f);
     int s = wv.start[oy], c = wv.count[oy];
     const float* wrow = wv.w.data() + (size_t)oy * wv.max_count;
     for (int i = 0; i < c; i++) {
       float wgt = wrow[i];
-      const uint8_t* srow = src + (size_t)(s + i) * sstride;
+      const uint8_t* __restrict__ srow = src + (size_t)(s + i) * sstride;
       for (size_t x = 0; x < sstride; x++) trow[x] += wgt * srow[x];
     }
   }
-  // Horizontal pass + round-half-away clamp to u8.
+  // Horizontal pass to f32 (three independent accumulator chains per RGB
+  // pixel — the tap loop is too short and gather-strided for SIMD; a
+  // blocked-transpose formulation measured SLOWER at ingest shapes), then
+  // one vectorizable round-half-away clamp pass to u8.
+  std::vector<float> outf((size_t)dh * dw * ch);
   for (uint32_t oy = 0; oy < dh; oy++) {
     const float* trow = tmp.data() + (size_t)oy * sstride;
-    uint8_t* drow = dst + (size_t)oy * dw * ch;
+    float* __restrict__ orow = outf.data() + (size_t)oy * dw * ch;
+    if (ch == 3) {
+      for (uint32_t ox = 0; ox < dw; ox++) {
+        int s = wh.start[ox], c = wh.count[ox];
+        const float* wrow = wh.w.data() + (size_t)ox * wh.max_count;
+        const float* base = trow + (size_t)s * 3;
+        float a0 = 0.0f, a1 = 0.0f, a2 = 0.0f;
+        for (int i = 0; i < c; i++) {
+          float wgt = wrow[i];
+          a0 += wgt * base[3 * i];
+          a1 += wgt * base[3 * i + 1];
+          a2 += wgt * base[3 * i + 2];
+        }
+        orow[3 * ox] = a0;
+        orow[3 * ox + 1] = a1;
+        orow[3 * ox + 2] = a2;
+      }
+      continue;
+    }
     for (uint32_t ox = 0; ox < dw; ox++) {
       int s = wh.start[ox], c = wh.count[ox];
       const float* wrow = wh.w.data() + (size_t)ox * wh.max_count;
       for (uint32_t k = 0; k < ch; k++) {
         float acc = 0.0f;
         for (int i = 0; i < c; i++) acc += wrow[i] * trow[(size_t)(s + i) * ch + k];
-        float r = std::floor(acc + 0.5f);
-        drow[(size_t)ox * ch + k] =
-            (uint8_t)std::min(255.0f, std::max(0.0f, r));
+        orow[(size_t)ox * ch + k] = acc;
       }
     }
+  }
+  const float* __restrict__ ff = outf.data();
+  uint8_t* __restrict__ dd = dst;
+  size_t ntot = (size_t)dh * dw * ch;
+  for (size_t x = 0; x < ntot; x++) {
+    float r = std::floor(ff[x] + 0.5f);
+    dd[x] = (uint8_t)std::min(255.0f, std::max(0.0f, r));
   }
 }
 

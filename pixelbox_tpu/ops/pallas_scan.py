@@ -441,10 +441,11 @@ def _pallas_sample_theta(
     """Per-query j-th smallest sample distance — the θ estimate for the
     threshold wrappers — in two stages:
 
-    1. θ0 from a 1/16 mini-subsample via plain XLA, sized to hold ~2j
-       sample rows (the [Qp, S0] intermediates are tiny; 2j keeps the
-       stage-2 extraction rounds low while leaving P(θ0 < true θ_j)
-       negligible at production shapes);
+    1. θ0 from a 1/16 mini-subsample via plain XLA, sized to hold ~4j
+       sample rows with an absolute floor of 8 mini rows (the [Qp, S0]
+       intermediates are tiny; a smaller θ0 rank makes the fallback path
+       measurably lossy — at rank 3 the fallback θ0's population count
+       dips below k for ~1% of queries, measured proof rate 0.984);
     2. the θ0-filtered carry kernel over the FULL sample extracts the
        exact top-j of {sample dist < θ0} — its only HBM traffic is the
        sample itself.
@@ -471,7 +472,7 @@ def _pallas_sample_theta(
     mini = sample_data[::stride]
     mmeta = meta4[:, ::stride]
     s0 = mini.shape[0]
-    j0 = min(s0, max(1, -(-2 * j * s0 // s)))
+    j0 = min(s0, max(8, -(-4 * j * s0 // s)))
     dist0 = _xla_kind_dist(kind, q_p, mini, mmeta, md, dim, wrap_u8)
     t0, _ = topk_ops.block_topk(dist0, jnp.zeros(dist0.shape, jnp.int32), j0)
     theta0 = jnp.minimum(t0[:, j0 - 1 : j0], md)   # [Qp, 1]; INF → md
@@ -480,7 +481,7 @@ def _pallas_sample_theta(
     # Round bound scaled to the expected per-tile θ0-passing rows (≈4j
     # spread over s/tile_rows tiles — tiny at production shapes, but a
     # small index with few tiles concentrates them).
-    max_rounds = max(96, 2 * j * tile_rows // s + 64)
+    max_rounds = max(96, 4 * j * tile_rows // s + 64)
     k_lanes = max(128, -(-j // 128) * 128)
     qmeta = jnp.concatenate([theta0, qr_p], axis=1)
     # Gate at lane j-1 (not the padded carry tail): rows ≥ the running
