@@ -38,6 +38,12 @@ def _open_engine(args, create=False):
         kwargs["embedder"] = args.embedder
     if getattr(args, "dim", None):
         kwargs["dim"] = args.dim
+    if getattr(args, "model", None):
+        ek = kwargs.setdefault("embedder_kwargs", {})
+        if getattr(args, "embedder", None) in (None, "efficientnet"):
+            ek["checkpoint_path"] = args.model
+        else:
+            ek["model"] = args.model
     if getattr(args, "blip", False):
         kwargs["blip"] = True
     if getattr(args, "precision", None):
@@ -92,10 +98,17 @@ def main(argv=None) -> int:
         sp.add_argument("db", help="catalog database path")
         sp.add_argument(
             "--embedder", default="stub",
-            help="stub|efficientnet|nomic|none ('none' = tags-only mode: "
-            "index without semantic hashes, similarity search disabled)",
+            help="stub|efficientnet|onnx|nomic|none ('none' = tags-only "
+            "mode: index without semantic hashes, similarity search "
+            "disabled; 'onnx' runs an arbitrary user .onnx via --model)",
         )
         sp.add_argument("--dim", type=int, default=None, help="embedding width")
+        sp.add_argument(
+            "--model", default=None,
+            help="path to a user .onnx model (embedder=onnx, or an "
+            "image_similarity.onnx for embedder=efficientnet) - the "
+            "reference's user-moddable model drop-in (README.md:51-59)",
+        )
         sp.add_argument(
             "--blip", action="store_true",
             help="enable the BLIP text->image index (text: queries)",

@@ -12,8 +12,11 @@ not the default anywhere.
 Rather than the reference's unwieldy raw 197×768 token dump (151k bytes per
 image!), the latent is mean-pooled over tokens and tanh-bounded to a
 configurable width — the sane TPU-native variant of the same tower.
-Weights are random-init unless provided (the reference's .onnx is
-gitignored too).
+Weights are random-init unless provided — OR pass
+``checkpoint_path="nomic_embed_vision_v1_5_int8.onnx"`` to run the user's
+actual nomic export through the JAX ONNX interpreter
+(models/onnx_graph.py), exactly as the reference feeds the file to tract
+(nomic.rs:7-19): the weights carry over because the GRAPH carries over.
 """
 
 from __future__ import annotations
@@ -56,9 +59,38 @@ class NomicEmbedder(Embedder):
         params: Optional[dict] = None,
         seed: int = 0,
         dtype: Any = jnp.float32,
+        checkpoint_path: Optional[str] = None,
     ):
         self.dim = int(dim)
         self.input_size = int(input_size)
+        self._onnx = None
+        if checkpoint_path is not None:
+            # The user's actual nomic .onnx runs via the graph interpreter
+            # (tract-equivalent execution, nomic.rs:10-19); its token
+            # output pools + projects to the configured width through a
+            # deterministic fixed random projection (seeded) so the hash
+            # width contract holds without extra trained weights.
+            from pixelbox_tpu.models.onnx_embedder import OnnxEmbedder
+
+            try:
+                self._onnx = OnnxEmbedder(
+                    checkpoint_path, input_size=input_size,
+                    prefer_native=False,
+                )
+                out_dim = self._onnx.dim
+            except ValueError:
+                # No trailing Gemm to infer width from (ViT token output)
+                # — assume the nomic hidden size and project from it.
+                self._onnx = OnnxEmbedder(
+                    checkpoint_path, dim=768, input_size=input_size,
+                    prefer_native=False,
+                )
+                out_dim = 768
+            key = jax.random.PRNGKey(seed)
+            self._proj = jax.random.normal(
+                key, (out_dim, self.dim), jnp.float32
+            ) / jnp.sqrt(jnp.float32(out_dim))
+            return
         self.module = NomicVisionModule(latent_dim=self.dim, dtype=dtype)
         if params is None:
             dummy = jnp.zeros((1, self.input_size, self.input_size, 3), jnp.float32)
@@ -67,4 +99,9 @@ class NomicEmbedder(Embedder):
         self._fwd = jax.jit(lambda v, x: self.module.apply(v, x))
 
     def embed_preprocessed(self, batch: jnp.ndarray) -> jnp.ndarray:
+        if self._onnx is not None:
+            z = self._onnx.embed_preprocessed(batch)
+            if z.ndim > 2:  # token grid [B, T, H] → mean pool
+                z = jnp.mean(z, axis=tuple(range(1, z.ndim - 1)))
+            return jnp.tanh(z @ self._proj)
         return self._fwd(self.variables, batch)

@@ -32,7 +32,17 @@ import numpy as np
 # TensorProto.DataType values (onnx.proto3, public spec).
 _DT_FLOAT = 1
 _DT_INT64 = 7
-_NP_BY_DT = {_DT_FLOAT: np.float32, _DT_INT64: np.int64}
+_NP_BY_DT = {
+    _DT_FLOAT: np.float32,
+    2: np.uint8,
+    3: np.int8,
+    5: np.int16,
+    6: np.int32,
+    _DT_INT64: np.int64,
+    9: np.bool_,
+    10: np.float16,
+    11: np.float64,
+}
 
 # --------------------------------------------------------------------- #
 # Protobuf wire primitives
@@ -150,7 +160,7 @@ def _parse_tensor(data: bytes) -> Tuple[str, np.ndarray]:
     if np_dtype is None:
         raise ValueError(f"unsupported tensor dtype {dtype} for '{name}'")
     if raw is not None:
-        arr = np.frombuffer(raw, dtype=np_dtype.__name__.replace("float32", "<f4").replace("int64", "<i8"))
+        arr = np.frombuffer(raw, dtype=np.dtype(np_dtype).newbyteorder("<"))
     elif float_data:
         vals = []
         for wire, v in float_data:
@@ -166,11 +176,83 @@ def _parse_tensor(data: bytes) -> Tuple[str, np.ndarray]:
     return name, np.asarray(arr, dtype=np_dtype).reshape(dims)
 
 
+def _parse_attr(data: bytes) -> Tuple[str, object]:
+    """AttributeProto → (name, value): int / float / list[int] /
+    list[float] / str / ndarray (TENSOR)."""
+    name = ""
+    i_vals: List = []
+    f_vals: List = []
+    s_val = None
+    t_val = None
+    single_i = None
+    single_f = None
+    for field, wire, v in _iter_fields(data):
+        if field == 1:
+            name = v.decode()
+        elif field == 3 and wire == 0:        # i
+            single_i = v
+        elif field == 2 and wire == 5:        # f
+            single_f = struct.unpack("<f", v)[0]
+        elif field == 4 and wire == 2:        # s
+            s_val = v.decode("utf-8", "replace")
+        elif field == 5 and wire == 2:        # t: TensorProto
+            _, t_val = _parse_tensor(v)
+        elif field == 8:                      # ints (packed or repeated)
+            i_vals.append((wire, v))
+        elif field == 7:                      # floats
+            if wire == 5:
+                f_vals.append(struct.unpack("<f", v)[0])
+            elif wire == 2:
+                f_vals.extend(np.frombuffer(v, dtype="<f4").tolist())
+    if t_val is not None:
+        return name, t_val
+    if i_vals:
+        return name, _packed_or_repeated_ints(i_vals)
+    if f_vals:
+        return name, f_vals
+    if s_val is not None:
+        return name, s_val
+    if single_i is not None:
+        return name, single_i
+    if single_f is not None:
+        return name, single_f
+    return name, None
+
+
+def _parse_node(data: bytes) -> dict:
+    """NodeProto → {"op": str, "inputs": [...], "outputs": [...],
+    "attrs": {name: value}}."""
+    op = ""
+    inputs: List[str] = []
+    outputs: List[str] = []
+    attrs: Dict[str, object] = {}
+    for field, wire, v in _iter_fields(data):
+        if field == 1 and wire == 2:
+            inputs.append(v.decode())
+        elif field == 2 and wire == 2:
+            outputs.append(v.decode())
+        elif field == 4 and wire == 2:
+            op = v.decode()
+        elif field == 5 and wire == 2:
+            n, val = _parse_attr(v)
+            attrs[n] = val
+    return {"op": op, "inputs": inputs, "outputs": outputs, "attrs": attrs}
+
+
+def _parse_value_info_name(data: bytes) -> str:
+    for field, wire, v in _iter_fields(data):
+        if field == 1 and wire == 2:
+            return v.decode()
+    return ""
+
+
 def read_onnx(path: str) -> dict:
     """Parse the fields we need from a .onnx file.
 
-    Returns {"initializers": {name: ndarray}, "op_types": [str],
-    "opset": int, "producer": str}.
+    Returns {"initializers": {name: ndarray}, "nodes": [node dicts],
+    "inputs": [names], "outputs": [names], "op_types": [str],
+    "opset": int, "producer": str}.  ``nodes`` preserve file order
+    (ONNX graphs are topologically sorted by spec).
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -189,18 +271,25 @@ def read_onnx(path: str) -> dict:
     if graph is None:
         raise ValueError(f"{path}: no graph in ONNX model")
     initializers: Dict[str, np.ndarray] = {}
-    op_types: List[str] = []
+    nodes: List[dict] = []
+    g_inputs: List[str] = []
+    g_outputs: List[str] = []
     for field, wire, v in _iter_fields(graph):  # GraphProto
         if field == 5:  # initializer
             name, arr = _parse_tensor(v)
             initializers[name] = arr
         elif field == 1:  # node
-            for f2, w2, v2 in _iter_fields(v):
-                if f2 == 4 and w2 == 2:
-                    op_types.append(v2.decode())
+            nodes.append(_parse_node(v))
+        elif field == 11:  # graph input (ValueInfoProto)
+            g_inputs.append(_parse_value_info_name(v))
+        elif field == 12:  # graph output
+            g_outputs.append(_parse_value_info_name(v))
     return {
         "initializers": initializers,
-        "op_types": op_types,
+        "nodes": nodes,
+        "inputs": [n for n in g_inputs if n not in initializers],
+        "outputs": g_outputs,
+        "op_types": [n["op"] for n in nodes],
         "opset": opset,
         "producer": producer,
     }

@@ -25,6 +25,10 @@ def get_embedder(name: str, **kwargs):
             import pixelbox_tpu.models.efficientnet  # noqa: F401
         elif name == "blip":
             import pixelbox_tpu.models.blip  # noqa: F401
+        elif name == "onnx":
+            import pixelbox_tpu.models.onnx_embedder  # noqa: F401
+        elif name == "nomic":
+            import pixelbox_tpu.models.nomic  # noqa: F401
     if name not in _REGISTRY:
         raise KeyError(
             f"Unknown embedder {name!r}; known: {sorted(_REGISTRY)}"
