@@ -749,6 +749,123 @@ def bench_ingest_scaling(n_images=120, workers=(1, 2, 4, 8), rng=None):
     return out
 
 
+def bench_serve_e2e(n_images=300, clients=8, reqs_per_client=6, rng=None):
+    """End-to-end serving: HTTP upload → decode → embed → batched scan →
+    catalog assembly → JSON, with CONCURRENT clients through the
+    BatchingScanService.  This is the user-visible query metric (the
+    device-scan qps elsewhere excludes result assembly and HTTP)."""
+    import http.client
+    import io
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    from PIL import Image
+
+    from pixelbox_tpu.engine import Engine
+    from pixelbox_tpu.serve import make_handler
+    from pixelbox_tpu.serving import BatchingScanService
+
+    rng = rng or np.random.default_rng(11)
+    tmp = tempfile.mkdtemp(prefix="pxserve_")
+    server = None
+    svc = None
+    try:
+        photo_dir = f"{tmp}/photos"
+        os.makedirs(photo_dir)
+        base = rng.integers(0, 255, size=(24, 32, 3)).astype(np.uint8)
+        img = np.asarray(Image.fromarray(base).resize((640, 480), Image.BILINEAR))
+        for i in range(n_images):
+            jig = np.clip(img.astype(np.int16) + int(i % 13) - 6, 0, 255).astype(
+                np.uint8
+            )
+            Image.fromarray(jig).save(f"{photo_dir}/img{i:04d}.jpg", quality=85)
+        eng = Engine.new(
+            f"{tmp}/serve.db", embedder="stub", embedder_kwargs={"dim": 128}
+        )
+        eng.add_tracked_folder(photo_dir)
+        eng.start_indexing(num_workers=2)
+        eng.wait_for_indexing()
+
+        from http.server import ThreadingHTTPServer
+
+        lock = threading.Lock()
+        svc = BatchingScanService(
+            lambda: eng._sem_store.device_index,
+            k=eng.max_search_results,
+            max_distance=eng.max_distance_from_query,
+        )
+        eng.attach_scan_service(svc)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(eng, lock, svc)
+        )
+        port = server.server_address[1]
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=85)
+        jpeg = buf.getvalue()
+
+        # Warm the scan compile with one request.
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", "/api/similar", body=jpeg)
+        c.getresponse().read()
+        c.close()
+
+        lat = []
+        lat_lock = threading.Lock()
+
+        def client():
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            for _ in range(reqs_per_client):
+                t0 = time.perf_counter()
+                conn.request("POST", "/api/similar", body=jpeg)
+                r = conn.getresponse()
+                body = r.read()
+                assert r.status == 200, body[:200]
+                with lat_lock:
+                    lat.append(time.perf_counter() - t0)
+            conn.close()
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client) for _ in range(clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        total = clients * reqs_per_client
+
+        # Text-search path (filename query through the catalog).
+        t1 = time.perf_counter()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        for _ in range(10):
+            conn.request("GET", "/api/search?q=img")
+            conn.getresponse().read()
+        search_ms = (time.perf_counter() - t1) / 10 * 1e3
+        conn.close()
+
+        return {
+            "serve_e2e_qps": total / wall,
+            "e2e_latency_ms_median": float(np.median(lat) * 1e3),
+            "e2e_latency_ms_p90": float(np.quantile(lat, 0.9) * 1e3),
+            "clients": clients,
+            "requests": total,
+            "scan_batches": svc.batches_run,
+            "scan_queries": svc.queries_served,
+            "indexed_images": eng.get_num_indexed_images(),
+            "text_search_ms": search_ms,
+        }
+    finally:
+        if server is not None:
+            server.shutdown()
+        if svc is not None:
+            svc.close()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_blip_text(n=1_000_000, iters=8, q=32, rng=None):
     """Config 5: BLIP text→image search (text embed + 1M×256 scan)."""
     import jax.numpy as jnp
@@ -838,6 +955,7 @@ def main():
             ("efficientnet_embedding", bench_embedding),
             ("ingest_pipeline", bench_ingest),
             ("ingest_scaling", bench_ingest_scaling),
+            ("serve_e2e", bench_serve_e2e),
             ("e2e_dragdrop_1M", bench_e2e_dragdrop),
             ("blip_text_search", bench_blip_text),
         ]

@@ -1342,6 +1342,64 @@ class Engine:
         )
         return np.asarray(dist), np.asarray(idx)
 
+    # ------------------------------------------------------------------ #
+    # Batched modality scans for the serving layer (BatchingScanService
+    # coalesces concurrent phash and text: queries through these; rows
+    # map back to image ids with the *_ids_for_rows helpers on the
+    # request thread).
+
+    def phash_scan_batched(self, queries: np.ndarray, k: int, max_distance: float):
+        """Batched uniform-width Hamming scan: u8 [B, H] → (dist [B,k],
+        device rows [B,k]).  Raises on a mixed-width (compat) store —
+        those queries take the grouped zip-truncate path per query."""
+        from pixelbox_tpu.ops.hamming_gemm import hamming_gemm_scan_topk_auto
+
+        q = np.asarray(queries, dtype=np.uint8)
+        dim = self._ph_store.dim
+        widths = np.asarray(self._ph_widths, dtype=np.int64)
+        if q.shape[1] < dim or not bool(np.all(widths == dim)):
+            raise ValueError("mixed-width phash store: no batched path")
+        self._ensure_ph_gemm()
+        dist, idx = hamming_gemm_scan_topk_auto(
+            jnp.asarray(q[:, :dim]), self._ph_gemm, k=k,
+            max_distance=max_distance,
+            sample=self._ph_gemm_sample, meta=self._ph_gemm_meta,
+        )
+        return np.asarray(dist), np.asarray(idx)
+
+    def phash_ids_for_rows(self, rows) -> list:
+        return [self._ph_image_ids[int(r)] for r in rows]
+
+    def blip_scan_batched(self, hashes: np.ndarray, k: int, max_distance: float):
+        """Batched text→image scan over the BLIP store: quantized text
+        hashes u8 [B, D] → (dist [B,k], device rows [B,k])."""
+        dist, idx = cosine_scan_topk_auto(
+            jnp.asarray(np.asarray(hashes, np.uint8)),
+            self._blip_store.device_index, k=k, max_distance=np.inf,
+            sample=self._get_blip_scan_sample(),
+            row_meta=self._get_blip_pallas_meta(),
+        )
+        return np.asarray(dist), np.asarray(idx)
+
+    def blip_ids_for_rows(self, rows) -> list:
+        return [self._blip_image_ids[int(r)] for r in rows]
+
+    def attach_scan_service(self, service) -> None:
+        """Register this engine's batched phash / text modalities on a
+        BatchingScanService (serve.py calls this; concurrent phash and
+        unfiltered ``text:`` queries then coalesce into device batches
+        alongside semantic ones)."""
+        if self._ph_store is not None:
+            service.register_kind(
+                "phash",
+                lambda q, k, md: self.phash_scan_batched(q, k, md),
+            )
+        if self._blip_enabled:
+            service.register_kind(
+                "blip",
+                lambda q, k, md: self.blip_scan_batched(q, k, md),
+            )
+
     def _phash_mixed_scan(
         self, ph: np.ndarray, wq: int, widths: np.ndarray, k: int,
         max_distance: float,

@@ -277,6 +277,66 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
             engine.query_by_image_hash_from_image(rec)
             return engine.get_query_results() or []
 
+    def _phash_similar(ph):
+        """Hamming search for an uploaded image's phash.  With a scan
+        service + uniform-width store, concurrent requests coalesce into
+        one device batch (kind="phash"); mixed-width (compat) stores take
+        the engine's grouped zip-truncate path under the lock."""
+        import numpy as np
+
+        if (
+            scan_service is not None
+            and "phash" in getattr(scan_service, "kinds", ())
+            and engine._ph_store is not None
+            and engine._ph_store.size > 0
+        ):
+            try:
+                scan_service.k = int(engine.max_search_results)
+                scan_service.max_distance = float(
+                    engine.max_distance_from_query
+                )
+                dist, rows = scan_service.submit(np.asarray(ph), kind="phash")
+                keep = rows >= 0
+                ids = engine.phash_ids_for_rows(rows[keep])
+                results = engine._results_from_image_ids(ids, dist[keep])
+                with lock:
+                    engine._cached_search_results = results
+                return results
+            except ValueError:
+                pass  # mixed-width store — grouped path below
+        with lock:
+            engine.query_by_phash(ph)
+            return engine.get_query_results() or []
+
+    def _text_fastpath(q):
+        """Unfiltered ``text:`` queries coalesce through the scan
+        service (kind="blip"): embed the text on the request thread,
+        batch the device scan, assemble results.  Filtered/compound
+        queries return None and take the normal engine path."""
+        qt = q.strip()
+        if not qt.lower().startswith("text:"):
+            return None
+        text = qt[5:].strip().strip('"')
+        if not text or ":" in text or " AND " in text:
+            return None
+        if (
+            scan_service is None
+            or "blip" not in getattr(scan_service, "kinds", ())
+            or getattr(engine, "blip_searcher", None) is None
+        ):
+            return None
+        import numpy as np
+
+        try:
+            h = engine.blip_searcher.text_hashes([text])[0]
+            scan_service.k = int(engine.max_search_results)
+            dist, rows = scan_service.submit(np.asarray(h), kind="blip")
+            keep = rows >= 0
+            ids = engine.blip_ids_for_rows(rows[keep])
+            return engine._results_from_image_ids(ids, dist[keep])
+        except Exception:
+            return None  # empty/missing blip store etc. — normal path
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -302,6 +362,14 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     q = qs.get("q", [""])[0]
                     offset = int(qs.get("offset", ["0"])[0])
                     limit = int(qs.get("limit", ["0"])[0])
+                    results = _text_fastpath(q)
+                    if results is not None:
+                        with lock:
+                            engine._cached_search_results = results
+                        return self._send(
+                            200,
+                            _results_json(engine, offset, limit),
+                        )
                     with lock:
                         engine.query(q)
                         return self._send(200, _results_json(engine, offset, limit))
@@ -477,6 +545,13 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     return self._send(
                         200, _serialize_results(_similar_by_record(rec))
                     )
+                if parsed.path == "/api/phash-similar":
+                    rec = engine.load_image_from_memory(body, "upload", "")
+                    if rec is None:
+                        return self._send(400, {"error": "cannot decode image"})
+                    return self._send(
+                        200, _serialize_results(_phash_similar(rec.phash))
+                    )
                 data = json.loads(body) if body else {}
                 if parsed.path == "/api/folders/add":
                     engine.add_tracked_folder(data["folder"])
@@ -569,6 +644,8 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8333,
             k=engine.max_search_results,
             max_distance=engine.max_distance_from_query,
         )
+        # Concurrent phash and unfiltered text: queries coalesce too.
+        engine.attach_scan_service(scan_service)
     server = ThreadingHTTPServer(
         (host, port), make_handler(engine, lock, scan_service)
     )

@@ -4,9 +4,10 @@ The scan is far more efficient batched (one 256-query pass costs barely
 more than one 1-query pass — see PERF.md), but interactive clients arrive
 one query at a time.  This service coalesces concurrent requests into
 device batches: callers block on :meth:`submit`; a collector thread drains
-the queue up to ``max_batch`` (or ``max_wait_ms``), pads to a bucketed
-batch shape (bounded compile cache), runs ONE scan, and distributes
-per-query results.
+the queue up to ``max_batch`` (or ``max_wait_ms``), groups requests by
+MODALITY (semantic / phash / blip-text — each has its own index and
+distance kind), pads each group to a bucketed batch shape (bounded compile
+cache), runs ONE scan per group, and distributes per-query results.
 
 The reference has no serving story at all (single-user desktop app); this
 is the piece that makes the engine deployable behind a fleet of frontends.
@@ -17,7 +18,7 @@ from __future__ import annotations
 import queue
 import threading
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +40,7 @@ def _bucket(n: int) -> int:
 @dataclass
 class _Request:
     query: np.ndarray
+    kind: str = "semantic"
     event: threading.Event = field(default_factory=threading.Event)
     dist: Optional[np.ndarray] = None
     idx: Optional[np.ndarray] = None
@@ -46,7 +48,15 @@ class _Request:
 
 
 class BatchingScanService:
-    """Coalesces concurrent similarity queries into single device scans."""
+    """Coalesces concurrent similarity queries into single device scans.
+
+    ``kind="semantic"`` scans run through the built-in index logic
+    (``index_provider`` + mode).  Additional modalities register batched
+    scan callables via ``scan_fns`` / :meth:`register_kind` — e.g. the
+    engine's batched phash and BLIP text scans — and their requests
+    coalesce exactly the same way (grouped per kind within a drained
+    batch, so a mixed burst costs one device pass per modality).
+    """
 
     def __init__(
         self,
@@ -56,9 +66,12 @@ class BatchingScanService:
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
         mode: str = "auto",
+        scan_fns: Optional[Dict[str, Callable]] = None,
     ):
         """``index_provider``: zero-arg callable returning the current
-        PackedSemanticIndex (so appends are picked up between batches)."""
+        PackedSemanticIndex (so appends are picked up between batches).
+        ``scan_fns``: {kind: fn(queries_u8_2d, k, max_distance) ->
+        (dist [B,k], idx [B,k])} for non-semantic modalities."""
         self._provider = (
             index_provider if callable(index_provider) else (lambda: index_provider)
         )
@@ -67,6 +80,7 @@ class BatchingScanService:
         self.max_batch = min(max_batch, _BUCKETS[-1])
         self.max_wait_s = max_wait_ms / 1e3
         self.mode = mode
+        self._scan_fns: Dict[str, Callable] = dict(scan_fns or {})
         self._q: "queue.Queue[_Request]" = queue.Queue()
         # Derived scan inputs (θ sample, pallas row meta), cached per
         # index buffer identity — rebuilding them per batch would put a
@@ -84,11 +98,25 @@ class BatchingScanService:
 
     # ------------------------------------------------------------------ #
 
+    def register_kind(self, kind: str, fn: Callable) -> None:
+        """Register a batched scan callable for a modality:
+        ``fn(queries_u8 [B, D], k, max_distance) -> (dist, idx)``."""
+        self._scan_fns[kind] = fn
+
+    @property
+    def kinds(self) -> Tuple[str, ...]:
+        return ("semantic",) + tuple(sorted(self._scan_fns))
+
     def submit(
-        self, query_u8: np.ndarray, timeout: Optional[float] = 60.0
+        self,
+        query_u8: np.ndarray,
+        timeout: Optional[float] = 60.0,
+        kind: str = "semantic",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Blocking query: u8 [D] → (dist [k], idx [k])."""
-        req = _Request(query=np.asarray(query_u8, dtype=np.uint8))
+        if kind != "semantic" and kind not in self._scan_fns:
+            raise KeyError(f"no scan fn registered for kind {kind!r}")
+        req = _Request(query=np.asarray(query_u8, dtype=np.uint8), kind=kind)
         self._q.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("scan service timed out")
@@ -121,7 +149,14 @@ class BatchingScanService:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run_batch(batch)
+            # One device pass per (kind, query width) group; widths can
+            # differ for compat phashes and must not be zero-padded into
+            # one another.
+            groups: Dict[Tuple[str, int], List[_Request]] = {}
+            for r in batch:
+                groups.setdefault((r.kind, r.query.shape[0]), []).append(r)
+            for (kind, _w), grp in groups.items():
+                self._run_group(kind, grp)
 
     def _scan_aux(self, index):
         key = id(index.data)
@@ -144,7 +179,7 @@ class BatchingScanService:
             self._scan_aux_key = key
         return self._scan_sample, self._scan_meta
 
-    def _run_batch(self, batch: List[_Request]) -> None:
+    def _run_group(self, kind: str, batch: List[_Request]) -> None:
         try:
             m = len(batch)
             d = batch[0].query.shape[0]
@@ -152,39 +187,12 @@ class BatchingScanService:
             queries = np.zeros((b, d), dtype=np.uint8)
             for i, r in enumerate(batch):
                 queries[i] = r.query
-            index = self._provider()
-            from pixelbox_tpu.ops.int4 import PackedSemantic4Index
-
-            int4 = isinstance(index, PackedSemantic4Index)
-            with timed("serving.batched_scan"):
-                if int4 and self.mode != "auto":
-                    # Honor an explicitly requested execution strategy.
-                    from pixelbox_tpu.ops.int4 import cosine4_scan_topk
-
-                    dist, idx = cosine4_scan_topk(
-                        jnp.asarray(queries), index, k=self.k,
-                        max_distance=self.max_distance,
-                    )
-                elif int4:
-                    from pixelbox_tpu.ops.int4 import cosine4_scan_topk_auto
-
-                    sample, meta = self._scan_aux(index)
-                    dist, idx = cosine4_scan_topk_auto(
-                        queries, index, k=self.k,
-                        max_distance=self.max_distance, sample=sample,
-                        meta=meta,
-                    )
-                elif self.mode == "auto":
-                    sample, meta = self._scan_aux(index)
-                    dist, idx = cosine_scan_topk_auto(
-                        queries, index, k=self.k,
-                        max_distance=self.max_distance,
-                        sample=sample, row_meta=meta,
-                    )
+            with timed(f"serving.batched_scan.{kind}"):
+                if kind == "semantic":
+                    dist, idx = self._semantic_scan(queries)
                 else:
-                    dist, idx = cosine_scan_topk(
-                        jnp.asarray(queries), index, k=self.k,
-                        max_distance=self.max_distance, mode=self.mode,
+                    dist, idx = self._scan_fns[kind](
+                        queries, self.k, self.max_distance
                     )
             dist = np.asarray(dist)
             idx = np.asarray(idx)
@@ -198,3 +206,35 @@ class BatchingScanService:
             for r in batch:
                 r.error = e
                 r.event.set()
+
+    def _semantic_scan(self, queries: np.ndarray):
+        index = self._provider()
+        from pixelbox_tpu.ops.int4 import PackedSemantic4Index
+
+        int4 = isinstance(index, PackedSemantic4Index)
+        if int4 and self.mode != "auto":
+            # Honor an explicitly requested execution strategy.
+            from pixelbox_tpu.ops.int4 import cosine4_scan_topk
+
+            return cosine4_scan_topk(
+                jnp.asarray(queries), index, k=self.k,
+                max_distance=self.max_distance,
+            )
+        if int4:
+            from pixelbox_tpu.ops.int4 import cosine4_scan_topk_auto
+
+            sample, meta = self._scan_aux(index)
+            return cosine4_scan_topk_auto(
+                queries, index, k=self.k,
+                max_distance=self.max_distance, sample=sample, meta=meta,
+            )
+        if self.mode == "auto":
+            sample, meta = self._scan_aux(index)
+            return cosine_scan_topk_auto(
+                queries, index, k=self.k, max_distance=self.max_distance,
+                sample=sample, row_meta=meta,
+            )
+        return cosine_scan_topk(
+            jnp.asarray(queries), index, k=self.k,
+            max_distance=self.max_distance, mode=self.mode,
+        )
