@@ -333,6 +333,8 @@ class Engine:
         stop = threading.Event()
         self._watch_stop = stop
         self.watch_passes = 0  # observability (tests/status surface)
+        self.watch_removals = 0  # files deleted on disk → tombstoned here
+        self._watch_pending_compact = 0
         # Paths that survived an indexing pass without landing in the
         # catalog (undecodable files): remembered so they don't re-trigger
         # a pass every interval forever.  Cleared per watch() call — a
@@ -343,31 +345,96 @@ class Engine:
             conn = self.catalog._connect()
             return {r[0] for r in conn.execute("SELECT path FROM images")}
 
-        def _new_paths() -> list:
+        def _scan_pass():
+            """One crawl: (new paths to index, present-path set)."""
             from pixelbox_tpu.ingest.crawler import crawl
             from pixelbox_tpu.ingest.decode import stringify_filepath
 
             known = _known_paths()
-            out = []
+            news = []
+            present = set()
             for p in crawl(self.get_tracked_folders()):
                 sp = stringify_filepath(p)
+                present.add(sp)
                 if sp not in known and sp not in failed:
-                    out.append(sp)
+                    news.append(sp)
                 if stop.is_set():
-                    return []
-            return out
+                    return [], set()
+            return news, present
+
+        def _verify_gone(path: str) -> bool:
+            """Double-check a crawl-missing path is REALLY gone before
+            tombstoning — a transient glob/IO error during the crawl must
+            not mass-delete a library."""
+            import os
+
+            from pixelbox_tpu.ingest.decode import split_zip_path
+
+            zp = split_zip_path(path)
+            if zp is None:
+                return not os.path.exists(path)
+            zpath, member = zp
+            if not os.path.exists(zpath):
+                return True
+            try:
+                import zipfile
+
+                with zipfile.ZipFile(zpath) as zf:
+                    return member not in zf.namelist()
+            except Exception:
+                return False  # unreadable archive ≠ deleted members
+
+        def _sync_deletions(present: set) -> None:
+            """Tombstone rows whose files vanished from watched folders —
+            the other half of the reference's 'Watched directories'
+            roadmap item (README.md:36): a watcher that only ADDS leaves
+            the index lying about deleted files forever.  Rows outside
+            every tracked folder are untouched (that's
+            remove-folder --purge's job)."""
+            import os
+
+            roots = tuple(
+                os.path.realpath(f) + os.sep
+                for f in self.get_tracked_folders()
+            )
+            if not roots:
+                return
+            conn = self.catalog._connect()
+            rows = conn.execute("SELECT id, path FROM images").fetchall()
+            removed = 0
+            for image_id, path in rows:
+                if stop.is_set():
+                    break
+                if not path.startswith(roots):
+                    continue
+                if path in present or not _verify_gone(path):
+                    continue
+                if self.remove_image(int(image_id)):
+                    removed += 1
+            if removed:
+                self.watch_removals += removed
+                self._watch_pending_compact += removed
+                failed.clear()  # a delete/re-add cycle must retry cleanly
+                # Reclaim device rows once tombstones pile up.
+                if self._watch_pending_compact >= max(
+                    16, self.get_num_indexed_images() // 100
+                ):
+                    self.compact()
+                    self._watch_pending_compact = 0
 
         def _loop() -> None:
             while not stop.wait(interval_s):
                 try:
                     if self.is_indexing_active():
                         continue
-                    news = _new_paths()
+                    news, present = _scan_pass()
                     if news:
                         self.start_indexing(num_workers=num_workers)
                         self.wait_for_indexing()
                         still_missing = set(news) - _known_paths()
                         failed.update(still_missing)
+                    if present or self.get_tracked_folders():
+                        _sync_deletions(present)
                     self.watch_passes += 1
                 except Exception as e:  # noqa: BLE001 — keep watching
                     print(f"watch: {type(e).__name__}: {e}", file=sys.stderr)

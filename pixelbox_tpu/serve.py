@@ -523,6 +523,9 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "max_distance": engine.max_distance_from_query,
                         "semantic_precision": engine.semantic_precision,
                         "watching": engine.is_watching(),
+                        "watch_removals": getattr(
+                            engine, "watch_removals", 0
+                        ),
                         **ui_settings,
                     }
                     if scan_service is not None:

@@ -330,3 +330,71 @@ def test_zip_member_decode_roundtrip(zip_dir):
     )
     # Nonexistent member: decode fails cleanly.
     assert decode_image_file(str(zip_dir / "bundle.zip") + "!/nope.png") is None
+
+
+def test_watch_removes_deleted_files(photo_dir, tmp_path):
+    """Deletion sync: files removed from a watched folder leave the index
+    (the other half of the watched-directories roadmap semantics), and a
+    delete-then-re-add cycle converges both ways."""
+    eng = Engine.new(
+        str(tmp_path / "wr.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.add_tracked_folder(str(photo_dir))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    assert eng.get_num_indexed_images() == 2
+
+    eng.watch(interval_s=0.2, num_workers=2)
+    # Delete one file; the watcher must tombstone it.
+    (photo_dir / "img1.png").unlink()
+    deadline = time.time() + 60
+    while (
+        eng.get_num_indexed_images() != 1 or eng.watch_removals != 1
+    ) and time.time() < deadline:
+        time.sleep(0.1)
+    assert eng.get_num_indexed_images() == 1
+    assert eng.watch_removals == 1
+    eng.query("img1")
+    assert not eng.get_query_results()
+
+    # Re-add a file at the SAME path: it must index again.
+    Image.fromarray(textured_image(seed=9, size=(64, 64))).save(
+        photo_dir / "img1.png"
+    )
+    deadline = time.time() + 60
+    while eng.get_num_indexed_images() != 2 and time.time() < deadline:
+        time.sleep(0.1)
+    assert eng.get_num_indexed_images() == 2
+    eng.stop_watching()
+    eng.close()
+
+
+def test_watch_removal_spares_untracked_rows(photo_dir, tmp_path):
+    """Rows outside every tracked folder (their folder was un-tracked
+    without --purge) must survive deletion sync."""
+    other = tmp_path / "other"
+    other.mkdir()
+    Image.fromarray(textured_image(seed=7, size=(64, 64))).save(
+        other / "keepme.png"
+    )
+    eng = Engine.new(
+        str(tmp_path / "ws.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.add_tracked_folder(str(photo_dir))
+    eng.add_tracked_folder(str(other))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    assert eng.get_num_indexed_images() == 3
+
+    # Stop tracking `other`, delete its file on disk, then watch: the
+    # catalog row must remain (not under any tracked folder anymore).
+    eng.remove_tracked_folder(str(other))
+    (other / "keepme.png").unlink()
+    eng.watch(interval_s=0.2, num_workers=2)
+    deadline = time.time() + 15
+    while eng.watch_passes < 2 and time.time() < deadline:
+        time.sleep(0.1)
+    assert eng.get_num_indexed_images() == 3
+    assert eng.watch_removals == 0
+    eng.stop_watching()
+    eng.close()
