@@ -1389,11 +1389,8 @@ class Engine:
             )
         return np.asarray(dist), np.asarray(idx)
 
-    def _phash_sharded_scan(self, q: np.ndarray, k: int, max_distance: float):
-        from pixelbox_tpu.parallel.sharded_scan import (
-            shard_hamming_index,
-            sharded_hamming_scan_topk,
-        )
+    def _ensure_ph_sharded(self):
+        from pixelbox_tpu.parallel.sharded_scan import shard_hamming_index
 
         if (
             self._ph_sharded is None
@@ -1403,8 +1400,13 @@ class Engine:
                 self._ph_store.device_index, self.scan_mesh
             )
             self._ph_sharded_at_ver = self._ph_store.version
+        return self._ph_sharded
+
+    def _phash_sharded_scan(self, q: np.ndarray, k: int, max_distance: float):
+        from pixelbox_tpu.parallel.sharded_scan import sharded_hamming_scan_topk
+
         dist, idx = sharded_hamming_scan_topk(
-            jnp.asarray(q), self._ph_sharded, self.scan_mesh, k=k,
+            jnp.asarray(q), self._ensure_ph_sharded(), self.scan_mesh, k=k,
             max_distance=max_distance,
         )
         return np.asarray(dist), np.asarray(idx)
@@ -1473,6 +1475,9 @@ class Engine:
     ):
         """Zip-truncate Hamming scan over mixed-width rows: one masked
         device scan per distinct min(wq, row_width), merged by (dist, id).
+        Under ``serve_on_mesh`` each group's scan runs row-sharded over
+        the mesh (the group mask shards with the rows) — the compat
+        default no longer drops to single-chip.
         """
         from pixelbox_tpu.ops.scan import hamming_scan_topk
 
@@ -1481,6 +1486,13 @@ class Engine:
         q = np.zeros(self._ph_store.dim, dtype=np.uint8)
         q[: min(wq, len(q))] = ph[: len(q)]
         limits = np.minimum(widths, wq)
+        on_mesh = self.scan_mesh is not None
+        if on_mesh:
+            from pixelbox_tpu.parallel.sharded_scan import (
+                sharded_hamming_scan_topk,
+            )
+
+            sharded = self._ensure_ph_sharded()
         cand = []
         for m in np.unique(limits):
             m = int(m)
@@ -1489,13 +1501,20 @@ class Engine:
             group = np.zeros(cap, dtype=bool)
             rows = np.nonzero(limits == m)[0]
             group[rows] = True
-            masked = index._replace(
-                valid=jnp.logical_and(index.valid, jnp.asarray(group))
-            )
-            d, i = hamming_scan_topk(
-                jnp.asarray(q), masked, k=k, max_distance=max_distance,
-                byte_limit=m,
-            )
+            if on_mesh:
+                d, i = sharded_hamming_scan_topk(
+                    jnp.asarray(q), sharded, self.scan_mesh, k=k,
+                    max_distance=max_distance, byte_limit=m,
+                    valid_mask=group,
+                )
+            else:
+                masked = index._replace(
+                    valid=jnp.logical_and(index.valid, jnp.asarray(group))
+                )
+                d, i = hamming_scan_topk(
+                    jnp.asarray(q), masked, k=k, max_distance=max_distance,
+                    byte_limit=m,
+                )
             d, i = np.asarray(d), np.asarray(i)
             keep = i >= 0
             cand.append((d[keep], i[keep]))

@@ -439,7 +439,15 @@ def sharded_hamming_scan_topk(
     block_rows: Optional[int] = None,
     axis: str = "data",
     wrap_u8: bool = False,
+    byte_limit: Optional[int] = None,
+    valid_mask: Optional[jnp.ndarray] = None,
 ):
+    """Distributed Hamming scan.  ``byte_limit`` + ``valid_mask`` carry
+    the zip-truncate group semantics (engine.rs:594-604) onto the mesh:
+    the engine scans each min(query_width, row_width) group with that
+    byte limit over the group's row mask — the mask shards with the rows
+    and folds into each shard's validity, so mixed-width compat phash
+    libraries serve from the mesh exactly like uniform ones."""
     squeeze = query_u8.ndim == 1
     if squeeze:
         query_u8 = query_u8[None, :]
@@ -450,18 +458,26 @@ def sharded_hamming_scan_topk(
     md = jnp.float32(max_distance)
 
     index_specs = PackedHammingIndex(P(axis, None), P(axis))
+    mask_spec = (P(axis),) if valid_mask is not None else ()
+    mask_args = (
+        (jnp.asarray(valid_mask, dtype=bool),) if valid_mask is not None else ()
+    )
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), index_specs),
+        in_specs=(P(), index_specs) + mask_spec,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def scan_shard(q, local_index):
+    def scan_shard(q, local_index, *local_mask):
+        if local_mask:
+            local_index = local_index._replace(
+                valid=jnp.logical_and(local_index.valid, local_mask[0])
+            )
         local_d, local_i = hamming_scan_topk(
             q, local_index, k=k, max_distance=md, block_rows=block_rows,
-            wrap_u8=wrap_u8,
+            wrap_u8=wrap_u8, byte_limit=byte_limit,
         )
         offset = lax.axis_index(axis).astype(jnp.int32) * jnp.int32(local_rows)
         global_i = jnp.where(local_i >= 0, local_i + offset, -1)
@@ -469,7 +485,7 @@ def sharded_hamming_scan_topk(
         g_i = lax.all_gather(global_i, axis)
         return _merge_gathered(g_d, g_i, k)
 
-    best_d, best_i = scan_shard(query_u8, index)
+    best_d, best_i = scan_shard(query_u8, index, *mask_args)
     best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
     if squeeze:
         return best_d[0], best_i[0]

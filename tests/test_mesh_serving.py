@@ -167,3 +167,40 @@ def test_incremental_shard_append(mesh_engine, tmp_path):
         assert eng._sharded_full_reshards == base + 1  # delta, not reshard
     finally:
         eng.scan_mesh = None
+
+
+def test_mixed_width_compat_phash_on_mesh(tmp_path):
+    """Compat (aspect-preserving, variable-width) phash libraries —
+    the DEFAULT configuration — must serve their grouped zip-truncate
+    scans from the mesh and match the single-chip results exactly.
+    (Round-2 verdict: this path silently dropped to single-chip.)"""
+    d = tmp_path / "photos"
+    d.mkdir()
+    shapes = [(48, 48), (64, 32), (32, 64), (48, 48), (80, 40)]
+    for s, (h, w) in enumerate(shapes):
+        Image.fromarray(textured_image(seed=s, size=(h, w))).save(
+            d / f"m{s}.png"
+        )
+    eng = Engine.new(
+        str(tmp_path / "mixed.db"), embedder="stub",
+        embedder_kwargs={"dim": 32},
+    )
+    eng.max_distance_from_query = 1e7
+    for s in range(len(shapes)):
+        eng.insert_image_from_path(str(d / f"m{s}.png"))
+    # Variable widths really present (compat aspect behavior).
+    assert len(set(eng._ph_widths)) > 1
+
+    rec = eng.load_image(str(d / "m1.png"))
+    eng.query_by_phash(rec.phash)
+    single = _results(eng)
+    assert single and single[0][0] == "m1.png" and single[0][1] == 0.0
+
+    eng.serve_on_mesh(make_mesh(8))
+    try:
+        eng.query_by_phash(rec.phash)
+        assert _results(eng) == single
+        assert eng._ph_sharded is not None  # mesh path actually ran
+    finally:
+        eng.scan_mesh = None
+        eng.close()
