@@ -127,6 +127,8 @@ def hamming_gemm_scan_topk_auto(
         sample = build_hamming_scan_sample(index)
     if meta is None:
         meta = build_hamming_meta(index)
+    from pixelbox_tpu.ops.scan import _pick_tile_rows
+
     kernel = (
         pallas_hamming_threshold_scan_topk_v2 if q.shape[0] <= 512
         else pallas_hamming_threshold_scan_topk
@@ -134,6 +136,7 @@ def hamming_gemm_scan_topk_auto(
     best_d, best_i, exact = kernel(
         q, index, meta, sample.data, sample.valid, k=k,
         max_distance=max_distance, wrap_u8=wrap_u8,
+        tile_rows=_pick_tile_rows(max(q.shape[0], 32), index.capacity),
     )
     from pixelbox_tpu.ops.scan import repair_unproven
 

@@ -326,10 +326,13 @@ def cosine4_scan_topk_auto(
     if sample is None:
         sample = build_scan_sample(index)
     if use_pallas:
+        from pixelbox_tpu.ops.scan import _pick_tile_rows
+
         if meta is None:
             meta = build_semantic4_meta(index)
         best_d, best_i, exact = pallas_threshold4_scan_topk(
-            q, index, meta, sample, k=k, max_distance=max_distance
+            q, index, meta, sample, k=k, max_distance=max_distance,
+            tile_rows=_pick_tile_rows(max(q.shape[0], 32), index.capacity),
         )
     else:
         # Off the Mosaic path (CPU/GPU, odd shapes, huge batches) the XLA

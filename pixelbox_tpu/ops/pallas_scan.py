@@ -42,6 +42,7 @@ ascending row id (reference src/engine.rs:375-383).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -60,6 +61,11 @@ from pixelbox_tpu.ops.packed import PackedSemanticIndex
 # traced constants).
 _INF = np.float32(np.inf)
 _COSINE_FLOOR = np.float32(1e-6)
+
+#: Carry-select extraction loop implementation: "lanemin" (per-lane-class
+#: summary rounds — no full-tile passes per round) or "scan" (legacy
+#: masked full-tile extract-min).  Env override for A/B measurement.
+_LOOP_IMPL = os.environ.get("PIXELBOX_SCAN_LOOP", "lanemin")
 
 
 # --------------------------------------------------------------------- #
@@ -290,14 +296,7 @@ def _threshold_kernel(
         return
 
     # select == "carry"
-    def insert_round(state):
-        dist, m, rounds, _ = state
-        kth = out_d_ref[:, gl - 1 : gl]
-        ins = m < kth
-        midx = jnp.min(
-            jnp.where(dist == m, col, big_col), axis=1, keepdims=True
-        )
-        gidx = (base + midx).astype(jnp.int32)
+    def _sorted_insert(m, gidx, ins):
         cur_d = out_d_ref[:]
         cur_i = out_i_ref[:]
         # Insert after equal values → ascending-row-id tie-break.
@@ -308,18 +307,99 @@ def _threshold_kernel(
         new_i = jnp.where(lane < pos, cur_i, jnp.where(lane == pos, gidx, sh_i))
         out_d_ref[:] = jnp.where(ins, new_d, cur_d)
         out_i_ref[:] = jnp.where(ins, new_i, cur_i)
-        dist = jnp.where(col == midx, _INF, dist)
-        m = jnp.min(dist, axis=1, keepdims=True)                   # [Q,1]
-        more = jnp.any(m < out_d_ref[:, gl - 1 : gl])
-        return dist, m, rounds + 1, more
 
-    m0 = jnp.min(dist, axis=1, keepdims=True)
-    init_more = jnp.any(m0 < out_d_ref[:, gl - 1 : gl])
-    dist, m_last, rounds, more = lax.while_loop(
-        lambda s: s[3] & (s[2] < max_rounds),
-        insert_round,
-        (dist, m0, jnp.int32(0), init_more),
-    )
+    if _LOOP_IMPL == "lanemin" and tile_rows % 128 == 0:
+        # Lane-class extraction: columns partition into 128 classes by
+        # col % 128 (class c = lanes c of the tile's column registers).
+        # A fused chain reduces the tile ONCE to per-class minima
+        # (lmin/lreg/lcnt, each [Q, 128]); extraction rounds then run on
+        # the 16×-smaller summary with NO full-tile passes at all.  A
+        # consumed class surfaces its next element lazily via a
+        # lexicographic (value, col) cursor — the current round's (m,
+        # midx) — recomputed over that class only when the class held ≥2
+        # passing rows (rare at production shapes).  Extraction order
+        # stays exactly (dist, col)-ascending: the round minimum ties
+        # break on the smallest class representative column, and within
+        # a class the cursor walks (value, col) upward.
+        n_regs = tile_rows // 128
+        lmin = jnp.full((qn, 128), _INF, jnp.float32)
+        lreg = jnp.zeros((qn, 128), jnp.int32)
+        lcnt = jnp.zeros((qn, 128), jnp.int32)
+        for r in range(n_regs):
+            v = dist[:, r * 128 : (r + 1) * 128]
+            lcnt = lcnt + (v < _INF).astype(jnp.int32)
+            upd = v < lmin
+            lmin = jnp.where(upd, v, lmin)
+            lreg = jnp.where(upd, r, lreg)
+
+        def insert_round(state):
+            lmin, lreg, lcnt, m, rounds, _ = state
+            kth = out_d_ref[:, gl - 1 : gl]
+            ins = m < kth
+            colv = jnp.where(
+                lmin == m, lreg * 128 + lane128, big_col
+            )                                                  # [Q,128]
+            midx = jnp.min(colv, axis=1, keepdims=True)        # [Q,1]
+            gidx = (base + midx).astype(jnp.int32)
+            _sorted_insert(m, gidx, ins)
+            used = (colv == midx) & ins                        # one lane
+            need = used & (lcnt >= 2)
+            lcnt = lcnt - used.astype(jnp.int32)
+            lmin = jnp.where(used, _INF, lmin)
+
+            def with_refill(ops):
+                lmin_, lreg_ = ops
+                nmin = jnp.full((qn, 128), _INF, jnp.float32)
+                nreg = jnp.zeros((qn, 128), jnp.int32)
+                for r in range(n_regs):
+                    v = dist[:, r * 128 : (r + 1) * 128]
+                    colr = r * 128 + lane128
+                    after = (v > m) | ((v == m) & (colr > midx))
+                    v2 = jnp.where(after, v, _INF)
+                    upd = v2 < nmin
+                    nmin = jnp.where(upd, v2, nmin)
+                    nreg = jnp.where(upd, r, nreg)
+                return (
+                    jnp.where(need, nmin, lmin_),
+                    jnp.where(need, nreg, lreg_),
+                )
+
+            lmin, lreg = lax.cond(
+                jnp.any(need), with_refill, lambda ops: ops, (lmin, lreg)
+            )
+            m2 = jnp.min(lmin, axis=1, keepdims=True)
+            more = jnp.any(m2 < out_d_ref[:, gl - 1 : gl])
+            return lmin, lreg, lcnt, m2, rounds + 1, more
+
+        m0 = jnp.min(lmin, axis=1, keepdims=True)
+        init_more = jnp.any(m0 < out_d_ref[:, gl - 1 : gl])
+        _, _, _, m_last, rounds, more = lax.while_loop(
+            lambda s: s[5] & (s[4] < max_rounds),
+            lambda s: insert_round(s),
+            (lmin, lreg, lcnt, m0, jnp.int32(0), init_more),
+        )
+    else:
+        def insert_round(state):
+            dist, m, rounds, _ = state
+            kth = out_d_ref[:, gl - 1 : gl]
+            ins = m < kth
+            midx = jnp.min(
+                jnp.where(dist == m, col, big_col), axis=1, keepdims=True
+            )
+            gidx = (base + midx).astype(jnp.int32)
+            _sorted_insert(m, gidx, ins)
+            dist = jnp.where(col == midx, _INF, dist)
+            m = jnp.min(dist, axis=1, keepdims=True)               # [Q,1]
+            more = jnp.any(m < out_d_ref[:, gl - 1 : gl])
+            return dist, m, rounds + 1, more
+
+        m0 = jnp.min(dist, axis=1, keepdims=True)
+        init_more = jnp.any(m0 < out_d_ref[:, gl - 1 : gl])
+        dist, m_last, rounds, more = lax.while_loop(
+            lambda s: s[3] & (s[2] < max_rounds),
+            insert_round,
+            (dist, m0, jnp.int32(0), init_more),
+        )
     # Diagnostic: lane 2 accumulates total extraction rounds across tiles
     # (scripts/measure_breakdown.py reads it; one masked add per tile).
     counts_ref[:] = counts_ref[:] + jnp.where(lane128 == 2, rounds, 0)

@@ -520,6 +520,19 @@ def _default_backend_is_tpu() -> bool:
 PALLAS_TILE_ROWS = 2048
 
 
+def _pick_tile_rows(qn: int, capacity: int) -> int:
+    """Largest measured-good tile whose [Q, tile] f32 working set fits
+    VMEM and divides the capacity.  Bigger tiles cut total extraction
+    rounds (the round work is [Q, 128]-scale under the lanemin loop, so
+    fewer tiles ⇒ fewer max-over-queries round taxes): tile 4096 at
+    Q=256 measured 51.1 vs 46.0 Gdots/s at 2048; 8192 regresses (refill
+    chains over 64-deep classes)."""
+    for tile in (4096, 2048, 1024):
+        if qn * tile <= 2 ** 20 and capacity % tile == 0:
+            return tile
+    return PALLAS_TILE_ROWS
+
+
 def cosine_scan_topk_auto(
     query_u8,
     index: PackedSemanticIndex,
@@ -583,15 +596,10 @@ def cosine_scan_topk_auto(
         # covers larger batches.  Chunking big batches through 512-query
         # v2 passes measured worse (PERF.md) — don't.
         qn_now = q.shape[0]
-        if qn_now <= 512:
+        if qn_now <= 1024:
             best_d, best_i, exact = pallas_threshold_scan_topk_v2(
                 q, index, row_meta, sample, k=k, max_distance=max_distance,
-                tile_rows=PALLAS_TILE_ROWS,
-            )
-        elif qn_now <= 1024:
-            best_d, best_i, exact = pallas_threshold_scan_topk_v2(
-                q, index, row_meta, sample, k=k, max_distance=max_distance,
-                tile_rows=1024,
+                tile_rows=_pick_tile_rows(max(qn_now, 32), index.capacity),
             )
         else:
             best_d, best_i, exact = pallas_threshold_scan_topk(
