@@ -321,19 +321,35 @@ def _threshold_kernel(
         # stays exactly (dist, col)-ascending: the round minimum ties
         # break on the smallest class representative column, and within
         # a class the cursor walks (value, col) upward.
+        # Depth-2 chain: per class track the TWO smallest elements (value
+        # + reg each) plus the passing count.  Consumption promotes the
+        # second; only a THIRD same-class element needs the cursor-refill
+        # recompute — P(class holds ≥3 θ-passing rows) is tiny, so the
+        # expensive per-consumption refill chain that dominated the
+        # depth-1 variant (triggered whenever a consumed class held ≥2)
+        # almost never fires.  Tie order stays (value, col)-ascending:
+        # regs are chained in ascending order with strict compares, so
+        # within a class the earlier column wins each slot.
         n_regs = tile_rows // 128
         lmin = jnp.full((qn, 128), _INF, jnp.float32)
         lreg = jnp.zeros((qn, 128), jnp.int32)
+        l2min = jnp.full((qn, 128), _INF, jnp.float32)
+        l2reg = jnp.zeros((qn, 128), jnp.int32)
         lcnt = jnp.zeros((qn, 128), jnp.int32)
         for r in range(n_regs):
             v = dist[:, r * 128 : (r + 1) * 128]
             lcnt = lcnt + (v < _INF).astype(jnp.int32)
-            upd = v < lmin
-            lmin = jnp.where(upd, v, lmin)
-            lreg = jnp.where(upd, r, lreg)
+            upd1 = v < lmin
+            d_val = jnp.where(upd1, lmin, v)   # displaced min OR v itself
+            d_reg = jnp.where(upd1, lreg, r)
+            lmin = jnp.where(upd1, v, lmin)
+            lreg = jnp.where(upd1, r, lreg)
+            upd2 = d_val < l2min
+            l2min = jnp.where(upd2, d_val, l2min)
+            l2reg = jnp.where(upd2, d_reg, l2reg)
 
         def insert_round(state):
-            lmin, lreg, lcnt, m, rounds, _ = state
+            lmin, lreg, l2min, l2reg, lcnt, m, rounds, _ = state
             kth = out_d_ref[:, gl - 1 : gl]
             ins = m < kth
             colv = jnp.where(
@@ -343,40 +359,50 @@ def _threshold_kernel(
             gidx = (base + midx).astype(jnp.int32)
             _sorted_insert(m, gidx, ins)
             used = (colv == midx) & ins                        # one lane
-            need = used & (lcnt >= 2)
             lcnt = lcnt - used.astype(jnp.int32)
-            lmin = jnp.where(used, _INF, lmin)
+            # ≥2 remaining after this consumption ⟹ a third element
+            # exists beyond the promoted second — recompute the slot.
+            need = used & (lcnt >= 2)
+            # The promoted element's (value, col) = the refill cursor.
+            pval = jnp.sum(jnp.where(used, l2min, 0.0), axis=1, keepdims=True)
+            pcol = jnp.sum(
+                jnp.where(used, l2reg * 128 + lane128, 0), axis=1,
+                keepdims=True,
+            )
+            lmin = jnp.where(used, l2min, lmin)
+            lreg = jnp.where(used, l2reg, lreg)
+            l2min = jnp.where(used, _INF, l2min)
 
             def with_refill(ops):
-                lmin_, lreg_ = ops
+                l2min_, l2reg_ = ops
                 nmin = jnp.full((qn, 128), _INF, jnp.float32)
                 nreg = jnp.zeros((qn, 128), jnp.int32)
                 for r in range(n_regs):
                     v = dist[:, r * 128 : (r + 1) * 128]
                     colr = r * 128 + lane128
-                    after = (v > m) | ((v == m) & (colr > midx))
+                    after = (v > pval) | ((v == pval) & (colr > pcol))
                     v2 = jnp.where(after, v, _INF)
                     upd = v2 < nmin
                     nmin = jnp.where(upd, v2, nmin)
                     nreg = jnp.where(upd, r, nreg)
                 return (
-                    jnp.where(need, nmin, lmin_),
-                    jnp.where(need, nreg, lreg_),
+                    jnp.where(need, nmin, l2min_),
+                    jnp.where(need, nreg, l2reg_),
                 )
 
-            lmin, lreg = lax.cond(
-                jnp.any(need), with_refill, lambda ops: ops, (lmin, lreg)
+            l2min, l2reg = lax.cond(
+                jnp.any(need), with_refill, lambda ops: ops, (l2min, l2reg)
             )
             m2 = jnp.min(lmin, axis=1, keepdims=True)
             more = jnp.any(m2 < out_d_ref[:, gl - 1 : gl])
-            return lmin, lreg, lcnt, m2, rounds + 1, more
+            return lmin, lreg, l2min, l2reg, lcnt, m2, rounds + 1, more
 
         m0 = jnp.min(lmin, axis=1, keepdims=True)
         init_more = jnp.any(m0 < out_d_ref[:, gl - 1 : gl])
-        _, _, _, m_last, rounds, more = lax.while_loop(
-            lambda s: s[5] & (s[4] < max_rounds),
+        _, _, _, _, _, m_last, rounds, more = lax.while_loop(
+            lambda s: s[7] & (s[6] < max_rounds),
             lambda s: insert_round(s),
-            (lmin, lreg, lcnt, m0, jnp.int32(0), init_more),
+            (lmin, lreg, l2min, l2reg, lcnt, m0, jnp.int32(0), init_more),
         )
     else:
         def insert_round(state):

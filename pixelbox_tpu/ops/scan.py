@@ -524,11 +524,12 @@ def _pick_tile_rows(qn: int, capacity: int) -> int:
     """Largest measured-good tile whose [Q, tile] f32 working set fits
     VMEM and divides the capacity.  Bigger tiles cut total extraction
     rounds (the round work is [Q, 128]-scale under the lanemin loop, so
-    fewer tiles ⇒ fewer max-over-queries round taxes): tile 4096 at
-    Q=256 measured 51.1 vs 46.0 Gdots/s at 2048; 8192 regresses (refill
-    chains over 64-deep classes)."""
-    for tile in (4096, 2048, 1024):
-        if qn * tile <= 2 ** 20 and capacity % tile == 0:
+    fewer tiles ⇒ fewer max-over-queries round taxes).  With the
+    depth-2 class chain, tile 8192 at Q=256 measured 56.9 Gdots/s vs
+    51.0 at 4096 and 42.5 at 2048 (the depth-1 chain regressed at 8192
+    on eager refill chains over 64-deep classes)."""
+    for tile in (8192, 4096, 2048, 1024):
+        if qn * tile <= 2 ** 21 and capacity % tile == 0:
             return tile
     return PALLAS_TILE_ROWS
 
