@@ -46,6 +46,8 @@ def _open_engine(args, create=False):
             ek["model"] = args.model
     if getattr(args, "blip", False):
         kwargs["blip"] = True
+    if getattr(args, "ocr", False):
+        kwargs["ocr"] = True
     if getattr(args, "precision", None):
         kwargs["semantic_precision"] = args.precision
     if getattr(args, "scan_mode", None):
@@ -112,6 +114,12 @@ def main(argv=None) -> int:
         sp.add_argument(
             "--blip", action="store_true",
             help="enable the BLIP text->image index (text: queries)",
+        )
+        sp.add_argument(
+            "--ocr", action="store_true",
+            help="extract machine-rendered text at index time "
+            "(searchable via the ocr: operator; classical template OCR "
+            "- screenshots/scans, not photographic text)",
         )
         sp.add_argument(
             "--scan-mode", dest="scan_mode", default=None,

@@ -80,6 +80,7 @@ class Engine:
         blip: bool = False,
         blip_kwargs: Optional[dict] = None,
         semantic_precision: Optional[str] = None,
+        ocr: bool = False,
     ):
         assert semantic_precision in (None, "int8", "int4"), semantic_precision
         self.catalog = Catalog(db_path, create=create)
@@ -101,6 +102,10 @@ class Engine:
         self._blip_enabled = blip
         self._blip_kwargs = dict(blip_kwargs or {})
         self._blip_searcher = None
+        #: OCR at index time (reference roadmap README.md:32-34): extract
+        #: machine-rendered text into the ocr_text/ocr_fold tags, searched
+        #: by the ocr: operator (pixelbox_tpu/ocr/).
+        self.ocr_enabled = bool(ocr)
 
         self._embedder_name = embedder
         self._embedder_kwargs = dict(embedder_kwargs or {})

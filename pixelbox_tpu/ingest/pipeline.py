@@ -178,12 +178,25 @@ class IngestPipeline:
                     if blip is not None
                     else None
                 )
+                tags = decoded.tags
+                if getattr(engine, "ocr_enabled", False):
+                    from pixelbox_tpu.ocr import OCR_TAG, recognize_text
+                    from pixelbox_tpu.ocr.glyphs import fold_text
+
+                    try:
+                        text = recognize_text(decoded.rgb)
+                    except Exception:
+                        text = ""
+                    if text:
+                        tags = dict(tags)
+                        tags[OCR_TAG] = text
+                        tags[OCR_TAG + "_fold"] = fold_text(text)
                 record = IndexedImage(
                     filename=decoded.filename,
                     path=decoded.path,
                     resolution=decoded.resolution,
                     thumbnail=thumb,
-                    tags=decoded.tags,
+                    tags=tags,
                     phash=ph,
                 )
                 item = _Item(record=record, preprocessed=pre, preprocessed_blip=pre_blip)

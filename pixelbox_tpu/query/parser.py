@@ -97,6 +97,19 @@ def parse_query(user_input: str) -> ParsedQuery:
                     clauses,
                     params,
                 )
+            elif magic_prefix == "ocr":
+                # Text-in-image search (reference roadmap README.md:32-34):
+                # matches the fold-normalized OCR tag with the query folded
+                # the same way, so template-OCR confusion classes (1/l/I,
+                # 0/O, 5/S, ...) don't break recall.
+                from pixelbox_tpu.ocr.glyphs import fold_text
+
+                _like(
+                    "(tags.name = 'ocr_text_fold' AND tags.value LIKE ?)",
+                    (fold_text(remaining),),
+                    clauses,
+                    params,
+                )
             elif magic_prefix == "filename":
                 _like("images.filename LIKE ?", (remaining,), clauses, params)
             # Unknown prefixes are silently ignored (reference behavior).
