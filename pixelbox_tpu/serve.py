@@ -649,6 +649,10 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8333,
         )
         # Concurrent phash and unfiltered text: queries coalesce too.
         engine.attach_scan_service(scan_service)
+        if engine._sem_store is not None and engine._sem_store.size > 0:
+            # Pre-compile the common batch buckets so early traffic never
+            # pays a cold XLA compile mid-request.
+            scan_service.warmup(engine._sem_store.dim)
     server = ThreadingHTTPServer(
         (host, port), make_handler(engine, lock, scan_service)
     )

@@ -98,6 +98,22 @@ class BatchingScanService:
 
     # ------------------------------------------------------------------ #
 
+    def warmup(self, dim: int, buckets=(1, 8, 32), kinds=("semantic",)) -> None:
+        """Pre-compile the scan for the given batch-size buckets so the
+        first real queries don't pay cold XLA compiles mid-traffic (each
+        bucket shape is its own compile; serve.py calls this at startup
+        for the semantic path).  Uses zero queries — results discarded."""
+        for kind in kinds:
+            for b in buckets:
+                queries = np.zeros((b, dim), dtype=np.uint8)
+                try:
+                    if kind == "semantic":
+                        self._semantic_scan(queries)
+                    else:
+                        self._scan_fns[kind](queries, self.k, self.max_distance)
+                except Exception:
+                    pass  # empty store etc. — warm later organically
+
     def register_kind(self, kind: str, fn: Callable) -> None:
         """Register a batched scan callable for a modality:
         ``fn(queries_u8 [B, D], k, max_distance) -> (dist, idx)``."""
