@@ -315,9 +315,13 @@ def bench_int4_scan(n=1_000_000, d=128, q=256, k=100, iters=50, rng=None):
         sample = build_scan_sample(index)
         meta = build_semantic4_meta(index)
 
+        from pixelbox_tpu.ops.scan import _pick_tile_rows
+
+        tile4 = _pick_tile_rows(q, index.capacity)
+
         def one(qi, index, meta, sample):
             dist, idx, exact = pallas_threshold4_scan_topk(
-                qi, index, meta, sample, k=k
+                qi, index, meta, sample, k=k, tile_rows=tile4
             )
             return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
 
@@ -505,9 +509,13 @@ def bench_hamming(n=1_000_000, h=32, q=256, k=100, iters=50,
         sample = build_hamming_scan_sample(gidx)
         meta = build_hamming_meta(gidx)
 
+        from pixelbox_tpu.ops.scan import _pick_tile_rows
+
+        tile_h = _pick_tile_rows(q, gidx.capacity)
+
         def one_thresh(qi, gidx, meta, sd, sv):
             dist, idx, exact = pallas_hamming_threshold_scan_topk_v2(
-                qi, gidx, meta, sd, sv, k=k
+                qi, gidx, meta, sd, sv, k=k, tile_rows=tile_h
             )
             return jnp.sum(dist[:, 0]) + jnp.sum(exact.astype(jnp.float32))
 

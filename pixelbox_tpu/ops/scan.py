@@ -520,7 +520,7 @@ def _default_backend_is_tpu() -> bool:
 PALLAS_TILE_ROWS = 2048
 
 
-def _pick_tile_rows(qn: int, capacity: int) -> int:
+def _pick_tile_rows(qn: int, capacity: int, max_tile: int = 8192) -> int:
     """Largest measured-good tile whose [Q, tile] f32 working set fits
     VMEM and divides the capacity.  Bigger tiles cut total extraction
     rounds (the round work is [Q, 128]-scale under the lanemin loop, so
@@ -529,7 +529,7 @@ def _pick_tile_rows(qn: int, capacity: int) -> int:
     51.0 at 4096 and 42.5 at 2048 (the depth-1 chain regressed at 8192
     on eager refill chains over 64-deep classes)."""
     for tile in (8192, 4096, 2048, 1024):
-        if qn * tile <= 2 ** 21 and capacity % tile == 0:
+        if tile <= max_tile and qn * tile <= 2 ** 21 and capacity % tile == 0:
             return tile
     return PALLAS_TILE_ROWS
 
