@@ -386,25 +386,40 @@ def bench_int4_recall_vs_u8(n=200_000, d=128, q=64, rng=None):
     )
     q_u8 = np.asarray(quantize_embedding(jnp.asarray(zq)))
 
+    from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
+
     _, u8_index = build_semantic_index_from_rows(db_u8)
     i4_index = build_semantic4_index(db_u8, block_rows=2048)
     _, exp_i = cosine_scan_topk(
         jnp.asarray(q_u8), u8_index, k=100, block_rows=2048
     )
-    _, got_i = cosine4_scan_topk(
+    exp_i = np.asarray(exp_i)
+
+    def _recalls(got_i):
+        got_i = np.asarray(got_i)
+        r10 = float(np.mean(
+            [len(set(got_i[i][:10]) & set(exp_i[i][:10])) / 10
+             for i in range(q)]
+        ))
+        r100 = float(np.mean(
+            [len(set(got_i[i]) & set(exp_i[i])) / 100 for i in range(q)]
+        ))
+        return r10, r100
+
+    _, asym_i = cosine4a_scan_topk(
         jnp.asarray(q_u8), i4_index, k=100, block_rows=2048
     )
-    exp_i = np.asarray(exp_i)
-    got_i = np.asarray(got_i)
-    r10 = float(np.mean(
-        [len(set(got_i[i][:10]) & set(exp_i[i][:10])) / 10 for i in range(q)]
-    ))
-    r100 = float(np.mean(
-        [len(set(got_i[i]) & set(exp_i[i])) / 100 for i in range(q)]
-    ))
+    _, sym_i = cosine4_scan_topk(
+        jnp.asarray(q_u8), i4_index, k=100, block_rows=2048
+    )
+    a10, a100 = _recalls(asym_i)
+    s10, s100 = _recalls(sym_i)
     return {
-        "recall_at_10_vs_u8": r10,
-        "recall_at_100_vs_u8": r100,
+        # What engine int4 queries actually get (asymmetric, the default).
+        "recall_at_10_vs_u8": a10,
+        "recall_at_100_vs_u8": a100,
+        "recall_at_10_vs_u8_sym": s10,
+        "recall_at_100_vs_u8_sym": s100,
         "recall_eval": {
             "n": n, "queries": q,
             "data": "clustered anisotropic tanh latents, corruption-pair queries",

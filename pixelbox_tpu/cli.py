@@ -129,9 +129,10 @@ def main(argv=None) -> int:
         sp.add_argument(
             "--precision", default=None, choices=("int8", "int4"),
             help="semantic index precision: int4 packs 2x rows per chip "
-            "at coarser distances (catalog keeps full u8 hashes). "
+            "at coarser distances (catalog keeps full u8 hashes; queries "
+            "stay full-u8 against the int4 rows - asymmetric distances). "
             "Measured retrieval fidelity vs the u8 index on structured "
-            "embeddings: recall@10 ~0.5, recall@100 ~0.85 (bench.py "
+            "embeddings: recall@10 ~0.6, recall@100 ~0.9 (bench.py "
             "int4_scan recall_at_10_vs_u8) - a capacity/quality trade, "
             "not a free win. Persisted in the library; later commands "
             "inherit it.",

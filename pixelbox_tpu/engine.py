@@ -837,9 +837,9 @@ class Engine:
                 masked = index._replace(valid=jnp.logical_and(index.valid, mask))
                 with timed("engine.text_query_scan"):
                     if int4:
-                        from pixelbox_tpu.ops.int4 import cosine4_scan_topk
+                        from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
 
-                        dists, idxs = cosine4_scan_topk(
+                        dists, idxs = cosine4a_scan_topk(
                             jnp.asarray(sim.visual_hash), masked, k=k,
                             max_distance=np.inf,
                         )
@@ -859,11 +859,11 @@ class Engine:
                 db_rows = self._sem_store.get_rows(rows)
                 with timed("engine.text_query_scan"):
                     if int4:
-                        # Match the device index's quantization so filtered
-                        # and unfiltered orderings agree.
-                        from pixelbox_tpu.ops.int4 import cosine4_distance_np
+                        # Match the device index's asymmetric metric so
+                        # filtered and unfiltered orderings agree.
+                        from pixelbox_tpu.ops.int4 import cosine4a_distance_np
 
-                        dists = cosine4_distance_np(
+                        dists = cosine4a_distance_np(
                             np.asarray(sim.visual_hash)[None, :], db_rows
                         )
                     else:
@@ -1136,8 +1136,8 @@ class Engine:
 
     def _int4_single_chip_scan(self, record: IndexedImage, k: int):
         from pixelbox_tpu.ops.int4 import (
-            cosine4_scan_topk,
             cosine4_scan_topk_auto,
+            cosine4a_scan_topk,
         )
         from pixelbox_tpu.ops.scan import (
             DEFAULT_BLOCK_ROWS,
@@ -1146,7 +1146,7 @@ class Engine:
 
         index = self._sem_store.device_index
         if self.scan_mode == "exact":
-            return cosine4_scan_topk(
+            return cosine4a_scan_topk(
                 jnp.asarray(record.visual_hash), index, k=k,
                 max_distance=float(self.max_distance_from_query),
             )

@@ -120,7 +120,18 @@ def _kind_dist_tile(kind, q_i8, dot8, meta_ref, qmeta_ref, dim, wrap_u8):
     if kind == "cosine":
         dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
         qc = 2 * q_i32 + 1                                     # 2u − 255
-    else:  # cosine4: centered values 34·v4 − 255
+    elif kind == "cosine4a":
+        # ASYMMETRIC int4: unquantized u8 query (codes q−128, centered
+        # values 2q−255) against int4 rows (34·v4 − 255):
+        #   Σ(2q−255)(34v−255) = 68·dot8 + 34·row_sum4 − 510·q_sum' − 255·D
+        # Same index + meta as the symmetric kind — only the affine fix
+        # and the query moments differ; retrieval quality vs the u8
+        # ground truth is far better (bench recall_at_10 rows).
+        dot_c = (
+            68 * dot8 + 34 * row_sum - 510 * q_sum - jnp.int32(255 * dim)
+        )
+        qc = 2 * q_i32 + 1
+    else:  # cosine4 (symmetric): centered values 34·v4 − 255 both sides
         dot_c = (
             1156 * dot8
             - 8670 * (q_sum + row_sum)
@@ -204,7 +215,7 @@ def _threshold_kernel(
         counts_ref[:] = jnp.zeros((qn, 128), jnp.int32)
 
     q_i8 = q_ref[:]
-    if kind == "cosine4":
+    if kind in ("cosine4", "cosine4a"):
         # Packed int4 tile [T, D/2]: two codes per byte, column-blocked.
         # Unpack in int32 — Mosaic has no 8-bit shift lowering.
         p32 = data_ref[:].astype(jnp.int32)
@@ -492,7 +503,7 @@ def _xla_kind_dist(kind, q_p, data, meta4, md, dim, wrap_u8):
     the kernels (mini-subsample helper for the two-stage θ)."""
     from pixelbox_tpu.ops.distances import _cosine_distance_from_moments
 
-    if kind == "cosine4":
+    if kind in ("cosine4", "cosine4a"):
         p32 = data.astype(jnp.int32)
         blk = jnp.concatenate([p32 & 15, (p32 >> 4) & 15], axis=-1).astype(
             jnp.int8
@@ -516,6 +527,12 @@ def _xla_kind_dist(kind, q_p, data, meta4, md, dim, wrap_u8):
     if kind == "cosine":
         qc = 2 * q_i32 + 1
         dot_c = 4 * dot + 2 * (q_sum + meta4[0, :][None, :]) + jnp.int32(dim)
+    elif kind == "cosine4a":
+        qc = 2 * q_i32 + 1
+        dot_c = (
+            68 * dot + 34 * meta4[0, :][None, :] - 510 * q_sum
+            - jnp.int32(255 * dim)
+        )
     else:  # cosine4
         qc = 34 * q_i32 - 255
         dot_c = (
@@ -671,6 +688,7 @@ def _generic_threshold_scan(
     prep = {
         "cosine": _prep_cosine,
         "cosine4": _prep_cosine4,
+        "cosine4a": _prep_cosine,  # asymmetric: u8 query codes/moments
         "hamming": _prep_hamming,
     }[kind]
     squeeze = query_u8.ndim == 1

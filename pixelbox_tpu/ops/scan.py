@@ -405,6 +405,11 @@ def cosine_scan_topk_threshold(
             _cosine4_block_dist as block_dist,
             query4_moments_from_u8 as moments,
         )
+    elif precision == "int4a":
+        # Asymmetric: u8 query moments against the packed int4 rows.
+        from pixelbox_tpu.ops.int4 import _cosine4a_block_dist as block_dist
+
+        moments = query_moments_from_u8
     else:
         block_dist = _cosine_block_dist
         moments = query_moments_from_u8

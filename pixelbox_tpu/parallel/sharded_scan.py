@@ -149,11 +149,19 @@ def sharded_cosine4_scan_topk(
     max_distance: float = 1e3,
     block_rows: Optional[int] = None,
     axis: str = "data",
+    query_mode: str = "asym",
 ):
     """Distributed exact top-k over a row-sharded int4 index
     (ops/int4.py): per-chip blocked scan + ICI candidate merge, same
-    result semantics as :func:`sharded_cosine_scan_topk`."""
-    from pixelbox_tpu.ops.int4 import PackedSemantic4Index, cosine4_scan_topk
+    result semantics as :func:`sharded_cosine_scan_topk`.
+    ``query_mode="asym"`` (default) keeps queries at u8 precision."""
+    from pixelbox_tpu.ops.int4 import (
+        PackedSemantic4Index,
+        cosine4_scan_topk,
+        cosine4a_scan_topk,
+    )
+
+    scan_fn = cosine4a_scan_topk if query_mode == "asym" else cosine4_scan_topk
 
     squeeze = query_u8.ndim == 1
     if squeeze:
@@ -173,7 +181,7 @@ def sharded_cosine4_scan_topk(
         check_vma=False,
     )
     def scan_shard(q, local_index):
-        local_d, local_i = cosine4_scan_topk(
+        local_d, local_i = scan_fn(
             q, local_index, k=k, max_distance=md, block_rows=block_rows
         )
         offset = lax.axis_index(axis).astype(jnp.int32) * jnp.int32(local_rows)
@@ -197,6 +205,7 @@ def sharded_cosine4_scan_topk_auto(
     max_distance: float = 1e3,
     block_rows: Optional[int] = None,
     axis: str = "data",
+    query_mode: str = "asym",
 ):
     """Guaranteed-exact distributed int4 scan: per-shard sampled-threshold
     pass (XLA; the int4 distance spec), local-proof flags ANDed over ICI,
@@ -214,7 +223,7 @@ def sharded_cosine4_scan_topk_auto(
     if local_rows <= 4 * block_rows:
         best_d, best_i = sharded_cosine4_scan_topk(
             query_u8, index, mesh, k=k, max_distance=max_distance,
-            block_rows=block_rows, axis=axis,
+            block_rows=block_rows, axis=axis, query_mode=query_mode,
         )
         if squeeze:
             return best_d[0], best_i[0]
@@ -245,7 +254,8 @@ def sharded_cosine4_scan_topk_auto(
         )
         local_d, local_i, exact = cosine_scan_topk_threshold(
             q, local_index, sample, k=k, max_distance=md,
-            block_rows=block_rows, precision="int4",
+            block_rows=block_rows,
+            precision="int4a" if query_mode == "asym" else "int4",
         )
         offset = lax.axis_index(axis).astype(jnp.int32) * jnp.int32(local_rows)
         global_i = jnp.where(local_i >= 0, local_i + offset, -1)
@@ -260,7 +270,7 @@ def sharded_cosine4_scan_topk_auto(
         query_u8, best_d, best_i, exact,
         lambda rq: sharded_cosine4_scan_topk(
             rq, index, mesh, k=k, max_distance=max_distance,
-            block_rows=block_rows, axis=axis,
+            block_rows=block_rows, axis=axis, query_mode=query_mode,
         ),
     )
     best_d, best_i = topk_ops.finalize_topk(best_d, best_i)

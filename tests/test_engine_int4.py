@@ -5,7 +5,7 @@ import pytest
 from PIL import Image
 
 from pixelbox_tpu.engine import Engine
-from pixelbox_tpu.ops.int4 import cosine4_scan_topk_np
+from pixelbox_tpu.ops.int4 import cosine4a_scan_topk_np
 
 from fixtures import textured_image
 
@@ -48,7 +48,7 @@ def test_query_matches_int4_oracle(int4_engine):
     for image_id, blob in eng.catalog.iter_hashes("semantic_hashes"):
         ids.append(image_id)
         blobs.append(np.frombuffer(blob, np.uint8))
-    exp_d, exp_i = cosine4_scan_topk_np(
+    exp_d, exp_i = cosine4a_scan_topk_np(
         rec.visual_hash, np.stack(blobs), k=eng.max_search_results,
         max_distance=eng.max_distance_from_query,
     )
@@ -57,7 +57,10 @@ def test_query_matches_int4_oracle(int4_engine):
         for v, i in zip(exp_d[0], exp_i[0]) if i >= 0
     ]
     assert got == want
-    assert got[0][1] == 0.0  # self-match stays exact on the int4 grid
+    # Asymmetric metric: the u8 query vs its int4-quantized row carries
+    # quantization error, so the self-match is near-0 (top-ranked), not
+    # exactly 0 (query_mode="sym" restores exact 0).
+    assert got[0][0] is not None and got[0][1] < 0.01
 
 
 def test_exact_mode_matches_auto(int4_engine):

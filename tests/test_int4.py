@@ -11,6 +11,7 @@ from pixelbox_tpu.ops.int4 import (
     cosine4_scan_topk,
     cosine4_scan_topk_auto,
     cosine4_scan_topk_np,
+    cosine4a_scan_topk_np,
     dequantize_u4_to_u8,
     pack_u4_rows,
     pallas_threshold4_scan_topk,
@@ -63,6 +64,26 @@ def test_self_match(db, index4):
 
 
 def test_pallas_threshold4_matches_oracle(db, index4, rng):
+    """Symmetric kind (query_mode='sym', the r2 metric) vs its oracle."""
+    q = rng.integers(0, 256, size=(5, 32), dtype=np.uint8)
+    sample = build_scan_sample(index4, sample_rows=1024)
+    meta = build_semantic4_meta(index4)
+    with pltpu.force_tpu_interpret_mode():
+        d, i, exact = pallas_threshold4_scan_topk(
+            jnp.asarray(q), index4, meta, sample, k=25, tile_rows=256,
+            query_mode="sym",
+        )
+    d, i, exact = np.asarray(d), np.asarray(i), np.asarray(exact)
+    exp_d, exp_i = cosine4_scan_topk_np(q, db, k=25)
+    ok = np.nonzero(exact)[0]
+    assert len(ok) >= 1
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_pallas_threshold4_asym_matches_oracle(db, index4, rng):
+    """Asymmetric kind (the default): u8 query against int4 rows."""
+    from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
+
     q = rng.integers(0, 256, size=(5, 32), dtype=np.uint8)
     sample = build_scan_sample(index4, sample_rows=1024)
     meta = build_semantic4_meta(index4)
@@ -71,10 +92,13 @@ def test_pallas_threshold4_matches_oracle(db, index4, rng):
             jnp.asarray(q), index4, meta, sample, k=25, tile_rows=256
         )
     d, i, exact = np.asarray(d), np.asarray(i), np.asarray(exact)
-    exp_d, exp_i = cosine4_scan_topk_np(q, db, k=25)
+    exp_d, exp_i = cosine4a_scan_topk_np(q, db, k=25)
     ok = np.nonzero(exact)[0]
     assert len(ok) >= 1
     check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+    # XLA exact asym path agrees bitwise too.
+    xd, xi = cosine4a_scan_topk(jnp.asarray(q), index4, k=25, block_rows=512)
+    check_topk_parity(np.asarray(xd), np.asarray(xi), exp_d, exp_i)
 
 
 def test_auto_wrapper_small_dim_falls_back_threshold(db, index4, rng):
@@ -86,7 +110,7 @@ def test_auto_wrapper_small_dim_falls_back_threshold(db, index4, rng):
     d, i = cosine4_scan_topk_auto(
         q, index4, k=40, prefer_pallas=True, block_rows=512
     )
-    exp_d, exp_i = cosine4_scan_topk_np(q, db, k=40)
+    exp_d, exp_i = cosine4a_scan_topk_np(q, db, k=40)
     check_topk_parity(np.asarray(d), np.asarray(i), exp_d, exp_i)
 
 
@@ -99,14 +123,14 @@ def test_auto_wrapper_pallas_with_repair(rng):
         d, i = cosine4_scan_topk_auto(
             q, index4, k=30, prefer_pallas=True, block_rows=256
         )
-    exp_d, exp_i = cosine4_scan_topk_np(q, db, k=30)
+    exp_d, exp_i = cosine4a_scan_topk_np(q, db, k=30)
     check_topk_parity(np.asarray(d), np.asarray(i), exp_d, exp_i)
 
 
 def test_auto_wrapper_cpu_exact(db, index4, rng):
     q = rng.integers(0, 256, size=(3, 32), dtype=np.uint8)
     d, i = cosine4_scan_topk_auto(q, index4, k=15, block_rows=512)
-    exp_d, exp_i = cosine4_scan_topk_np(q, db, k=15)
+    exp_d, exp_i = cosine4a_scan_topk_np(q, db, k=15)
     check_topk_parity(np.asarray(d), np.asarray(i), exp_d, exp_i)
 
 

@@ -48,7 +48,7 @@ def test_sharded_auto_duplicate_flood_repairs(rng):
 def test_sharded_int4_auto_matches_oracle(rng):
     from pixelbox_tpu.ops.int4 import (
         build_semantic4_index,
-        cosine4_scan_topk_np,
+        cosine4a_scan_topk_np,
     )
     from pixelbox_tpu.parallel.sharded_scan import (
         sharded_cosine4_scan_topk_auto,
@@ -61,7 +61,7 @@ def test_sharded_int4_auto_matches_oracle(rng):
     got_d, got_i = sharded_cosine4_scan_topk_auto(
         jnp.asarray(q), index, mesh, k=25, block_rows=256
     )
-    exp_d, exp_i = cosine4_scan_topk_np(q, db, k=25)
+    exp_d, exp_i = cosine4a_scan_topk_np(q, db, k=25)
     check_topk_parity(np.asarray(got_d), np.asarray(got_i), exp_d, exp_i)
 
 

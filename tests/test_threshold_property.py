@@ -14,7 +14,7 @@ from pixelbox_tpu.ops.hamming_gemm import (
 from pixelbox_tpu.ops.int4 import (
     build_semantic4_index,
     cosine4_scan_topk_auto,
-    cosine4_scan_topk_np,
+    cosine4a_scan_topk_np,
 )
 from pixelbox_tpu.ops.scan import cosine_scan_topk_auto
 
@@ -83,5 +83,5 @@ def test_int4_auto_randomized(trial):
     got_d, got_i = cosine4_scan_topk_auto(
         q, idx4, k=k, max_distance=md, block_rows=512
     )
-    exp_d, exp_i = cosine4_scan_topk_np(q, db, k=k, max_distance=md)
+    exp_d, exp_i = cosine4a_scan_topk_np(q, db, k=k, max_distance=md)
     check_topk_parity(np.asarray(got_d), np.asarray(got_i), exp_d, exp_i)
