@@ -40,7 +40,9 @@ def _open_engine(args, create=False):
         kwargs["dim"] = args.dim
     if getattr(args, "model", None):
         ek = kwargs.setdefault("embedder_kwargs", {})
-        if getattr(args, "embedder", None) in (None, "efficientnet"):
+        if getattr(args, "embedder", None) in (None, "efficientnet", "nomic"):
+            # These embedders take checkpoint_path (nomic routes its
+            # .onnx through the graph interpreter); 'onnx' takes model=.
             ek["checkpoint_path"] = args.model
         else:
             ek["model"] = args.model

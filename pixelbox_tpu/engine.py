@@ -66,6 +66,21 @@ DEFAULT_MAX_SEARCH_RESULTS = 100  # engine.rs:24
 RECENT_IMAGES_TO_SHOW = 10        # engine.rs:25
 
 
+def _read_locked(fn):
+    """Hold the engine's index read lock for the duration of a query
+    entry point: scan-row → image-id mapping must not interleave with a
+    compaction renumbering (utils/rwlock.py; reader-preference makes
+    nested entry points safe)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self.index_rwlock.read_locked():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class Engine:
     """Index + query engine over a catalog DB and device vector stores."""
 
@@ -106,6 +121,15 @@ class Engine:
         #: machine-rendered text into the ocr_text/ocr_fold tags, searched
         #: by the ocr: operator (pixelbox_tpu/ocr/).
         self.ocr_enabled = bool(ocr)
+        #: Guards row↔image-id mappings against compaction renumbering:
+        #: query flows (here and in the serving layer) hold the read
+        #: side across scan→assemble; compact() takes the write side.
+        #: Tombstoning (remove_image) needs no lock — it only flips
+        #: validity on an immutable-snapshot index; renumbering is the
+        #: hazard (utils/rwlock.py).
+        from pixelbox_tpu.utils.rwlock import RWLock
+
+        self.index_rwlock = RWLock()
 
         self._embedder_name = embedder
         self._embedder_kwargs = dict(embedder_kwargs or {})
@@ -370,16 +394,27 @@ class Engine:
         def _verify_gone(path: str) -> bool:
             """Double-check a crawl-missing path is REALLY gone before
             tombstoning — a transient glob/IO error during the crawl must
-            not mass-delete a library."""
+            not mass-delete a library.  Only a definitive
+            FileNotFoundError counts as gone: EACCES/ESTALE/IO errors (an
+            unreachable mount stats like this) are NOT deletion."""
             import os
 
             from pixelbox_tpu.ingest.decode import split_zip_path
 
+            def _stat_gone(p: str) -> bool:
+                try:
+                    os.stat(p)
+                    return False
+                except (FileNotFoundError, NotADirectoryError):
+                    return True
+                except OSError:
+                    return False  # unreachable ≠ deleted
+
             zp = split_zip_path(path)
             if zp is None:
-                return not os.path.exists(path)
+                return _stat_gone(path)
             zpath, member = zp
-            if not os.path.exists(zpath):
+            if _stat_gone(zpath):
                 return True
             try:
                 import zipfile
@@ -398,9 +433,15 @@ class Engine:
             remove-folder --purge's job)."""
             import os
 
+            # Only roots that are REACHABLE right now participate: a
+            # folder on an unmounted drive must not mass-tombstone its
+            # rows (the crawl silently yields nothing for a missing
+            # root, so without this check every row under it would look
+            # deleted).
             roots = tuple(
                 os.path.realpath(f) + os.sep
                 for f in self.get_tracked_folders()
+                if os.path.isdir(f)
             )
             if not roots:
                 return
@@ -486,12 +527,15 @@ class Engine:
             self.catalog.insert_hash(
                 "blip_hashes", image_id, record.blip_hash.tobytes()
             )
-        self._append_hashes(
-            image_id,
-            record.visual_hash,
-            record.phash,
-            record.blip_hash,
-        )
+        with self.index_rwlock.write_locked():
+            # Device appends donate the old store buffer — see
+            # insert_records_batch.
+            self._append_hashes(
+                image_id,
+                record.visual_hash,
+                record.phash,
+                record.blip_hash,
+            )
         self._cached_index_size = None
         with self._recent_lock:
             self._recently_indexed.append(record.path)
@@ -500,7 +544,17 @@ class Engine:
 
     def insert_records_batch(self, records) -> List[Optional[int]]:
         """Insert many fully-hashed records in one catalog transaction and
-        one device append per store (the ingest writer's hot path)."""
+        one device append per store (the ingest writer's hot path).
+
+        Takes the index WRITE lock: device appends DONATE the old store
+        buffer to XLA (in-place growth without copying the whole index),
+        which frees it under any query still scanning the old snapshot
+        ("Buffer has been deleted or donated" — reproduced by the
+        concurrent-compaction test).  Queries hold the read side."""
+        with self.index_rwlock.write_locked():
+            return self._insert_records_batch_locked(records)
+
+    def _insert_records_batch_locked(self, records) -> List[Optional[int]]:
         rows = [
             {
                 "filename": r.filename,
@@ -627,8 +681,13 @@ class Engine:
 
         (The reference stages but never implements removal —
         engine.rs:414 'TODO: Remove images which exist inside the indexed
-        folder'.)  Device rows are tombstoned; ids stay stable.
-        """
+        folder'.)  Device rows are tombstoned; ids stay stable.  Write
+        lock: the tombstone flips the validity array via a donating
+        update, same free-under-reader hazard as appends."""
+        with self.index_rwlock.write_locked():
+            return self._remove_image_locked(image_id)
+
+    def _remove_image_locked(self, image_id: int) -> bool:
         if self.catalog.get_image(image_id) is None:
             return False
         self.catalog.remove_image(image_id)
@@ -645,7 +704,14 @@ class Engine:
 
     def compact(self) -> None:
         """Drop tombstoned rows from the device stores and renumber the
-        row↔image mappings (call after bulk removals)."""
+        row↔image mappings (call after bulk removals).  Takes the index
+        write lock: renumbering must not interleave with any query flow
+        mapping scan rows back to image ids (the watcher calls this from
+        its own thread while serving continues)."""
+        with self.index_rwlock.write_locked():
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
 
         def compact_store(store, image_ids, row_by_image):
             if store is None or store.n_deleted == 0:
@@ -748,6 +814,7 @@ class Engine:
     # ------------------------------------------------------------------ #
     # Text query (engine.rs:261-350)
 
+    @_read_locked
     def query(self, user_input: str) -> None:
         """Run a text query; results via :meth:`get_query_results`.
 
@@ -960,6 +1027,7 @@ class Engine:
         self._cached_search_results = results
         print(f"{len(results)} results", file=sys.stderr)
 
+    @_read_locked
     def query_by_text(self, text: str) -> None:
         """Direct text→image search API (bypasses the query language)."""
         from pixelbox_tpu.query.parser import ParsedQuery
@@ -1164,6 +1232,7 @@ class Engine:
             meta=meta,
         )
 
+    @_read_locked
     def query_by_image_hash_from_id(self, image_id: int) -> None:
         """Find-similar on an INDEXED image using its stored hash.
 
@@ -1189,6 +1258,7 @@ class Engine:
         )
         self.query_by_image_hash_from_image(record)
 
+    @_read_locked
     def query_by_image_hash_from_image(self, record: IndexedImage) -> None:
         if record.visual_hash is None:
             print("TODO: IndexedImage is somehow missing a hash!", file=sys.stderr)
@@ -1316,6 +1386,7 @@ class Engine:
         n = len(self._cached_search_results)
         print(f"Time to search DB: {time.perf_counter()-t0:.3f}s  Results: {n}", file=sys.stderr)
 
+    @_read_locked
     def query_by_phash(self, phash_bytes: np.ndarray, k: Optional[int] = None) -> None:
         """Perceptual-hash (Hamming) search — the capability behind the
         reference's phash table + hamming UDF (engine.rs:594-663).
@@ -1541,6 +1612,7 @@ class Engine:
     # reference's only dedup affordance is manual per-image
     # "find similar", search.rs:100)
 
+    @_read_locked
     def find_duplicate_pairs(
         self,
         max_distance: float = 0.1,

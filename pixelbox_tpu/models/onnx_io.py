@@ -116,17 +116,23 @@ def _iter_fields(data: bytes):
             raise ValueError(f"unsupported wire type {wire}")
 
 
+def _s64(v: int) -> int:
+    """Protobuf int64 varints are two's-complement on the wire: fold
+    values ≥ 2^63 back to their negative meaning (axis=-1 etc.)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _packed_or_repeated_ints(values: List) -> List[int]:
     out: List[int] = []
     for wire, v in values:
         if wire == 0:
-            out.append(v)
+            out.append(_s64(v))
         else:  # packed
             buf = memoryview(v)
             pos = 0
             while pos < len(buf):
                 x, pos = _dec_varint(buf, pos)
-                out.append(x)
+                out.append(_s64(x))
     return out
 
 
@@ -190,7 +196,7 @@ def _parse_attr(data: bytes) -> Tuple[str, object]:
         if field == 1:
             name = v.decode()
         elif field == 3 and wire == 0:        # i
-            single_i = v
+            single_i = _s64(v)
         elif field == 2 and wire == 5:        # f
             single_f = struct.unpack("<f", v)[0]
         elif field == 4 and wire == 2:        # s

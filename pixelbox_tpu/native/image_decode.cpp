@@ -358,7 +358,13 @@ static void px_build_weights(int n_in, int n_out, int filter, PxWeights* pw) {
 
 // Weight tables depend only on (n_in, n_out, filter) — ingest resizes the
 // same shapes millions of times, so cache them (small, thread-safe).
-static const PxWeights& px_cached_weights(int n_in, int n_out, int filter) {
+// SAFETY: cached entries are NEVER evicted or mutated once inserted (an
+// eviction would free weights a concurrent — or even the same — px_resize
+// call still holds a pointer to).  Growth is bounded instead by refusing
+// to insert past the cap: overflow shapes build into the caller's local
+// buffer and skip the cache.  256 entries ≈ a few KB each.
+static const PxWeights* px_cached_weights(int n_in, int n_out, int filter,
+                                          PxWeights* local) {
   struct Key {
     int a, b, f;
     bool operator==(const Key& o) const {
@@ -372,29 +378,34 @@ static const PxWeights& px_cached_weights(int n_in, int n_out, int filter) {
   };
   static std::mutex mu;
   static std::unordered_map<Key, std::unique_ptr<PxWeights>, KeyHash> cache;
-  std::lock_guard<std::mutex> lock(mu);
   Key key{n_in, n_out, filter};
-  auto it = cache.find(key);
-  if (it == cache.end()) {
-    auto pw = std::make_unique<PxWeights>();
-    px_build_weights(n_in, n_out, filter, pw.get());
-    it = cache.emplace(key, std::move(pw)).first;
-    if (cache.size() > 256) {  // unbounded-growth guard (arbitrary shapes)
-      // Drop everything but the newly built entry; steady-state ingest
-      // uses a handful of shapes so this almost never fires.
-      auto kept = std::move(it->second);
-      cache.clear();
-      it = cache.emplace(key, std::move(kept)).first;
+  {
+    std::lock_guard<std::mutex> lock(mu);
+    auto it = cache.find(key);
+    if (it != cache.end()) return it->second.get();
+  }
+  // Build outside the lock (it's the expensive part).
+  auto pw = std::make_unique<PxWeights>();
+  px_build_weights(n_in, n_out, filter, pw.get());
+  {
+    std::lock_guard<std::mutex> lock(mu);
+    auto it = cache.find(key);
+    if (it != cache.end()) return it->second.get();  // raced: reuse theirs
+    if (cache.size() < 256) {
+      it = cache.emplace(key, std::move(pw)).first;
+      return it->second.get();
     }
   }
-  return *it->second;
+  *local = std::move(*pw);  // cache full: caller-owned, uncached
+  return local;
 }
 
 // src: u8 [sh, sw, ch] → dst: u8 [dh, dw, ch].  filter 0=triangle 1=gaussian.
 void px_resize(const uint8_t* src, uint32_t sw, uint32_t sh, uint32_t ch,
                uint8_t* dst, uint32_t dw, uint32_t dh, int filter) {
-  const PxWeights& wv = px_cached_weights((int)sh, (int)dh, filter);
-  const PxWeights& wh = px_cached_weights((int)sw, (int)dw, filter);
+  PxWeights wv_local, wh_local;
+  const PxWeights& wv = *px_cached_weights((int)sh, (int)dh, filter, &wv_local);
+  const PxWeights& wh = *px_cached_weights((int)sw, (int)dw, filter, &wh_local);
   // Vertical pass first (matches ops/resample.resize_np order): f32 tmp.
   std::vector<float> tmp((size_t)dh * sw * ch);
   size_t sstride = (size_t)sw * ch;

@@ -123,9 +123,13 @@ def _cosine_distance_from_moments(
     dist = jnp.float32(1.0) / jnp.maximum(cos, jnp.float32(_COSINE_FLOOR)) - jnp.float32(1.0)
     # Rounding guards (both part of the spec): true cos never exceeds 1
     # (Cauchy-Schwarz), so negative dist is pure rsqrt/divide noise —
-    # clamp it; and IDENTICAL vectors (⟺ dot == m2a == m2b on the exact
-    # integer moments, the C-S equality case) score exactly 0 like the v1
-    # single-sqrt spec did, instead of ±1 ulp of it.
+    # clamp it; and IDENTICAL vectors (⟺ dot == m2a == m2b, the C-S
+    # equality case) score exactly 0 like the v1 single-sqrt spec did,
+    # instead of ±1 ulp of it.  The equality is evaluated on the F32
+    # MOMENT COPIES every implementation shares: exact for dim ≤ 258
+    # (moments < 2^24 — covers the shipped 128/256 widths); above that,
+    # distinct near-identical vectors whose moments alias in f32 also
+    # pin to 0 — consistently across oracle/XLA/kernel/C++.
     dist = jnp.maximum(dist, jnp.float32(0.0))
     ident = (dot_c == mag2_a_c) & (mag2_a_c == mag2_b_c)
     zero = (mag2_a_c == jnp.float32(0.0)) | (mag2_b_c == jnp.float32(0.0))

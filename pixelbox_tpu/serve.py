@@ -267,9 +267,12 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                 and engine._sem_store.size > 0:
             scan_service.k = int(engine.max_search_results)
             scan_service.max_distance = float(engine.max_distance_from_query)
-            dist, idx = scan_service.submit(rec.visual_hash)
-            keep = idx >= 0
-            results = engine._build_results(idx[keep], dist[keep])
+            # Read lock across scan→assemble: a compaction renumbering
+            # between them would map rows through the wrong id table.
+            with engine.index_rwlock.read_locked():
+                dist, idx = scan_service.submit(rec.visual_hash)
+                keep = idx >= 0
+                results = engine._build_results(idx[keep], dist[keep])
             with lock:
                 engine._cached_search_results = results
             return results
@@ -295,9 +298,12 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                 scan_service.max_distance = float(
                     engine.max_distance_from_query
                 )
-                dist, rows = scan_service.submit(np.asarray(ph), kind="phash")
-                keep = rows >= 0
-                ids = engine.phash_ids_for_rows(rows[keep])
+                with engine.index_rwlock.read_locked():
+                    dist, rows = scan_service.submit(
+                        np.asarray(ph), kind="phash"
+                    )
+                    keep = rows >= 0
+                    ids = engine.phash_ids_for_rows(rows[keep])
                 results = engine._results_from_image_ids(ids, dist[keep])
                 with lock:
                     engine._cached_search_results = results
@@ -313,16 +319,27 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
         service (kind="blip"): embed the text on the request thread,
         batch the device scan, assemble results.  Filtered/compound
         queries return None and take the normal engine path."""
-        qt = q.strip()
-        if not qt.lower().startswith("text:"):
+        # Must agree with the engine path: only a query that TOKENIZES
+        # to exactly one text: token qualifies (an unquoted multi-word
+        # query tokenizes to text:'word1' + bare filename tokens — that
+        # compound form takes the normal engine path).
+        from pixelbox_tpu.query.tokenizer import tokenize_query
+
+        try:
+            tokens = tokenize_query(q)
+        except Exception:
             return None
-        text = qt[5:].strip().strip('"')
-        if not text or ":" in text or " AND " in text:
+        if len(tokens) != 1 or not tokens[0].lower().startswith("text:"):
+            return None
+        text = tokens[0][5:].strip()
+        if not text:
             return None
         if (
             scan_service is None
             or "blip" not in getattr(scan_service, "kinds", ())
             or getattr(engine, "blip_searcher", None) is None
+            or getattr(engine, "_blip_store", None) is None
+            or engine._blip_store.size == 0
         ):
             return None
         import numpy as np
@@ -330,9 +347,10 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
         try:
             h = engine.blip_searcher.text_hashes([text])[0]
             scan_service.k = int(engine.max_search_results)
-            dist, rows = scan_service.submit(np.asarray(h), kind="blip")
-            keep = rows >= 0
-            ids = engine.blip_ids_for_rows(rows[keep])
+            with engine.index_rwlock.read_locked():
+                dist, rows = scan_service.submit(np.asarray(h), kind="blip")
+                keep = rows >= 0
+                ids = engine.blip_ids_for_rows(rows[keep])
             return engine._results_from_image_ids(ids, dist[keep])
         except Exception:
             return None  # empty/missing blip store etc. — normal path

@@ -229,10 +229,12 @@ class BatchingScanService:
 
         int4 = isinstance(index, PackedSemantic4Index)
         if int4 and self.mode != "auto":
-            # Honor an explicitly requested execution strategy.
-            from pixelbox_tpu.ops.int4 import cosine4_scan_topk
+            # Honor an explicitly requested execution strategy — with the
+            # same (asymmetric) metric every other int4 path uses; mode
+            # picks HOW to scan, never what distance ranks by.
+            from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
 
-            return cosine4_scan_topk(
+            return cosine4a_scan_topk(
                 jnp.asarray(queries), index, k=self.k,
                 max_distance=self.max_distance,
             )

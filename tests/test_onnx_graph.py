@@ -266,3 +266,30 @@ def test_torch_export_cross_check(tmp_path):
     model = OnnxGraphModel(path)
     got = np.asarray(model(jnp.asarray(x.numpy())))
     np.testing.assert_allclose(got, exp, rtol=3e-5, atol=3e-5)
+
+
+def test_negative_axis_attributes(tmp_path):
+    """Protobuf encodes negative int64 attributes as huge varints; the
+    reader must sign-fold them (Softmax axis=-1 appears in every
+    transformer export — round-3 review finding)."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((6, 5)).astype(np.float32)
+    nodes = [
+        _node("MatMul", ["input", "w"], ["m"]),
+        _node("Softmax", ["m"], ["sm"], [_attr("axis", i=-1)]),
+        _node("ReduceMean", ["sm"], ["output"],
+              [_attr("axes", ints=[-1]), _attr("keepdims", i=0)]),
+    ]
+    path = str(tmp_path / "negaxis.onnx")
+    _write_model(path, nodes, [_tensor("w", w)],
+                 [("input", [2, 6])], [("output", [2])])
+    m = read_onnx(path)
+    assert m["nodes"][1]["attrs"]["axis"] == -1
+    assert m["nodes"][2]["attrs"]["axes"] == [-1]
+    model = OnnxGraphModel(path)
+    x = rng.standard_normal((2, 6)).astype(np.float32)
+    got = np.asarray(model(jnp.asarray(x)))
+    import scipy.special
+
+    exp = scipy.special.softmax(x @ w, axis=-1).mean(axis=-1)
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)

@@ -91,3 +91,105 @@ def test_web_remove_endpoints(photo_dir, tmp_path):
     finally:
         httpd.shutdown()
         eng.close()
+
+
+def test_compact_concurrent_with_queries(tmp_path):
+    """Compaction renumbers row↔id mappings; concurrent query flows hold
+    the engine's index read lock, so results never mix pre-compact scan
+    rows with post-compact id tables (round-3 review finding)."""
+    import threading
+
+    from PIL import Image
+
+    from fixtures import textured_image
+    from pixelbox_tpu.engine import Engine
+
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in range(12):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    eng = Engine.new(
+        str(tmp_path / "cc.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.max_distance_from_query = 1e7
+    for s in range(12):
+        eng.insert_image_from_path(str(d / f"s{s}.png"))
+    probe = eng.load_image(str(d / "s5.png"))
+
+    stop = threading.Event()
+    errors = []
+
+    def churn():
+        # Tombstone + re-add + compact in a loop.
+        i = 0
+        while not stop.is_set():
+            try:
+                eng.query_by_image_hash_from_image(probe)
+                res = eng.get_query_results()
+                assert res, "query returned nothing"
+                assert res[0].path.endswith("s5.png"), res[0].path
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            i += 1
+
+    t = threading.Thread(target=churn)
+    t.start()
+    try:
+        for round_ in range(6):
+            victim = 10 if round_ % 2 == 0 else 11
+            eng.remove_image(victim + 1) if False else None
+            # Remove by id: find ids of s10/s11 by path lookup.
+            row = eng.catalog._connect().execute(
+                "SELECT id FROM images WHERE path LIKE ?",
+                (f"%s{victim}.png",),
+            ).fetchone()
+            if row:
+                eng.remove_image(int(row[0]))
+            eng.compact()
+            eng.insert_image_from_path(str(d / f"s{victim}.png"))
+    finally:
+        stop.set()
+        t.join(timeout=30)
+        eng.close()
+    assert not errors, errors[0]
+
+
+def test_watch_unreachable_root_does_not_mass_delete(tmp_path):
+    """A tracked folder that disappears wholesale (unmounted drive) must
+    NOT tombstone its rows — only individually deleted files do
+    (round-3 review finding)."""
+    import shutil
+    import time as _time
+
+    from PIL import Image
+
+    from fixtures import textured_image
+    from pixelbox_tpu.engine import Engine
+
+    d = tmp_path / "mount"
+    d.mkdir()
+    for s in range(3):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"m{s}.png"
+        )
+    eng = Engine.new(
+        str(tmp_path / "um.db"), embedder="stub", embedder_kwargs={"dim": 16}
+    )
+    eng.add_tracked_folder(str(d))
+    eng.start_indexing(num_workers=2)
+    assert eng.wait_for_indexing(timeout=120)
+    assert eng.get_num_indexed_images() == 3
+
+    # Simulate the unmount: the whole root vanishes.
+    shutil.rmtree(d)
+    eng.watch(interval_s=0.2, num_workers=2)
+    deadline = _time.time() + 10
+    while eng.watch_passes < 3 and _time.time() < deadline:
+        _time.sleep(0.1)
+    eng.stop_watching()
+    assert eng.get_num_indexed_images() == 3  # nothing tombstoned
+    assert eng.watch_removals == 0
+    eng.close()
