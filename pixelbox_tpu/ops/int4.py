@@ -485,3 +485,101 @@ def cosine4_scan_topk_auto(
     if squeeze:
         return best_d[0], best_i[0]
     return best_d, best_i
+
+
+# --------------------------------------------------------------------- #
+# Exact u8 rerank of int4 candidates (round 3)
+#
+# The int4 device index trades precision for 2× row capacity, but the
+# store's AUTHORITATIVE u8 rows never leave the host mirror
+# (index/store.py: "the host mirror and checkpoints stay u8").  Rescoring
+# the scan's top-C candidates with the exact u8 metric therefore costs
+# one tiny host GEMM — and it recovers essentially all of the retrieval
+# quality the 4-bit metric loses: on the structured-embedding recall
+# bench (bench.py:bench_int4_recall_vs_u8, n=200k) asymmetric int4 alone
+# measures recall@10 ≈ 0.49 vs the u8 ground truth; with C=4·k exact-u8
+# rerank it measures 1.00 (recall@100 ≈ 0.999).  Per-dim scaled 4-bit
+# grids were prototyped as an alternative and measured ≈ +0.05 recall@10
+# — not worth a second index format (PERF.md, round-3 int4 section).
+#
+# Returned distances are TRUE u8 reciprocal-cosine distances (canonical
+# numpy spec, ops/oracle.cosine_distance_np), so results are directly
+# comparable with int8-mode results, `max_distance_from_query` keeps its
+# u8-metric meaning (strict `dist < max` in u8 space, engine.rs:375-383),
+# and stored-hash self-matches score exactly 0 again.
+
+
+#: "Unbounded" max_distance for the candidate-retrieval scan.  The
+#: reciprocal-cosine distance tops out at 1/1e-6 − 1 < 1e6 (ops/distances,
+#: engine.rs:582-587), so a strict `dist < 1e7` filter excludes nothing —
+#: the real `max_distance_from_query` bound applies in u8 space after the
+#: rescore.  (1e3, the engine's DEFAULT max distance, is NOT unbounded.)
+UNBOUNDED_DISTANCE = 1e7
+
+
+def default_rerank_candidates(k: int) -> int:
+    """Candidate-list size for the u8 rerank: 4·k with a 400 floor (the
+    measured knee — recall@10 hits 1.0 at C=400 on the 200k structured
+    bench; C=100 already measures 0.98).  Very large k caps the margin at
+    +4096 extra candidates so kernel top-k lanes stay bounded."""
+    k = int(k)
+    return max(4 * k, 400) if k <= 1024 else k + 4096
+
+
+def rerank_candidates_u8(
+    query_u8: np.ndarray,
+    cand_idx: np.ndarray,
+    host_rows_u8: np.ndarray,
+    k: int = 100,
+    max_distance: float = 1e3,
+    chunk_queries: int = 32,
+):
+    """Exact u8 rescoring of per-query candidate rows.
+
+    Parameters
+    ----------
+    query_u8: [Q, D] (or [D]) u8 query codes.
+    cand_idx: [Q, C] (or [C]) global row ids from an int4 scan; −1 marks
+        empty slots (filtered out).
+    host_rows_u8: [N, D] u8 — the store's host mirror
+        (``VectorStore.get_rows`` backing array).
+    k, max_distance: final ``WHERE dist < max … LIMIT k`` semantics,
+        evaluated in the exact u8 metric.
+
+    Returns (dist [Q, k] f32 inf-padded, idx [Q, k] int64 −1-padded),
+    ordered exactly as the full u8 oracle orders the same rows:
+    (dist, global row id) lexicographic ascending — so whenever the
+    candidate set covers the true top-k, the output IS the exact u8
+    top-k (tests/test_int4_rerank.py).
+    """
+    from pixelbox_tpu.ops.oracle import cosine_distance_np
+
+    q = np.atleast_2d(np.asarray(query_u8, dtype=np.uint8))
+    squeeze = np.asarray(cand_idx).ndim == 1
+    ci = np.atleast_2d(np.asarray(cand_idx, dtype=np.int64))
+    qn, c = ci.shape
+    assert q.shape[0] == qn, (q.shape, ci.shape)
+    rows = np.asarray(host_rows_u8, dtype=np.uint8)
+    out_d = np.full((qn, k), np.inf, dtype=np.float32)
+    out_i = np.full((qn, k), -1, dtype=np.int64)
+    maxd = np.float32(max_distance)
+    for s in range(0, qn, chunk_queries):
+        e = min(s + chunk_queries, qn)
+        idx_blk = ci[s:e]
+        # −1 marks empty slots; ids past the mirror's current length can
+        # appear if the store compacted between scan and rerank — treat
+        # both as absent rather than crashing the gather.
+        ok = (idx_blk >= 0) & (idx_blk < rows.shape[0])
+        safe = np.where(ok, idx_blk, 0)
+        gathered = rows[safe]                       # [B, C, D]
+        dist = cosine_distance_np(q[s:e, None, :], gathered)
+        dist = np.where(ok, dist, np.inf).astype(np.float32)
+        for bi in range(e - s):
+            d_row = dist[bi]
+            keep = np.nonzero(d_row < maxd)[0]
+            order = keep[np.lexsort((idx_blk[bi, keep], d_row[keep]))][:k]
+            out_d[s + bi, : len(order)] = d_row[order]
+            out_i[s + bi, : len(order)] = idx_blk[bi, order]
+    if squeeze:
+        return out_d[0], out_i[0]
+    return out_d, out_i

@@ -664,6 +664,13 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8333,
             lambda: engine._sem_store.device_index,
             k=engine.max_search_results,
             max_distance=engine.max_distance_from_query,
+            # int4 libraries rescore candidates with the exact u8 metric
+            # from the store's host mirror (engine.int4_rerank).
+            rerank_rows_provider=(
+                (lambda: engine._sem_store._host_rows)
+                if engine.semantic_precision == "int4" and engine.int4_rerank
+                else None
+            ),
         )
         # Concurrent phash and unfiltered text: queries coalesce too.
         engine.attach_scan_service(scan_service)

@@ -67,14 +67,21 @@ class BatchingScanService:
         max_wait_ms: float = 2.0,
         mode: str = "auto",
         scan_fns: Optional[Dict[str, Callable]] = None,
+        rerank_rows_provider: Optional[Callable] = None,
     ):
         """``index_provider``: zero-arg callable returning the current
         PackedSemanticIndex (so appends are picked up between batches).
         ``scan_fns``: {kind: fn(queries_u8_2d, k, max_distance) ->
-        (dist [B,k], idx [B,k])} for non-semantic modalities."""
+        (dist [B,k], idx [B,k])} for non-semantic modalities.
+        ``rerank_rows_provider``: zero-arg callable returning the u8 host
+        mirror [N, D] — when set and the index is int4, batched scans
+        retrieve top-C int4 candidates and rescore them with the exact u8
+        metric (engine.int4_rerank semantics; serve.py wires the engine's
+        store mirror)."""
         self._provider = (
             index_provider if callable(index_provider) else (lambda: index_provider)
         )
+        self._rerank_rows = rerank_rows_provider
         self.k = k
         self.max_distance = max_distance
         self.max_batch = min(max_batch, _BUCKETS[-1])
@@ -228,23 +235,48 @@ class BatchingScanService:
         from pixelbox_tpu.ops.int4 import PackedSemantic4Index
 
         int4 = isinstance(index, PackedSemantic4Index)
-        if int4 and self.mode != "auto":
-            # Honor an explicitly requested execution strategy — with the
-            # same (asymmetric) metric every other int4 path uses; mode
-            # picks HOW to scan, never what distance ranks by.
-            from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
-
-            return cosine4a_scan_topk(
-                jnp.asarray(queries), index, k=self.k,
-                max_distance=self.max_distance,
-            )
         if int4:
-            from pixelbox_tpu.ops.int4 import cosine4_scan_topk_auto
+            # Rerank (engine.int4_rerank semantics): top-C candidates in
+            # the int4 metric (unbounded — WHERE dist < max applies in
+            # u8 space after rescoring), exact-u8 rescore from the host
+            # mirror.  Falls back to raw int4 results when no mirror is
+            # wired.
+            from pixelbox_tpu.ops.int4 import (
+                UNBOUNDED_DISTANCE,
+                cosine4_scan_topk_auto,
+                cosine4a_scan_topk,
+                default_rerank_candidates,
+                rerank_candidates_u8,
+            )
 
-            sample, meta = self._scan_aux(index)
-            return cosine4_scan_topk_auto(
-                queries, index, k=self.k,
-                max_distance=self.max_distance, sample=sample, meta=meta,
+            rows = self._rerank_rows() if self._rerank_rows else None
+            scan_k = (
+                default_rerank_candidates(self.k) if rows is not None
+                else self.k
+            )
+            scan_maxd = (
+                UNBOUNDED_DISTANCE if rows is not None else self.max_distance
+            )
+            if self.mode != "auto":
+                # Honor an explicitly requested execution strategy — with
+                # the same (asymmetric) metric every other int4 path
+                # uses; mode picks HOW to scan, never what distance
+                # ranks by.
+                dist, idx = cosine4a_scan_topk(
+                    jnp.asarray(queries), index, k=scan_k,
+                    max_distance=scan_maxd,
+                )
+            else:
+                sample, meta = self._scan_aux(index)
+                dist, idx = cosine4_scan_topk_auto(
+                    queries, index, k=scan_k,
+                    max_distance=scan_maxd, sample=sample, meta=meta,
+                )
+            if rows is None:
+                return dist, idx
+            return rerank_candidates_u8(
+                queries, np.asarray(idx), rows,
+                k=self.k, max_distance=self.max_distance,
             )
         if self.mode == "auto":
             sample, meta = self._scan_aux(index)

@@ -37,19 +37,57 @@ def test_store_is_packed(int4_engine):
     assert len(blob) == 32
 
 
-def test_query_matches_int4_oracle(int4_engine):
+def _catalog_hashes(eng):
+    ids, blobs = [], []
+    for image_id, blob in eng.catalog.iter_hashes("semantic_hashes"):
+        ids.append(image_id)
+        blobs.append(np.frombuffer(blob, np.uint8))
+    return ids, np.stack(blobs)
+
+
+def test_query_matches_u8_oracle_via_rerank(int4_engine):
+    """Default int4 queries rescore candidates with the EXACT u8 metric
+    (engine.int4_rerank): on a small library the candidate list covers
+    everything, so results equal the full-precision u8 oracle — same ids,
+    same distances an int8 library would report."""
+    from pixelbox_tpu.ops.oracle import cosine_scan_topk_np
+
     eng, d, _ = int4_engine
     rec = eng.load_image(str(d / "s3.png"))
     eng.query_by_image_hash_from_image(rec)
     got = [
         (r.id, round(r.distance_from_query, 6)) for r in eng.get_query_results()
     ]
-    ids, blobs = [], []
-    for image_id, blob in eng.catalog.iter_hashes("semantic_hashes"):
-        ids.append(image_id)
-        blobs.append(np.frombuffer(blob, np.uint8))
+    ids, blobs = _catalog_hashes(eng)
+    exp_d, exp_i = cosine_scan_topk_np(
+        rec.visual_hash, blobs, k=eng.max_search_results,
+        max_distance=eng.max_distance_from_query,
+    )
+    want = [
+        (ids[i], round(float(v), 6))
+        for v, i in zip(exp_d[0], exp_i[0]) if i >= 0
+    ]
+    assert got == want
+    # Exact-u8 rescoring restores the EXACT self-match: distance 0.
+    assert got[0][1] == 0.0
+
+
+def test_query_matches_int4_oracle_without_rerank(int4_engine):
+    """int4_rerank=False restores raw asymmetric int4-metric results."""
+    eng, d, _ = int4_engine
+    rec = eng.load_image(str(d / "s3.png"))
+    eng.int4_rerank = False
+    try:
+        eng.query_by_image_hash_from_image(rec)
+        got = [
+            (r.id, round(r.distance_from_query, 6))
+            for r in eng.get_query_results()
+        ]
+    finally:
+        eng.int4_rerank = True
+    ids, blobs = _catalog_hashes(eng)
     exp_d, exp_i = cosine4a_scan_topk_np(
-        rec.visual_hash, np.stack(blobs), k=eng.max_search_results,
+        rec.visual_hash, blobs, k=eng.max_search_results,
         max_distance=eng.max_distance_from_query,
     )
     want = [
@@ -59,8 +97,8 @@ def test_query_matches_int4_oracle(int4_engine):
     assert got == want
     # Asymmetric metric: the u8 query vs its int4-quantized row carries
     # quantization error, so the self-match is near-0 (top-ranked), not
-    # exactly 0 (query_mode="sym" restores exact 0).
-    assert got[0][0] is not None and got[0][1] < 0.01
+    # exactly 0.
+    assert got[0][0] is not None and 0.0 < got[0][1] < 0.01
 
 
 def test_exact_mode_matches_auto(int4_engine):
