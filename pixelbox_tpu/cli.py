@@ -12,6 +12,8 @@ the GUI's capabilities:
     search <db> <query...>         — search panel text query (search.rs:40-49)
     similar <db> <image>           — drag-and-drop / "Search for similar"
     similar-id <db> <id>           — per-result find-similar by stored hash
+    face-similar <db> <image>      — face search (roadmap; also face: queries)
+    faces <db> <id> / index-faces  — stored face boxes / backfill detection
     phash-similar <db> <image>     — near-duplicate search
     duplicates <db>                — whole-index near-duplicate pairs/groups
     tag/untag <db> <id> <name>     — editable tags (roadmap)
@@ -54,6 +56,10 @@ def _open_engine(args, create=False):
         kwargs["semantic_precision"] = args.precision
     if getattr(args, "no_int4_rerank", False):
         kwargs["int4_rerank"] = False
+    if getattr(args, "faces", False):
+        kwargs["faces"] = True
+    if getattr(args, "face_onnx", None):
+        kwargs["face_detector_kwargs"] = {"onnx_path": args.face_onnx}
     if getattr(args, "scan_mode", None):
         pass  # applied post-construction below
     eng = Engine(args.db, create=create, **kwargs)
@@ -146,6 +152,19 @@ def main(argv=None) -> int:
             help="skip the exact-u8 rescoring of int4 candidates "
             "(raw asymmetric int4-metric results; recall@10 ~0.5)",
         )
+        sp.add_argument(
+            "--faces", action="store_true",
+            help="detect + embed faces at index time (face: queries, "
+            "face-similar). Built-in classical frontal-face detector; "
+            "persisted in the library like --precision. Reference "
+            "roadmap 'Face search'",
+        )
+        sp.add_argument(
+            "--face-onnx", default=None, metavar="DETECTOR.onnx",
+            help="run a user ONNX face detector instead of the built-in "
+            "(UltraFace-convention outputs; executed by the JAX graph "
+            "interpreter)",
+        )
         return sp
 
     add_db_cmd("init", help="create a new library database")
@@ -190,7 +209,10 @@ def main(argv=None) -> int:
     sp.add_argument("id", type=int)
     sp.add_argument("name")
 
-    sp = add_db_cmd("search", help="text query (supports similar:/tag:/exif:/all:)")
+    sp = add_db_cmd(
+        "search",
+        help="text query (supports similar:/face:/text:/ocr:/tag:/exif:/all:)",
+    )
     sp.add_argument("query", nargs="+")
     sp.add_argument("--json", action="store_true")
     sp.add_argument("--limit", type=int, default=100)
@@ -209,6 +231,25 @@ def main(argv=None) -> int:
     sp.add_argument("--json", action="store_true")
     sp.add_argument("--limit", type=int, default=100)
     sp.add_argument("--max-distance", type=float, default=1e3)
+
+    sp = add_db_cmd(
+        "face-similar",
+        help="find images whose FACES match the largest face in a file "
+        "(reference roadmap 'Face search'; also: search 'face:<path>')",
+    )
+    sp.add_argument("image")
+    sp.add_argument("--json", action="store_true")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.add_argument("--max-distance", type=float, default=1e3)
+
+    sp = add_db_cmd("faces", help="list stored face boxes for an image")
+    sp.add_argument("id", type=int)
+
+    sp = add_db_cmd(
+        "index-faces",
+        help="backfill face detection/embeddings for images indexed "
+        "without --faces (turns the mode on for the library)",
+    )
 
     sp = add_db_cmd(
         "phash-similar", help="find near-duplicates by perceptual hash"
@@ -424,6 +465,26 @@ def main(argv=None) -> int:
                 print(f"error: {engine.last_query_error}", file=sys.stderr)
                 return 1
             _print_results(engine, as_json=args.json)
+        elif args.cmd == "face-similar":
+            engine.max_search_results = args.limit
+            engine.max_distance_from_query = args.max_distance
+            engine.query_by_face_from_file(args.image)
+            if engine.last_query_error:
+                print(f"error: {engine.last_query_error}", file=sys.stderr)
+                return 1
+            _print_results(engine, as_json=args.json)
+        elif args.cmd == "faces":
+            if engine.catalog.get_image(args.id) is None:
+                print(f"No image with id {args.id}", file=sys.stderr)
+                return 1
+            print(json.dumps(engine.get_faces(args.id), indent=2))
+        elif args.cmd == "index-faces":
+            try:
+                n = engine.index_faces()
+            except RuntimeError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            print(f"Indexed faces: {n}")
         elif args.cmd == "phash-similar":
             from pixelbox_tpu.ingest.decode import decode_image_file
             from pixelbox_tpu.ops.phash import phash as phash_fn
@@ -502,6 +563,8 @@ def main(argv=None) -> int:
                         ),
                         "semantic_precision": engine.semantic_precision,
                         "phash_dim": engine._ph_store.dim if engine._ph_store else None,
+                        "faces_enabled": engine.faces_enabled,
+                        "faces": engine.catalog.num_faces(),
                         "timings": get_stats(),
                     },
                     indent=2,

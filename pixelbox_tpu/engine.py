@@ -97,6 +97,8 @@ class Engine:
         semantic_precision: Optional[str] = None,
         ocr: bool = False,
         int4_rerank: bool = True,
+        faces: Optional[bool] = None,
+        face_detector_kwargs: Optional[dict] = None,
     ):
         assert semantic_precision in (None, "int8", "int4"), semantic_precision
         self.catalog = Catalog(db_path, create=create)
@@ -125,6 +127,17 @@ class Engine:
         #: one small host GEMM per query batch.  Off → raw int4-metric
         #: results (the round-2 behavior).
         self.int4_rerank = bool(int4_rerank)
+        #: Face search (reference roadmap README.md:33; pixelbox_tpu/faces).
+        #: Persisted in the library like semantic_precision: indexing with
+        #: --faces on writes face rows; later commands inherit the choice.
+        stored_faces = self.catalog.get_setting("faces_enabled")
+        if faces is None:
+            faces = stored_faces == "1"
+        else:
+            self.catalog.set_setting("faces_enabled", "1" if faces else "0")
+        self.faces_enabled = bool(faces)
+        self._face_detector_kwargs = dict(face_detector_kwargs or {})
+        self._face_detector = None
         self._blip_enabled = blip
         self._blip_kwargs = dict(blip_kwargs or {})
         self._blip_searcher = None
@@ -186,6 +199,15 @@ class Engine:
         self._blip_store: Optional[VectorStore] = None
         self._blip_image_ids: List[int] = []
         self._blip_row_by_image: dict = {}
+        #: Face store: one row per detected face (an image owns many).
+        self._face_store: Optional[VectorStore] = None
+        self._face_ids: List[int] = []        # store row -> catalog face id
+        self._face_image_ids: List[int] = []  # store row -> image id
+        self._face_rows_by_image: dict = {}   # image id -> [store rows]
+        self._face_scan_sample = None
+        self._face_scan_sample_at_ver = -1
+        self._face_pallas_meta = None
+        self._face_pallas_meta_at_ver = -1
         self._load_stores()
 
         # Indexing state.
@@ -267,6 +289,17 @@ class Engine:
             self._blip_row_by_image = {
                 img: r for r, img in enumerate(self._blip_image_ids)
             }
+        fc = list(self.catalog.iter_faces())
+        if fc:
+            dim = len(fc[0][3])
+            self._face_store = VectorStore(dim=dim, kind="semantic")
+            rows = np.frombuffer(b"".join(h for *_, h in fc), dtype=np.uint8)
+            self._face_store.append(rows.reshape(len(fc), dim))
+            self._face_ids = [fid for fid, *_ in fc]
+            self._face_image_ids = [img for _, img, *_ in fc]
+            self._face_rows_by_image = {}
+            for r, img in enumerate(self._face_image_ids):
+                self._face_rows_by_image.setdefault(img, []).append(r)
 
     @property
     def embedder(self):
@@ -298,6 +331,51 @@ class Engine:
             self._blip_searcher = BlipSearcher(**self._blip_kwargs)
             self.catalog.ensure_aux_hash_table("blip_hashes")
         return self._blip_searcher
+
+    @property
+    def face_detector(self):
+        """Callable rgb → List[FaceBox].  The built-in classical detector
+        by default; any user ONNX detector when ``face_detector_kwargs``
+        carries an ``onnx_path`` (faces/onnx_detector.py)."""
+        if self._face_detector is None:
+            kwargs = dict(self._face_detector_kwargs)
+            if "onnx_path" in kwargs:
+                from pixelbox_tpu.faces.onnx_detector import OnnxFaceDetector
+
+                path = kwargs.pop("onnx_path")
+                self._face_detector = OnnxFaceDetector(path, **kwargs)
+            else:
+                from functools import partial
+
+                from pixelbox_tpu.faces.detect import detect_faces
+
+                self._face_detector = partial(detect_faces, **kwargs)
+        return self._face_detector
+
+    def detect_and_embed_faces(self, rgb: np.ndarray) -> list:
+        """Detect faces in one decoded image and embed their crops with
+        the semantic embedder → [((x0,y0,x1,y1) normalized, u8 hash)].
+
+        One batched embed for all the image's faces (Embedder.embed_images
+        handles arbitrary crop sizes via the host preprocess)."""
+        from pixelbox_tpu.faces.detect import crop_face
+        from pixelbox_tpu.ops.quantize import quantize_embedding
+
+        if self.embedder is None:
+            return []
+        boxes = self.face_detector(rgb)
+        if not boxes:
+            return []
+        crops = [crop_face(rgb, b) for b in boxes]
+        latents = self.embedder.embed_images(crops)
+        hashes = np.asarray(quantize_embedding(jnp.asarray(latents)))
+        return [
+            ((b.x0, b.y0, b.x1, b.y1), h) for b, h in zip(boxes, hashes)
+        ]
+
+    def get_faces(self, image_id: int) -> List[dict]:
+        """Stored face boxes for an indexed image (normalized coords)."""
+        return self.catalog.get_faces(image_id)
 
     def enable_blip(self, **blip_kwargs) -> None:
         self._blip_enabled = True
@@ -547,6 +625,8 @@ class Engine:
                 record.phash,
                 record.blip_hash,
             )
+            if record.faces:
+                self._append_faces(image_id, record.faces)
         self._cached_index_size = None
         with self._recent_lock:
             self._recently_indexed.append(record.path)
@@ -621,11 +701,31 @@ class Engine:
                 for (img_id, _), row in zip(bl, row_ids):
                     self._blip_image_ids.append(img_id)
                     self._blip_row_by_image[img_id] = int(row)
+            for img_id, r in new:
+                if r.faces:
+                    self._append_faces(img_id, r.faces)
             with self._recent_lock:
                 self._recently_indexed.extend(r.path for _, r in new)
                 del self._recently_indexed[:-RECENT_IMAGES_TO_SHOW]
         self._cached_index_size = None
         return ids
+
+    def _append_faces(self, image_id: int, faces) -> None:
+        """Store one image's [(box, u8 hash)] faces (catalog + device).
+
+        Caller holds the index write lock (device append donates)."""
+        face_ids = self.catalog.insert_faces(
+            image_id, [(box, np.asarray(h, np.uint8).tobytes()) for box, h in faces]
+        )
+        if self._face_store is None:
+            self._face_store = VectorStore(dim=len(faces[0][1]), kind="semantic")
+        rows = self._face_store.append(
+            np.stack([np.asarray(h, np.uint8) for _, h in faces])
+        )
+        for fid, row in zip(face_ids, rows):
+            self._face_ids.append(fid)
+            self._face_image_ids.append(image_id)
+            self._face_rows_by_image.setdefault(image_id, []).append(int(row))
 
     def _append_hashes(self, image_id, visual_hash, phash, blip_hash=None) -> None:
         if blip_hash is not None:
@@ -677,6 +777,11 @@ class Engine:
         thumb = qoi_encode(make_thumbnail(decoded.rgb))
         ph = phash_ops.phash(decoded.rgb, aspect_preserving=self.phash_compat)
         vh = None if self.embedder is None else self.embedder.mlhash(decoded.rgb)
+        faces = (
+            self.detect_and_embed_faces(decoded.rgb)
+            if self.faces_enabled and self.embedder is not None
+            else None
+        )
         return IndexedImage(
             filename=decoded.filename,
             path=decoded.path,
@@ -685,6 +790,7 @@ class Engine:
             tags=decoded.tags,
             phash=ph,
             visual_hash=vh,
+            faces=faces,
         )
 
     def remove_image(self, image_id: int) -> bool:
@@ -710,6 +816,9 @@ class Engine:
             row = row_by_image.pop(image_id, None)
             if store is not None and row is not None:
                 store.delete([row])
+        face_rows = self._face_rows_by_image.pop(image_id, None)
+        if self._face_store is not None and face_rows:
+            self._face_store.delete(face_rows)
         self._cached_index_size = None
         return True
 
@@ -757,6 +866,23 @@ class Engine:
         self._blip_image_ids, self._blip_row_by_image = compact_store(
             self._blip_store, self._blip_image_ids, self._blip_row_by_image
         )
+        if self._face_store is not None and self._face_store.n_deleted > 0:
+            # Faces map many rows to one image — remap all three views.
+            mapping = self._face_store.compact()
+            new_fids = [0] * self._face_store.n
+            new_imgs = [0] * self._face_store.n
+            new_by_image: dict = {}
+            for old_row, (fid, img) in enumerate(
+                zip(self._face_ids, self._face_image_ids)
+            ):
+                new_row = mapping[old_row] if old_row < len(mapping) else -1
+                if new_row >= 0:
+                    new_fids[int(new_row)] = fid
+                    new_imgs[int(new_row)] = img
+                    new_by_image.setdefault(img, []).append(int(new_row))
+            self._face_ids = new_fids
+            self._face_image_ids = new_imgs
+            self._face_rows_by_image = new_by_image
         # Derived/sharded layouts are stale now (version keys catch this
         # too, but drop the references eagerly to free device memory).
         self._sharded_index = None
@@ -863,6 +989,11 @@ class Engine:
                 if record is not None:
                     # Remember the path as typed for the staleness compare.
                     record.path = parsed.similar_path
+
+        # `face:` — face-similarity modality over the face index.
+        if parsed.face_path is not None:
+            self._query_face_filtered(parsed)
+            return
 
         # `text:` — semantic text→image modality over the BLIP index.
         if parsed.text_query is not None:
@@ -1037,6 +1168,190 @@ class Engine:
         results = self._results_from_image_ids(ids, sel_dists)
         self._cached_search_results = results
         print(f"{len(results)} results", file=sys.stderr)
+
+    def _query_face_filtered(self, parsed) -> None:
+        """``face:`` modality: rank images by their closest stored face
+        to the largest face in the query image, honoring any catalog
+        filters in the same query (reference roadmap README.md:33).
+
+        Semantics mirror the image-similarity scan (engine.rs:375-383):
+        strict ``dist < max_distance_from_query`` in the face metric,
+        best ``max_search_results`` IMAGES (an image with several
+        matching faces counts once, at its closest face's distance)."""
+        if self.embedder is None:
+            self.last_query_error = (
+                "face: requires an embedder model (tags-only mode)"
+            )
+            self._cached_search_results = []
+            return
+        if self._face_store is None or self._face_store.size == 0:
+            if not self.faces_enabled:
+                self.last_query_error = (
+                    "face: search requires a face index — index with "
+                    "--faces / Engine(faces=True), or backfill via "
+                    "index-faces"
+                )
+            self._cached_search_results = []
+            return
+        record = decode_image_file(parsed.face_path)
+        if record is None:
+            self.last_query_error = f"cannot decode image: {parsed.face_path}"
+            self._cached_search_results = []
+            return
+        faces = self.detect_and_embed_faces(record.rgb)
+        if not faces:
+            self.last_query_error = (
+                f"no face detected in query image: {parsed.face_path}"
+            )
+            self._cached_search_results = []
+            return
+        # Largest face wins (area in normalized coords).
+        (box, q_hash) = max(
+            faces, key=lambda f: (f[0][2] - f[0][0]) * (f[0][3] - f[0][1])
+        )
+        self.query_by_face_hash(q_hash, parsed=parsed)
+
+    @_read_locked
+    def query_by_face_from_file(self, path: str) -> None:
+        """Direct face-similarity API (bypasses the query language)."""
+        from pixelbox_tpu.query.parser import ParsedQuery
+
+        self._cached_search_results = None
+        self.last_query_error = None
+        self._query_face_filtered(ParsedQuery(face_path=path))
+
+    def query_by_face_hash(self, q_hash: np.ndarray, parsed=None) -> None:
+        """Scan the face store with an embedded face hash; results are
+        deduplicated to images (closest face per image, order preserved)."""
+        k = int(self.max_search_results)
+        max_distance = float(self.max_distance_from_query)
+        # Over-fetch faces so image-level dedup can still fill k images
+        # (an image contributes all its matching faces to the face top-k).
+        k_faces = min(4 * k + 16, self._face_store.size)
+        n_rows = len(self._face_image_ids)
+        if parsed is not None and parsed.has_filter:
+            ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
+            rows = np.array(
+                [
+                    r
+                    for i in ids
+                    for r in self._face_rows_by_image.get(i, ())
+                ],
+                dtype=np.int64,
+            )
+        else:
+            rows = np.arange(n_rows, dtype=np.int64)
+        if not len(rows):
+            self._cached_search_results = []
+            return
+        if len(rows) > 16384 or len(rows) == n_rows:
+            index = self._face_store.device_index
+            filtered = len(rows) != n_rows
+            if filtered:
+                mask = jnp.zeros(index.capacity, dtype=bool).at[
+                    jnp.asarray(rows)
+                ].set(True)
+                index = index._replace(
+                    valid=jnp.logical_and(index.valid, mask)
+                )
+            with timed("engine.face_scan"):
+                if filtered:
+                    dists, idxs = cosine_scan_topk(
+                        jnp.asarray(q_hash), index, k=k_faces,
+                        max_distance=max_distance,
+                    )
+                else:
+                    dists, idxs = cosine_scan_topk_auto(
+                        jnp.asarray(q_hash), index, k=k_faces,
+                        max_distance=max_distance,
+                        sample=self._get_face_scan_sample(),
+                        row_meta=self._get_face_pallas_meta(),
+                    )
+            dists = np.asarray(dists)
+            idxs = np.asarray(idxs)
+            keep = idxs >= 0
+            sel = idxs[keep]
+            sel_dists = dists[keep]
+        else:
+            db_rows = self._face_store.get_rows(rows)
+            with timed("engine.face_scan"):
+                dists = np.asarray(
+                    cosine_distance(
+                        jnp.asarray(q_hash)[None, :], jnp.asarray(db_rows)
+                    )
+                )
+            order = np.argsort(dists, kind="stable")[:k_faces]
+            order = order[dists[order] < max_distance]
+            sel = rows[order]
+            sel_dists = dists[order]
+        # Dedupe to images: the scan is distance-ascending, so the first
+        # hit per image is its closest face.
+        ids, dedup_d, seen = [], [], set()
+        for row, d in zip(sel, sel_dists):
+            img = self._face_image_ids[int(row)]
+            if img in seen:
+                continue
+            seen.add(img)
+            ids.append(img)
+            dedup_d.append(float(d))
+            if len(ids) >= k:
+                break
+        results = self._results_from_image_ids(
+            ids, np.asarray(dedup_d, dtype=np.float32)
+        )
+        self._cached_search_results = results
+        print(f"{len(results)} results", file=sys.stderr)
+
+    def index_faces(self, batch_size: int = 16) -> int:
+        """Backfill face rows for indexed images that have none (decodes
+        originals from disk).  Returns the number of FACES added."""
+        if self.embedder is None:
+            raise RuntimeError("face indexing requires an embedder model")
+        self.faces_enabled = True
+        self.catalog.set_setting("faces_enabled", "1")
+        done = set(self._face_rows_by_image)
+        conn = self.catalog._connect()
+        todo = [
+            (image_id, path)
+            for image_id, path in conn.execute("SELECT id, path FROM images")
+            if image_id not in done
+        ]
+        count = 0
+        for image_id, path in todo:
+            decoded = decode_image_file(path)
+            if decoded is None:
+                continue
+            faces = self.detect_and_embed_faces(decoded.rgb)
+            if faces:
+                with self.index_rwlock.write_locked():
+                    self._append_faces(image_id, faces)
+                count += len(faces)
+        return count
+
+    def _get_face_scan_sample(self):
+        from pixelbox_tpu.ops.scan import DEFAULT_BLOCK_ROWS, build_scan_sample
+
+        index = self._face_store.device_index
+        if index.capacity <= 4 * DEFAULT_BLOCK_ROWS:
+            return None
+        if (
+            self._face_scan_sample is None
+            or self._face_scan_sample_at_ver != self._face_store.version
+        ):
+            self._face_scan_sample = build_scan_sample(index)
+            self._face_scan_sample_at_ver = self._face_store.version
+        return self._face_scan_sample
+
+    def _get_face_pallas_meta(self):
+        from pixelbox_tpu.ops.pallas_scan import build_row_meta
+
+        if (
+            self._face_pallas_meta is None
+            or self._face_pallas_meta_at_ver != self._face_store.version
+        ):
+            self._face_pallas_meta = build_row_meta(self._face_store.device_index)
+            self._face_pallas_meta_at_ver = self._face_store.version
+        return self._face_pallas_meta
 
     @_read_locked
     def query_by_text(self, text: str) -> None:

@@ -393,6 +393,82 @@ class Catalog:
             conn.commit()
 
     # ------------------------------------------------------------------ #
+    # Faces (additive table; reference roadmap "Face search", README.md:33).
+    # Unlike the per-image hash tables, one image holds MANY faces, each
+    # with its bounding box (normalized [0,1] coords) and its own
+    # embedding row in the face device store.
+
+    FACES_SCHEMA_V1 = """CREATE TABLE faces (
+        id        INTEGER PRIMARY KEY AUTOINCREMENT,
+        image_id  INTEGER NOT NULL,
+        x0 REAL, y0 REAL, x1 REAL, y1 REAL,
+        hash      BLOB
+    )"""
+
+    def ensure_faces_table(self) -> None:
+        conn = self._connect()
+        with self._lock:
+            if not self._table_exists("faces"):
+                conn.execute(self.FACES_SCHEMA_V1)
+                conn.execute(
+                    "CREATE INDEX faces_by_image ON faces (image_id)"
+                )
+                conn.commit()
+
+    def insert_faces(
+        self, image_id: int, faces: Sequence[Tuple[Tuple[float, float, float, float], bytes]]
+    ) -> List[int]:
+        """Insert (box, hash_bytes) rows for one image; returns face ids."""
+        if not faces:
+            return []
+        self.ensure_faces_table()
+        conn = self._connect()
+        ids = []
+        with self._lock:
+            for (x0, y0, x1, y1), h in faces:
+                cur = conn.execute(
+                    "INSERT INTO faces (image_id, x0, y0, x1, y1, hash)"
+                    " VALUES (?, ?, ?, ?, ?, ?)",
+                    (
+                        image_id,
+                        float(x0), float(y0), float(x1), float(y1),
+                        sqlite3.Binary(h),
+                    ),
+                )
+                ids.append(int(cur.lastrowid))
+            conn.commit()
+        return ids
+
+    def iter_faces(self) -> Iterable[Tuple[int, int, Tuple[float, float, float, float], bytes]]:
+        """Yield (face_id, image_id, (x0,y0,x1,y1), hash) in face-id order."""
+        if not self._table_exists("faces"):
+            return
+        conn = self._connect()
+        for fid, img, x0, y0, x1, y1, h in conn.execute(
+            "SELECT id, image_id, x0, y0, x1, y1, hash FROM faces ORDER BY id"
+        ):
+            yield fid, img, (x0, y0, x1, y1), h
+
+    def get_faces(self, image_id: int) -> List[dict]:
+        if not self._table_exists("faces"):
+            return []
+        conn = self._connect()
+        return [
+            {"id": fid, "image_id": image_id, "box": (x0, y0, x1, y1)}
+            for fid, x0, y0, x1, y1 in conn.execute(
+                "SELECT id, x0, y0, x1, y1 FROM faces WHERE image_id = ?"
+                " ORDER BY id",
+                (image_id,),
+            )
+        ]
+
+    def num_faces(self) -> int:
+        if not self._table_exists("faces"):
+            return 0
+        conn = self._connect()
+        return int(conn.execute("SELECT COUNT(*) FROM faces").fetchone()[0])
+
+    # ------------------------------------------------------------------ #
     # Framework settings (additive table; reference DBs gain it lazily)
 
     def set_setting(self, key: str, value: str) -> None:
@@ -456,6 +532,8 @@ class Catalog:
                     conn.execute(
                         f"DELETE FROM {table} WHERE image_id = ?", (image_id,)
                     )
+            if self._table_exists("faces"):
+                conn.execute("DELETE FROM faces WHERE image_id = ?", (image_id,))
             conn.commit()
 
     def filter_images(self, where_sql: str, params: Sequence) -> List[int]:

@@ -58,6 +58,8 @@ class _Item:
     record: IndexedImage
     preprocessed: np.ndarray  # f32 [S,S,3] (classic) or u8 frame (turbo)
     preprocessed_blip: Optional[np.ndarray] = None  # f32 [Sb, Sb, 3]
+    #: faces mode: (normalized boxes, preprocessed f32 crops) per image
+    faces: Optional[tuple] = None
 
 
 class IngestPipeline:
@@ -178,6 +180,31 @@ class IngestPipeline:
                     if blip is not None
                     else None
                 )
+                face_dets = None
+                if (
+                    getattr(engine, "faces_enabled", False)
+                    and engine.embedder is not None
+                ):
+                    # Detection runs here in the decode pool (host CPU,
+                    # parallel across workers); the crops embed on device
+                    # in the writer's batch.
+                    from pixelbox_tpu.faces.detect import crop_face
+
+                    try:
+                        boxes = engine.face_detector(decoded.rgb)
+                    except Exception:
+                        boxes = []
+                    if boxes:
+                        face_dets = (
+                            [(b.x0, b.y0, b.x1, b.y1) for b in boxes],
+                            [
+                                preprocess_host(
+                                    crop_face(decoded.rgb, b),
+                                    engine.embedder.input_size,
+                                )
+                                for b in boxes
+                            ],
+                        )
                 tags = decoded.tags
                 if getattr(engine, "ocr_enabled", False):
                     from pixelbox_tpu.ocr import OCR_TAG, recognize_text
@@ -199,7 +226,12 @@ class IngestPipeline:
                     tags=tags,
                     phash=ph,
                 )
-                item = _Item(record=record, preprocessed=pre, preprocessed_blip=pre_blip)
+                item = _Item(
+                    record=record,
+                    preprocessed=pre,
+                    preprocessed_blip=pre_blip,
+                    faces=face_dets,
+                )
                 while not self._stop.is_set():
                     try:
                         self._item_q.put(item, timeout=0.25)
@@ -295,6 +327,35 @@ class IngestPipeline:
                 it.record.blip_hash = bh
         for it, vh in zip(batch, hashes):
             it.record.visual_hash = vh
+        # Face crops: one device embed for ALL the batch's faces, padded
+        # to a power-of-two bucket (variable face counts must not mint a
+        # fresh jit shape per flush).
+        crops: List[np.ndarray] = []
+        owners: List[tuple] = []
+        for it in batch:
+            if it.faces:
+                for box, crop in zip(*it.faces):
+                    crops.append(crop)
+                    owners.append((it, box))
+        if crops and self.engine.embedder is not None:
+            with timed("ingest.face_embed_batch"):
+                n = len(crops)
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2
+                arr = np.stack(crops)
+                if bucket > n:
+                    arr = np.concatenate(
+                        [arr, np.zeros((bucket - n,) + arr.shape[1:], arr.dtype)]
+                    )
+                face_latents = self.engine.embedder.embed_preprocessed(
+                    jnp.asarray(arr)
+                )
+                face_hashes = np.asarray(quantize_embedding(face_latents))[:n]
+            for (it, box), h in zip(owners, face_hashes):
+                if it.record.faces is None:
+                    it.record.faces = []
+                it.record.faces.append((box, h))
         ids = self.engine.insert_records_batch([it.record for it in batch])
         for i in ids:
             if i is not None:

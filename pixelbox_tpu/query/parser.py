@@ -20,6 +20,9 @@ Operators (prefix split on the FIRST ':'; prefix is lowercased):
   capability the reference staged via models/blip-config.json but never
   wired — reference README.md:35 roadmap).  Multiple ``text:`` tokens
   join with spaces.  Contributes no WHERE clause, like ``similar:``.
+- ``face:<path>`` — face-similarity search over the face index
+  (reference roadmap "Face search", README.md:33).  Contributes no
+  WHERE clause, like ``similar:``.
 - ``filename:<text>`` — filename LIKE %text%.  NOTE: the reference has an
   apparent bug here (engine.rs:556-558 interpolates the WHOLE token
   including the ``filename:`` prefix, so the operator can never match);
@@ -47,6 +50,7 @@ class ParsedQuery:
     params: List[str] = field(default_factory=list)
     similar_path: Optional[str] = None  # from `similar:<path>`, last one wins
     text_query: Optional[str] = None    # from `text:<words>` tokens, space-joined
+    face_path: Optional[str] = None     # from `face:<path>`, last one wins
     tokens: List[str] = field(default_factory=list)
 
     @property
@@ -64,6 +68,7 @@ def parse_query(user_input: str) -> ParsedQuery:
     clauses: List[str] = []
     params: List[str] = []
     similar_path: Optional[str] = None
+    face_path: Optional[str] = None
     text_parts: List[str] = []
 
     for token in tokens:
@@ -72,6 +77,13 @@ def parse_query(user_input: str) -> ParsedQuery:
             magic_prefix = magic_prefix.lower()
             if magic_prefix == "similar":
                 similar_path = remaining
+            elif magic_prefix == "face":
+                # Face-similarity modality (reference roadmap "Face
+                # search", README.md:33): the engine detects the largest
+                # face in the named image, embeds its crop, and ranks
+                # indexed images by their closest stored face.
+                # Contributes no WHERE clause, like `similar:`.
+                face_path = remaining
             elif magic_prefix == "text":
                 text_parts.append(remaining)
             elif magic_prefix in ("exif", "tag"):
@@ -121,5 +133,6 @@ def parse_query(user_input: str) -> ParsedQuery:
         params=params,
         similar_path=similar_path,
         text_query=" ".join(text_parts) if text_parts else None,
+        face_path=face_path,
         tokens=tokens,
     )

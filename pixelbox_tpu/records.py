@@ -23,6 +23,8 @@ class IndexedImage:
     phash: Optional[np.ndarray] = None        # uint8 bytes
     visual_hash: Optional[np.ndarray] = None  # uint8 embedding
     blip_hash: Optional[np.ndarray] = None    # uint8 BLIP ITC latent (text search)
+    #: face search (Engine(faces=True)): [(normalized (x0,y0,x1,y1), u8 hash)]
+    faces: Optional[list] = None
     distance_from_query: Optional[float] = None
 
     def get_thumbnail(self) -> Tuple[np.ndarray, Tuple[int, int]]:

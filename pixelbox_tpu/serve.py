@@ -13,6 +13,8 @@ Endpoints:
   GET  /api/search?q=...      text query results
   POST /api/similar           image bytes → similarity results
   GET  /api/similar?id=N      find-similar on an indexed image
+  POST /api/face-similar      image bytes → face-search results
+  GET  /api/faces?id=N        stored face boxes for an indexed image
   GET  /api/thumbnail?id=N    PNG thumbnail
   GET  /api/folders           tracked folders
   POST /api/folders/add       {"folder": path}
@@ -314,6 +316,20 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
             engine.query_by_phash(ph)
             return engine.get_query_results() or []
 
+    def _face_similar(rgb):
+        """Face search for an uploaded image: detect + embed the largest
+        face, scan the face store (engine.query_by_face_hash semantics).
+        Returns None when no face is detected (caller reports 422)."""
+        faces = engine.detect_and_embed_faces(rgb)
+        if not faces:
+            return None
+        _, q_hash = max(
+            faces, key=lambda f: (f[0][2] - f[0][0]) * (f[0][3] - f[0][1])
+        )
+        with lock:
+            engine.query_by_face_hash(q_hash)
+            return engine.get_query_results() or []
+
     def _text_fastpath(q):
         """Unfiltered ``text:`` queries coalesce through the scan
         service (kind="blip"): embed the text on the request thread,
@@ -533,6 +549,11 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                             for a, b, d in pairs
                         ]},
                     )
+                if parsed.path == "/api/faces":
+                    image_id = int(qs["id"][0])
+                    if engine.catalog.get_image(image_id) is None:
+                        return self._send(404, {"error": "no such image"})
+                    return self._send(200, engine.get_faces(image_id))
                 if parsed.path == "/api/status":
                     status = {
                         "images": engine.get_num_indexed_images(),
@@ -540,6 +561,12 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "max_search_results": engine.max_search_results,
                         "max_distance": engine.max_distance_from_query,
                         "semantic_precision": engine.semantic_precision,
+                        "faces_enabled": engine.faces_enabled,
+                        "faces": (
+                            engine._face_store.size
+                            if engine._face_store is not None
+                            else 0
+                        ),
                         "watching": engine.is_watching(),
                         "watch_removals": getattr(
                             engine, "watch_removals", 0
@@ -573,6 +600,23 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                     return self._send(
                         200, _serialize_results(_phash_similar(rec.phash))
                     )
+                if parsed.path == "/api/face-similar":
+                    from pixelbox_tpu.ingest.decode import decode_image_bytes
+
+                    if engine._face_store is None or engine._face_store.size == 0:
+                        return self._send(
+                            410,
+                            {"error": "no face index — index with --faces"},
+                        )
+                    decoded = decode_image_bytes(body, "upload", "")
+                    if decoded is None:
+                        return self._send(400, {"error": "cannot decode image"})
+                    results = _face_similar(decoded.rgb)
+                    if results is None:
+                        return self._send(
+                            422, {"error": "no face detected in query image"}
+                        )
+                    return self._send(200, _serialize_results(results))
                 data = json.loads(body) if body else {}
                 if parsed.path == "/api/folders/add":
                     engine.add_tracked_folder(data["folder"])
