@@ -163,7 +163,9 @@ def main(argv=None) -> int:
             "--face-onnx", default=None, metavar="DETECTOR.onnx",
             help="run a user ONNX face detector instead of the built-in "
             "(UltraFace-convention outputs; executed by the JAX graph "
-            "interpreter)",
+            "interpreter).  Persisted in the library like --faces so "
+            "query-time detection matches index-time; pass 'builtin' "
+            "to clear",
         )
         return sp
 

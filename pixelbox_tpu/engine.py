@@ -32,6 +32,7 @@ Deliberate divergences (reference bugs fixed, each noted inline):
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import threading
@@ -136,8 +137,30 @@ class Engine:
         else:
             self.catalog.set_setting("faces_enabled", "1" if faces else "0")
         self.faces_enabled = bool(faces)
+        #: The detector CHOICE persists too (it changes results: query
+        #: images must be detected the same way indexed ones were), as a
+        #: JSON kwargs blob.  Explicit kwargs re-persist; an
+        #: onnx_path of ""/"builtin" clears back to the built-in
+        #: detector; absent → restore the library's stored choice.
         self._face_detector_kwargs = dict(face_detector_kwargs or {})
+        if self._face_detector_kwargs:
+            p = self._face_detector_kwargs.get("onnx_path")
+            if "onnx_path" in self._face_detector_kwargs and (
+                not p or p == "builtin"
+            ):
+                self._face_detector_kwargs.pop("onnx_path")
+                self.catalog.set_setting("face_detector_kwargs", "")
+            else:
+                self.catalog.set_setting(
+                    "face_detector_kwargs",
+                    json.dumps(self._face_detector_kwargs),
+                )
+        else:
+            stored_det = self.catalog.get_setting("face_detector_kwargs")
+            if stored_det:
+                self._face_detector_kwargs = json.loads(stored_det)
         self._face_detector = None
+        self._face_detector_init_lock = threading.Lock()
         self._blip_enabled = blip
         self._blip_kwargs = dict(blip_kwargs or {})
         self._blip_searcher = None
@@ -201,7 +224,6 @@ class Engine:
         self._blip_row_by_image: dict = {}
         #: Face store: one row per detected face (an image owns many).
         self._face_store: Optional[VectorStore] = None
-        self._face_ids: List[int] = []        # store row -> catalog face id
         self._face_image_ids: List[int] = []  # store row -> image id
         self._face_rows_by_image: dict = {}   # image id -> [store rows]
         self._face_scan_sample = None
@@ -295,7 +317,6 @@ class Engine:
             self._face_store = VectorStore(dim=dim, kind="semantic")
             rows = np.frombuffer(b"".join(h for *_, h in fc), dtype=np.uint8)
             self._face_store.append(rows.reshape(len(fc), dim))
-            self._face_ids = [fid for fid, *_ in fc]
             self._face_image_ids = [img for _, img, *_ in fc]
             self._face_rows_by_image = {}
             for r, img in enumerate(self._face_image_ids):
@@ -336,20 +357,27 @@ class Engine:
     def face_detector(self):
         """Callable rgb → List[FaceBox].  The built-in classical detector
         by default; any user ONNX detector when ``face_detector_kwargs``
-        carries an ``onnx_path`` (faces/onnx_detector.py)."""
+        carries an ``onnx_path`` (faces/onnx_detector.py).
+
+        Init is locked: the ingest pipeline's decode workers all hit
+        this on their first batch, and an ONNX detector must parse the
+        graph and load its weights onto the device exactly once."""
         if self._face_detector is None:
-            kwargs = dict(self._face_detector_kwargs)
-            if "onnx_path" in kwargs:
-                from pixelbox_tpu.faces.onnx_detector import OnnxFaceDetector
+            with self._face_detector_init_lock:
+                if self._face_detector is not None:
+                    return self._face_detector
+                kwargs = dict(self._face_detector_kwargs)
+                if "onnx_path" in kwargs:
+                    from pixelbox_tpu.faces.onnx_detector import OnnxFaceDetector
 
-                path = kwargs.pop("onnx_path")
-                self._face_detector = OnnxFaceDetector(path, **kwargs)
-            else:
-                from functools import partial
+                    path = kwargs.pop("onnx_path")
+                    self._face_detector = OnnxFaceDetector(path, **kwargs)
+                else:
+                    from functools import partial
 
-                from pixelbox_tpu.faces.detect import detect_faces
+                    from pixelbox_tpu.faces.detect import detect_faces
 
-                self._face_detector = partial(detect_faces, **kwargs)
+                    self._face_detector = partial(detect_faces, **kwargs)
         return self._face_detector
 
     def detect_and_embed_faces(self, rgb: np.ndarray) -> list:
@@ -714,7 +742,7 @@ class Engine:
         """Store one image's [(box, u8 hash)] faces (catalog + device).
 
         Caller holds the index write lock (device append donates)."""
-        face_ids = self.catalog.insert_faces(
+        self.catalog.insert_faces(
             image_id, [(box, np.asarray(h, np.uint8).tobytes()) for box, h in faces]
         )
         if self._face_store is None:
@@ -722,8 +750,7 @@ class Engine:
         rows = self._face_store.append(
             np.stack([np.asarray(h, np.uint8) for _, h in faces])
         )
-        for fid, row in zip(face_ids, rows):
-            self._face_ids.append(fid)
+        for row in rows:
             self._face_image_ids.append(image_id)
             self._face_rows_by_image.setdefault(image_id, []).append(int(row))
 
@@ -867,20 +894,15 @@ class Engine:
             self._blip_store, self._blip_image_ids, self._blip_row_by_image
         )
         if self._face_store is not None and self._face_store.n_deleted > 0:
-            # Faces map many rows to one image — remap all three views.
+            # Faces map many rows to one image — remap both views.
             mapping = self._face_store.compact()
-            new_fids = [0] * self._face_store.n
             new_imgs = [0] * self._face_store.n
             new_by_image: dict = {}
-            for old_row, (fid, img) in enumerate(
-                zip(self._face_ids, self._face_image_ids)
-            ):
+            for old_row, img in enumerate(self._face_image_ids):
                 new_row = mapping[old_row] if old_row < len(mapping) else -1
                 if new_row >= 0:
-                    new_fids[int(new_row)] = fid
                     new_imgs[int(new_row)] = img
                     new_by_image.setdefault(img, []).append(int(new_row))
-            self._face_ids = new_fids
             self._face_image_ids = new_imgs
             self._face_rows_by_image = new_by_image
         # Derived/sharded layouts are stale now (version keys catch this
@@ -1205,10 +1227,10 @@ class Engine:
             )
             self._cached_search_results = []
             return
-        # Largest face wins (area in normalized coords).
-        (box, q_hash) = max(
-            faces, key=lambda f: (f[0][2] - f[0][0]) * (f[0][3] - f[0][1])
-        )
+        # Largest face wins (shared policy, faces/detect.largest_face).
+        from pixelbox_tpu.faces.detect import largest_face
+
+        (box, q_hash) = largest_face(faces)
         self.query_by_face_hash(q_hash, parsed=parsed)
 
     @_read_locked
@@ -1220,14 +1242,17 @@ class Engine:
         self.last_query_error = None
         self._query_face_filtered(ParsedQuery(face_path=path))
 
+    @_read_locked
     def query_by_face_hash(self, q_hash: np.ndarray, parsed=None) -> None:
         """Scan the face store with an embedded face hash; results are
-        deduplicated to images (closest face per image, order preserved)."""
+        deduplicated to images (closest face per image, order preserved).
+
+        Read-locked: serve.py's /api/face-similar calls this directly
+        from request threads while a watcher thread may compact (the
+        nested acquisition from the query() entry points is safe — the
+        RWLock's reads are re-entrant)."""
         k = int(self.max_search_results)
         max_distance = float(self.max_distance_from_query)
-        # Over-fetch faces so image-level dedup can still fill k images
-        # (an image contributes all its matching faces to the face top-k).
-        k_faces = min(4 * k + 16, self._face_store.size)
         n_rows = len(self._face_image_ids)
         if parsed is not None and parsed.has_filter:
             ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
@@ -1254,25 +1279,46 @@ class Engine:
                 index = index._replace(
                     valid=jnp.logical_and(index.valid, mask)
                 )
-            with timed("engine.face_scan"):
-                if filtered:
-                    dists, idxs = cosine_scan_topk(
-                        jnp.asarray(q_hash), index, k=k_faces,
-                        max_distance=max_distance,
-                    )
-                else:
-                    dists, idxs = cosine_scan_topk_auto(
-                        jnp.asarray(q_hash), index, k=k_faces,
-                        max_distance=max_distance,
-                        sample=self._get_face_scan_sample(),
-                        row_meta=self._get_face_pallas_meta(),
-                    )
-            dists = np.asarray(dists)
-            idxs = np.asarray(idxs)
-            keep = idxs >= 0
-            sel = idxs[keep]
-            sel_dists = dists[keep]
+            # Over-fetch faces so image-level dedup can still fill k
+            # IMAGES (an image contributes all its matching faces to the
+            # face top-k); multi-face libraries (group photos) can crowd
+            # any fixed over-fetch, so retry with doubled k_faces until
+            # k images fill or the candidate set is exhausted.
+            k_faces = min(4 * k + 16, len(rows))
+            while True:
+                with timed("engine.face_scan"):
+                    if filtered:
+                        dists, idxs = cosine_scan_topk(
+                            jnp.asarray(q_hash), index, k=k_faces,
+                            max_distance=max_distance,
+                        )
+                    else:
+                        dists, idxs = cosine_scan_topk_auto(
+                            jnp.asarray(q_hash), index, k=k_faces,
+                            max_distance=max_distance,
+                            sample=self._get_face_scan_sample(),
+                            row_meta=self._get_face_pallas_meta(),
+                        )
+                dists = np.asarray(dists)
+                idxs = np.asarray(idxs)
+                keep = idxs >= 0
+                sel = idxs[keep]
+                sel_dists = dists[keep]
+                n_images = len({
+                    self._face_image_ids[int(r)] for r in sel
+                })
+                # Exhausted = fewer faces matched than asked for (no
+                # more rows under max_distance) or k_faces covers all.
+                if (
+                    n_images >= k
+                    or len(sel) < k_faces
+                    or k_faces >= len(rows)
+                ):
+                    break
+                k_faces = min(2 * k_faces, len(rows))
         else:
+            # Small filtered set: score every eligible face (no top-k
+            # truncation, so dedup can never come up short).
             db_rows = self._face_store.get_rows(rows)
             with timed("engine.face_scan"):
                 dists = np.asarray(
@@ -1280,7 +1326,7 @@ class Engine:
                         jnp.asarray(q_hash)[None, :], jnp.asarray(db_rows)
                     )
                 )
-            order = np.argsort(dists, kind="stable")[:k_faces]
+            order = np.argsort(dists, kind="stable")
             order = order[dists[order] < max_distance]
             sel = rows[order]
             sel_dists = dists[order]
@@ -1304,7 +1350,16 @@ class Engine:
 
     def index_faces(self, batch_size: int = 16) -> int:
         """Backfill face rows for indexed images that have none (decodes
-        originals from disk).  Returns the number of FACES added."""
+        originals from disk).  Returns the number of FACES added.
+
+        Detection runs per image on the host; embedding batches the
+        crops of ``batch_size`` images into one device launch, padded to
+        a power-of-two bucket so variable face counts don't mint a fresh
+        jit shape each flush (the ingest writer's pattern)."""
+        from pixelbox_tpu.faces.detect import crop_face
+        from pixelbox_tpu.ops.preprocess import preprocess_host
+        from pixelbox_tpu.ops.quantize import quantize_embedding
+
         if self.embedder is None:
             raise RuntimeError("face indexing requires an embedder model")
         self.faces_enabled = True
@@ -1317,15 +1372,56 @@ class Engine:
             if image_id not in done
         ]
         count = 0
+        pending: list = []  # (image_id, [FaceBox], [preprocessed crop])
+
+        def flush() -> None:
+            nonlocal count
+            if not pending:
+                return
+            crops = [c for _, _, cs in pending for c in cs]
+            n = len(crops)
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            batch = np.zeros(
+                (bucket, self.embedder.input_size, self.embedder.input_size, 3),
+                dtype=np.float32,
+            )
+            batch[:n] = np.stack(crops)
+            latents = self.embedder.embed_preprocessed(jnp.asarray(batch))
+            hashes = np.asarray(quantize_embedding(latents))[:n]
+            i = 0
+            for image_id, boxes, cs in pending:
+                faces = [
+                    ((b.x0, b.y0, b.x1, b.y1), hashes[i + j])
+                    for j, b in enumerate(boxes)
+                ]
+                i += len(boxes)
+                with self.index_rwlock.write_locked():
+                    self._append_faces(image_id, faces)
+                count += len(faces)
+            pending.clear()
+
         for image_id, path in todo:
             decoded = decode_image_file(path)
             if decoded is None:
                 continue
-            faces = self.detect_and_embed_faces(decoded.rgb)
-            if faces:
-                with self.index_rwlock.write_locked():
-                    self._append_faces(image_id, faces)
-                count += len(faces)
+            boxes = self.face_detector(decoded.rgb)
+            if not boxes:
+                continue
+            pending.append((
+                image_id,
+                boxes,
+                [
+                    preprocess_host(
+                        crop_face(decoded.rgb, b), self.embedder.input_size
+                    )
+                    for b in boxes
+                ],
+            ))
+            if len(pending) >= batch_size:
+                flush()
+        flush()
         return count
 
     def _get_face_scan_sample(self):

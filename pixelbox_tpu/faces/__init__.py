@@ -24,4 +24,5 @@ from pixelbox_tpu.faces.detect import (  # noqa: F401
     FaceBox,
     crop_face,
     detect_faces,
+    largest_face,
 )

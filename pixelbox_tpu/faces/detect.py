@@ -337,3 +337,13 @@ def crop_face(rgb: np.ndarray, box: FaceBox, margin: float = 0.15) -> np.ndarray
     if x1 <= x0 or y1 <= y0:  # degenerate box
         return img[:1, :1]
     return img[y0:y1, x0:x1]
+
+
+def largest_face(faces):
+    """Pick the entry with the largest normalized box area from a list of
+    ``(box, payload)`` pairs (box = (x0, y0, x1, y1) in [0, 1]).
+
+    The query-image selection policy — shared by the CLI/query-language
+    path (Engine._query_face_filtered) and the web upload path
+    (serve /api/face-similar) so they cannot diverge."""
+    return max(faces, key=lambda f: (f[0][2] - f[0][0]) * (f[0][3] - f[0][1]))

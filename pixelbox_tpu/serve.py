@@ -320,12 +320,12 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
         """Face search for an uploaded image: detect + embed the largest
         face, scan the face store (engine.query_by_face_hash semantics).
         Returns None when no face is detected (caller reports 422)."""
+        from pixelbox_tpu.faces.detect import largest_face
+
         faces = engine.detect_and_embed_faces(rgb)
         if not faces:
             return None
-        _, q_hash = max(
-            faces, key=lambda f: (f[0][2] - f[0][0]) * (f[0][3] - f[0][1])
-        )
+        _, q_hash = largest_face(faces)
         with lock:
             engine.query_by_face_hash(q_hash)
             return engine.get_query_results() or []

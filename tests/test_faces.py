@@ -407,3 +407,112 @@ def test_index_faces_backfill(tmp_path):
         assert eng.get_query_results()[0].filename == "a.png"
     finally:
         eng.close()
+
+
+def test_face_overfetch_retries_until_k_images(tmp_path):
+    """Multi-face images crowding the face top-k must not starve the
+    image-level result count: the scan retries with a doubled face
+    over-fetch until max_search_results IMAGES fill (or candidates
+    exhaust)."""
+    d = tmp_path / "photos"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    eng = Engine.new(
+        str(tmp_path / "crowd.db"), embedder="stub",
+        embedder_kwargs={"dim": 32}, faces=True,
+    )
+    try:
+        ids = []
+        for i in range(6):
+            p = d / f"img{i}.png"
+            Image.fromarray(textured_image(seed=10 + i, size=(32, 32))).save(p)
+            ids.append(eng.insert_image_from_path(str(p)))
+        base = rng.integers(60, 200, size=32).astype(np.uint8)
+        box = (0.1, 0.1, 0.5, 0.5)
+
+        def near(delta, n):
+            out = np.tile(base, (n, 1)).astype(np.int64)
+            out[:, :4] += delta
+            return np.clip(out, 0, 255).astype(np.uint8)
+
+        # Image 0: a "group photo" with 40 faces, all closest to q.
+        with eng.index_rwlock.write_locked():
+            eng._append_faces(ids[0], [(box, h) for h in near(1, 40)])
+            # Images 1..5: one slightly-farther face each.
+            for j, img_id in enumerate(ids[1:]):
+                eng._append_faces(img_id, [(box, near(8 + j, 1)[0])])
+        eng.max_search_results = 3
+        eng.query_by_face_hash(base)
+        results = eng.get_query_results()
+        assert len(results) == 3  # 4*k+16 = 28 < 40 without the retry
+        assert results[0].id == ids[0]
+        assert len({r.id for r in results}) == 3
+    finally:
+        eng.close()
+
+
+def test_face_detector_lazy_init_is_single(tmp_path):
+    """Concurrent first access (the ingest pipeline's decode workers)
+    constructs the detector exactly once."""
+    import threading as _threading
+    import time as _time
+
+    import pixelbox_tpu.faces.onnx_detector as onnx_det_mod
+
+    eng = Engine.new(
+        str(tmp_path / "lock.db"), embedder="stub",
+        embedder_kwargs={"dim": 32}, faces=True,
+        face_detector_kwargs={"onnx_path": "fake.onnx"},
+    )
+    built = []
+
+    class CountingDetector:
+        def __init__(self, path, **kw):
+            _time.sleep(0.05)  # widen the race window
+            built.append(path)
+
+        def __call__(self, rgb):
+            return []
+
+    real = onnx_det_mod.OnnxFaceDetector
+    onnx_det_mod.OnnxFaceDetector = CountingDetector
+    try:
+        threads = [
+            _threading.Thread(target=lambda: eng.face_detector)
+            for _ in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert built == ["fake.onnx"]
+    finally:
+        onnx_det_mod.OnnxFaceDetector = real
+        eng.close()
+
+
+def test_index_faces_batches_embeds(tmp_path):
+    """index_faces embeds batch_size images' crops per device launch."""
+    d = tmp_path / "photos"
+    d.mkdir()
+    for i in range(5):
+        img, _ = face_image(person=i % 2, bg_seed=20 + i)
+        Image.fromarray(img).save(d / f"f{i}.png")
+    eng = Engine.new(
+        str(tmp_path / "batch.db"), embedder="stub",
+        embedder_kwargs={"dim": 32},
+    )
+    try:
+        for i in range(5):
+            eng.insert_image_from_path(str(d / f"f{i}.png"))
+        emb = eng.embedder
+        calls = []
+        real = emb.embed_preprocessed
+        emb.embed_preprocessed = lambda b: (calls.append(b.shape), real(b))[1]
+        added = eng.index_faces(batch_size=2)
+        assert added == 5
+        assert len(calls) == 3  # ceil(5 images / batch_size 2) flushes
+        # Batches pad to power-of-two buckets (no per-count jit shapes).
+        assert all((n & (n - 1)) == 0 for n, *_ in calls)
+    finally:
+        eng.close()

@@ -125,3 +125,47 @@ def test_engine_with_onnx_detector(detector_onnx, tmp_path):
         assert results[0].distance_from_query == 0.0
     finally:
         eng.close()
+
+
+def test_face_detector_choice_persists(detector_onnx, tmp_path):
+    """The detector kwargs persist with the library (query-time detection
+    must match index-time); onnx_path='builtin' clears back."""
+    img, _ = face_image(person=0)
+    p = tmp_path / "a.png"
+    Image.fromarray(img).save(p)
+    db = str(tmp_path / "persist.db")
+    eng = Engine.new(
+        db, embedder="stub", embedder_kwargs={"dim": 32}, faces=True,
+        face_detector_kwargs={"onnx_path": detector_onnx, "input_size": (16, 16)},
+    )
+    image_id = eng.insert_image_from_path(str(p))
+    eng.close()
+
+    # Reopen WITHOUT kwargs: the ONNX detector (and its input_size)
+    # restore from the library.
+    eng2 = Engine.open(db, embedder="stub", embedder_kwargs={"dim": 32})
+    try:
+        assert eng2._face_detector_kwargs["onnx_path"] == detector_onnx
+        assert list(eng2._face_detector_kwargs["input_size"]) == [16, 16]
+        assert isinstance(eng2.face_detector, OnnxFaceDetector)
+        eng2.query_by_face_from_file(str(p))
+        results = eng2.get_query_results()
+        assert results and results[0].id == image_id
+        assert results[0].distance_from_query == 0.0
+    finally:
+        eng2.close()
+
+    # 'builtin' clears the stored choice…
+    eng3 = Engine.open(
+        db, embedder="stub", embedder_kwargs={"dim": 32},
+        face_detector_kwargs={"onnx_path": "builtin"},
+    )
+    assert "onnx_path" not in eng3._face_detector_kwargs
+    eng3.close()
+    # …and the cleared state persists.
+    eng4 = Engine.open(db, embedder="stub", embedder_kwargs={"dim": 32})
+    try:
+        assert "onnx_path" not in eng4._face_detector_kwargs
+        assert not isinstance(eng4.face_detector, OnnxFaceDetector)
+    finally:
+        eng4.close()
