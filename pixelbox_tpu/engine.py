@@ -230,6 +230,8 @@ class Engine:
         self._face_scan_sample_at_ver = -1
         self._face_pallas_meta = None
         self._face_pallas_meta_at_ver = -1
+        self._face_sharded = None
+        self._face_sharded_at_ver = -1
         self._load_stores()
 
         # Indexing state.
@@ -1254,31 +1256,38 @@ class Engine:
         k = int(self.max_search_results)
         max_distance = float(self.max_distance_from_query)
         n_rows = len(self._face_image_ids)
-        if parsed is not None and parsed.has_filter:
-            ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
-            rows = np.array(
-                [
-                    r
-                    for i in ids
-                    for r in self._face_rows_by_image.get(i, ())
-                ],
-                dtype=np.int64,
+        if parsed is None or not parsed.has_filter:
+            # Unfiltered: the batched core (retry + image dedup; row-
+            # sharded over the mesh under serve_on_mesh).
+            if n_rows == 0:
+                self._cached_search_results = []
+                return
+            with timed("engine.face_scan"):
+                d, imgs = self._face_topk_images(q_hash, k, max_distance)
+            keep = imgs[0] >= 0
+            results = self._results_from_image_ids(
+                [int(i) for i in imgs[0][keep]],
+                d[0][keep].astype(np.float32),
             )
-        else:
-            rows = np.arange(n_rows, dtype=np.int64)
+            self._cached_search_results = results
+            print(f"{len(results)} results", file=sys.stderr)
+            return
+        ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
+        rows = np.array(
+            [r for i in ids for r in self._face_rows_by_image.get(i, ())],
+            dtype=np.int64,
+        )
         if not len(rows):
             self._cached_search_results = []
             return
-        if len(rows) > 16384 or len(rows) == n_rows:
+        if len(rows) > 16384:
             index = self._face_store.device_index
-            filtered = len(rows) != n_rows
-            if filtered:
-                mask = jnp.zeros(index.capacity, dtype=bool).at[
-                    jnp.asarray(rows)
-                ].set(True)
-                index = index._replace(
-                    valid=jnp.logical_and(index.valid, mask)
-                )
+            mask = jnp.zeros(index.capacity, dtype=bool).at[
+                jnp.asarray(rows)
+            ].set(True)
+            index = index._replace(
+                valid=jnp.logical_and(index.valid, mask)
+            )
             # Over-fetch faces so image-level dedup can still fill k
             # IMAGES (an image contributes all its matching faces to the
             # face top-k); multi-face libraries (group photos) can crowd
@@ -1287,18 +1296,10 @@ class Engine:
             k_faces = min(4 * k + 16, len(rows))
             while True:
                 with timed("engine.face_scan"):
-                    if filtered:
-                        dists, idxs = cosine_scan_topk(
-                            jnp.asarray(q_hash), index, k=k_faces,
-                            max_distance=max_distance,
-                        )
-                    else:
-                        dists, idxs = cosine_scan_topk_auto(
-                            jnp.asarray(q_hash), index, k=k_faces,
-                            max_distance=max_distance,
-                            sample=self._get_face_scan_sample(),
-                            row_meta=self._get_face_pallas_meta(),
-                        )
+                    dists, idxs = cosine_scan_topk(
+                        jnp.asarray(q_hash), index, k=k_faces,
+                        max_distance=max_distance,
+                    )
                 dists = np.asarray(dists)
                 idxs = np.asarray(idxs)
                 keep = idxs >= 0
@@ -1501,6 +1502,8 @@ class Engine:
         self._sharded_struct_ver = -1
         self._ph_sharded = None
         self._ph_sharded_at_ver = -1
+        self._face_sharded = None
+        self._face_sharded_at_ver = -1
 
     def _get_sharded_index(self):
         """Row-sharded index mirror, synced lazily.
@@ -1984,11 +1987,107 @@ class Engine:
     def blip_ids_for_rows(self, rows) -> list:
         return [self._blip_image_ids[int(r)] for r in rows]
 
+    def _ensure_face_sharded(self):
+        """Row-sharded face-store mirror (serve_on_mesh).  Full reshard
+        on version change — face stores are orders of magnitude smaller
+        than the semantic index, so the delta-sync machinery isn't
+        worth carrying here."""
+        from pixelbox_tpu.parallel.sharded_scan import shard_semantic_index
+
+        if (
+            self._face_sharded is None
+            or self._face_sharded_at_ver != self._face_store.version
+        ):
+            self._face_sharded = shard_semantic_index(
+                self._face_store.device_index, self.scan_mesh
+            )
+            self._face_sharded_at_ver = self._face_store.version
+        return self._face_sharded
+
+    def _face_topk_images(self, q, k: int, max_distance: float):
+        """Unfiltered batched face search core: u8 [B, D] (or [D]) face
+        hashes → (dist [B, k] f32, IMAGE ids [B, k] i64, -1 padded).
+
+        Results are image-deduped (faces map many device rows to one
+        image; each image scores at its CLOSEST face), retrying with a
+        doubled face over-fetch until every query fills k images or the
+        candidate set under ``max_distance`` exhausts.  Row-sharded over
+        the mesh under ``serve_on_mesh``; guaranteed-exact auto scan
+        either way."""
+        q = np.asarray(q, dtype=np.uint8)
+        if q.ndim == 1:
+            q = q[None]
+        B = q.shape[0]
+        imgs_arr = self._face_image_ids
+        n_rows = len(imgs_arr)
+        out_d = np.full((B, k), np.inf, np.float32)
+        out_img = np.full((B, k), -1, np.int64)
+        if n_rows == 0:
+            return out_d, out_img
+        k_faces = min(4 * k + 16, n_rows)
+        while True:
+            if self.scan_mesh is not None:
+                from pixelbox_tpu.parallel.sharded_scan import (
+                    sharded_cosine_scan_topk_auto,
+                )
+
+                d, r = sharded_cosine_scan_topk_auto(
+                    jnp.asarray(q), self._ensure_face_sharded(),
+                    self.scan_mesh, k=k_faces, max_distance=max_distance,
+                )
+            else:
+                d, r = cosine_scan_topk_auto(
+                    jnp.asarray(q), self._face_store.device_index,
+                    k=k_faces, max_distance=max_distance,
+                    sample=self._get_face_scan_sample(),
+                    row_meta=self._get_face_pallas_meta(),
+                )
+            d = np.asarray(d).reshape(B, -1)
+            r = np.asarray(r).reshape(B, -1)
+            out_d.fill(np.inf)
+            out_img.fill(-1)
+            under = False
+            for b in range(B):
+                seen, m, matched = set(), 0, 0
+                for dv, rv in zip(d[b], r[b]):
+                    if rv < 0:
+                        break
+                    matched += 1
+                    img = imgs_arr[int(rv)]
+                    if img in seen:
+                        continue
+                    seen.add(img)
+                    out_d[b, m] = dv
+                    out_img[b, m] = img
+                    m += 1
+                    if m >= k:
+                        break
+                # Under-filled AND every fetched face was a real match →
+                # more candidates may exist beyond the over-fetch.
+                if m < k and matched == k_faces:
+                    under = True
+            if not under or k_faces >= n_rows:
+                return out_d, out_img
+            k_faces = min(2 * k_faces, n_rows)
+
+    @_read_locked
+    def face_scan_batched(self, hashes: np.ndarray, k: int, max_distance: float):
+        """Batched face→image scan for the serving layer: u8 [B, D] face
+        hashes → (dist [B, k], IMAGE ids [B, k], -1 padded).
+
+        Unlike the row-returning phash/blip siblings this returns image
+        ids directly: faces map many rows to one image, so image dedup
+        (and its over-fetch retry) must happen inside the batched call —
+        a fixed top-k of rows could under-fill after dedup.  Read-locked
+        because the row→image mapping happens here on the service's
+        collector thread."""
+        return self._face_topk_images(hashes, k, max_distance)
+
     def attach_scan_service(self, service) -> None:
-        """Register this engine's batched phash / text modalities on a
-        BatchingScanService (serve.py calls this; concurrent phash and
-        unfiltered ``text:`` queries then coalesce into device batches
-        alongside semantic ones)."""
+        """Register this engine's batched phash / text / face modalities
+        on a BatchingScanService (serve.py calls this; concurrent phash,
+        unfiltered ``text:``, and face queries then coalesce into device
+        batches alongside semantic ones)."""
         if self._ph_store is not None:
             service.register_kind(
                 "phash",
@@ -1998,6 +2097,11 @@ class Engine:
             service.register_kind(
                 "blip",
                 lambda q, k, md: self.blip_scan_batched(q, k, md),
+            )
+        if self._face_store is not None and self._face_store.size > 0:
+            service.register_kind(
+                "face",
+                lambda q, k, md: self.face_scan_batched(q, k, md),
             )
 
     def _phash_mixed_scan(

@@ -319,13 +319,36 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
     def _face_similar(rgb):
         """Face search for an uploaded image: detect + embed the largest
         face, scan the face store (engine.query_by_face_hash semantics).
+        With a scan service, concurrent face queries coalesce into one
+        device batch (kind="face"; the batched call returns image ids
+        directly — dedup + over-fetch retry live in the engine).
         Returns None when no face is detected (caller reports 422)."""
+        import numpy as np
+
         from pixelbox_tpu.faces.detect import largest_face
 
         faces = engine.detect_and_embed_faces(rgb)
         if not faces:
             return None
         _, q_hash = largest_face(faces)
+        if (
+            scan_service is not None
+            and "face" in getattr(scan_service, "kinds", ())
+            and engine._face_store is not None
+            and engine._face_store.size > 0
+        ):
+            scan_service.k = int(engine.max_search_results)
+            scan_service.max_distance = float(engine.max_distance_from_query)
+            with engine.index_rwlock.read_locked():
+                dist, img_ids = scan_service.submit(
+                    np.asarray(q_hash), kind="face"
+                )
+                keep = img_ids >= 0
+                ids = [int(i) for i in img_ids[keep]]
+            results = engine._results_from_image_ids(ids, dist[keep])
+            with lock:
+                engine._cached_search_results = results
+            return results
         with lock:
             engine.query_by_face_hash(q_hash)
             return engine.get_query_results() or []

@@ -516,3 +516,72 @@ def test_index_faces_batches_embeds(tmp_path):
         assert all((n & (n - 1)) == 0 for n, *_ in calls)
     finally:
         eng.close()
+
+
+def test_face_queries_coalesce_through_scan_service(tmp_path):
+    """Concurrent face queries batch into shared device scans
+    (kind="face"), returning image-deduped ids that match the engine
+    path."""
+    import threading
+
+    from pixelbox_tpu.serving import BatchingScanService
+
+    d = tmp_path / "photos"
+    d.mkdir()
+    for i in range(6):
+        img, _ = face_image(person=i % 3, bg_seed=40 + i)
+        Image.fromarray(img).save(d / f"p{i}.png")
+    eng = Engine.new(
+        str(tmp_path / "svc.db"), embedder="stub",
+        embedder_kwargs={"dim": 32}, faces=True,
+    )
+    svc = BatchingScanService(
+        lambda: eng._sem_store.device_index, k=4, max_wait_ms=40.0,
+    )
+    try:
+        for i in range(6):
+            eng.insert_image_from_path(str(d / f"p{i}.png"))
+        eng.attach_scan_service(svc)
+        assert "face" in svc.kinds
+
+        # Engine-path expectations per probe.
+        probes = []
+        expected = []
+        for i in range(4):
+            faces = eng.detect_and_embed_faces(
+                np.asarray(Image.open(d / f"p{i}.png").convert("RGB"))
+            )
+            q = faces[0][1]
+            probes.append(q)
+            eng.max_search_results = 4
+            eng.query_by_face_hash(q)
+            expected.append([
+                (r.id, round(r.distance_from_query, 5))
+                for r in eng.get_query_results()
+            ])
+
+        results = {}
+
+        def run(i):
+            svc.k = 4
+            results[i] = svc.submit(probes[i], kind="face")
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+
+        for i in range(4):
+            dist, img_ids = results[i]
+            keep = img_ids >= 0
+            got = [
+                (int(im), round(float(dv), 5))
+                for im, dv in zip(img_ids[keep], dist[keep])
+            ]
+            assert got == expected[i]
+        assert svc.queries_served == 4
+        assert svc.batches_run <= 2  # coalesced, not per-query
+    finally:
+        svc.close()
+        eng.close()

@@ -204,3 +204,37 @@ def test_mixed_width_compat_phash_on_mesh(tmp_path):
     finally:
         eng.scan_mesh = None
         eng.close()
+
+
+def test_face_query_uses_mesh(tmp_path):
+    """face: queries run row-sharded under serve_on_mesh and match the
+    single-chip results."""
+    from fixtures import face_image
+
+    d = tmp_path / "photos"
+    d.mkdir()
+    for i in range(4):
+        img, _ = face_image(person=i % 2, bg_seed=30 + i)
+        Image.fromarray(img).save(d / f"p{i}.png")
+    eng = Engine.new(
+        str(tmp_path / "facemesh.db"), embedder="stub",
+        embedder_kwargs={"dim": 32}, faces=True,
+    )
+    try:
+        for i in range(4):
+            eng.insert_image_from_path(str(d / f"p{i}.png"))
+        probe = str(d / "p1.png")
+
+        eng.query_by_face_from_file(probe)
+        single = _results(eng)
+        assert single and single[0][0] == "p1.png"
+
+        eng.serve_on_mesh(make_mesh(8))
+        try:
+            eng.query_by_face_from_file(probe)
+            assert _results(eng) == single
+            assert eng._face_sharded is not None  # the sharded path ran
+        finally:
+            eng.scan_mesh = None
+    finally:
+        eng.close()
