@@ -745,6 +745,19 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8333,
             # Pre-compile the common batch buckets so early traffic never
             # pays a cold XLA compile mid-request.
             scan_service.warmup(engine._sem_store.dim)
+        # Registered modality kinds warm with their own query widths
+        # (uniform phash / face stores; each bucket shape is a compile).
+        import numpy as np
+
+        if (
+            "phash" in scan_service.kinds
+            and engine._ph_store is not None
+            and engine._ph_store.size > 0
+            and bool(np.all(np.asarray(engine._ph_widths) == engine._ph_store.dim))
+        ):
+            scan_service.warmup(engine._ph_store.dim, kinds=("phash",))
+        if "face" in scan_service.kinds:
+            scan_service.warmup(engine._face_store.dim, kinds=("face",))
     server = ThreadingHTTPServer(
         (host, port), make_handler(engine, lock, scan_service)
     )
