@@ -1069,7 +1069,27 @@ class Engine:
                 ].set(True)
                 masked = index._replace(valid=jnp.logical_and(index.valid, mask))
                 with timed("engine.text_query_scan"):
-                    if int4:
+                    if int4 and self.int4_rerank:
+                        # Same rerank contract as the unfiltered path:
+                        # int4 candidates from the MASKED index, exact-u8
+                        # rescore — so the same image pair scores the
+                        # same distance with or without a filter.  No
+                        # threshold on this path (engine.rs:294-315).
+                        from pixelbox_tpu.ops.int4 import (
+                            cosine4a_scan_topk,
+                            scan_with_u8_rerank,
+                        )
+
+                        dists, idxs = scan_with_u8_rerank(
+                            lambda c, md: cosine4a_scan_topk(
+                                jnp.asarray(sim.visual_hash), masked,
+                                k=c, max_distance=md,
+                            ),
+                            np.asarray(sim.visual_hash, dtype=np.uint8),
+                            self._sem_store._host_rows,
+                            k=k, max_distance=np.inf,
+                        )
+                    elif int4:
                         from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
 
                         dists, idxs = cosine4a_scan_topk(
@@ -1089,11 +1109,40 @@ class Engine:
                 sel = idxs[keep]
                 sel_dists = dists[keep]
             else:
-                db_rows = self._sem_store.get_rows(rows)
                 with timed("engine.text_query_scan"):
+                    if int4 and self.int4_rerank:
+                        # Rerank semantics degenerate nicely here: the
+                        # candidate set IS the filtered subset, so score
+                        # it directly in the exact u8 metric from the
+                        # host mirror — identical distances/order to the
+                        # unfiltered reranked path.  No threshold on
+                        # this path (engine.rs:294-315).
+                        from pixelbox_tpu.ops.int4 import (
+                            rerank_candidates_u8,
+                        )
+
+                        d_k, i_k = rerank_candidates_u8(
+                            np.asarray(sim.visual_hash, dtype=np.uint8),
+                            rows,
+                            self._sem_store._host_rows,
+                            k=k, max_distance=np.inf,
+                        )
+                        keep = i_k >= 0
+                        sel = i_k[keep]
+                        sel_dists = d_k[keep]
+                        self._cached_search_results = self._build_results(
+                            sel, sel_dists
+                        )
+                        print(
+                            f"{len(self._cached_search_results)} results",
+                            file=sys.stderr,
+                        )
+                        return
+                    db_rows = self._sem_store.get_rows(rows)
                     if int4:
-                        # Match the device index's asymmetric metric so
-                        # filtered and unfiltered orderings agree.
+                        # Rerank disabled: match the device index's
+                        # asymmetric metric so filtered and unfiltered
+                        # orderings agree.
                         from pixelbox_tpu.ops.int4 import cosine4a_distance_np
 
                         dists = cosine4a_distance_np(
@@ -1627,11 +1676,6 @@ class Engine:
             return
         self.query_by_image_hash_from_image(record)
 
-    def _int4_candidates(self, k: int) -> int:
-        from pixelbox_tpu.ops.int4 import default_rerank_candidates
-
-        return default_rerank_candidates(k)
-
     def _int4_single_chip_scan(
         self, record: IndexedImage, k: int,
         max_distance: Optional[float] = None,
@@ -1706,17 +1750,12 @@ class Engine:
         k = int(self.max_search_results)
         with timed("engine.similarity_scan"):
             if self.semantic_precision == "int4":
-                # With rerank on (default): retrieve top-C candidates in
-                # the int4 metric UNBOUNDED (the WHERE dist < max filter
-                # applies in the exact u8 metric after rescoring), then
-                # rescore them from the u8 host mirror.
-                from pixelbox_tpu.ops.int4 import UNBOUNDED_DISTANCE
+                # With rerank on (default): candidates-then-exact-u8-
+                # rescore via the shared orchestration (ops.int4.
+                # scan_with_u8_rerank — one place owns the scan_k /
+                # UNBOUNDED / rescore dance).
+                from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
 
-                rerank = self.int4_rerank
-                scan_k, scan_maxd = (
-                    (self._int4_candidates(k), UNBOUNDED_DISTANCE) if rerank
-                    else (k, float(self.max_distance_from_query))
-                )
                 if self.scan_mesh is not None:
                     from pixelbox_tpu.parallel.sharded_scan import (
                         sharded_cosine4_scan_topk,
@@ -1728,28 +1767,33 @@ class Engine:
                         if self.scan_mode == "exact"
                         else sharded_cosine4_scan_topk_auto
                     )
-                    dist, idx = fn(
-                        jnp.asarray(record.visual_hash),
-                        self._get_sharded_index(),
-                        self.scan_mesh,
-                        k=scan_k,
-                        max_distance=scan_maxd,
-                    )
+
+                    def _scan(c, md):
+                        return fn(
+                            jnp.asarray(record.visual_hash),
+                            self._get_sharded_index(),
+                            self.scan_mesh,
+                            k=c,
+                            max_distance=md,
+                        )
+
                     # Falls through to the shared result assembly below.
                 else:
-                    dist, idx = self._int4_single_chip_scan(
-                        record, scan_k, max_distance=scan_maxd
-                    )
-                if rerank:
-                    from pixelbox_tpu.ops.int4 import rerank_candidates_u8
+                    def _scan(c, md):
+                        return self._int4_single_chip_scan(
+                            record, c, max_distance=md
+                        )
 
-                    dist, idx = rerank_candidates_u8(
+                if self.int4_rerank:
+                    dist, idx = scan_with_u8_rerank(
+                        _scan,
                         np.asarray(record.visual_hash, dtype=np.uint8),
-                        np.asarray(idx),
                         self._sem_store._host_rows,
                         k=k,
                         max_distance=float(self.max_distance_from_query),
                     )
+                else:
+                    dist, idx = _scan(k, float(self.max_distance_from_query))
             elif self.scan_mesh is not None:
                 from pixelbox_tpu.parallel.sharded_scan import (
                     sharded_cosine_scan_topk,
@@ -2273,21 +2317,16 @@ class Engine:
                     # Candidates in the int4 metric (unbounded), pair
                     # distances in the exact u8 metric — duplicate pairs
                     # then carry the same distances int8 mode reports.
-                    from pixelbox_tpu.ops.int4 import (
-                        UNBOUNDED_DISTANCE,
-                        rerank_candidates_u8,
-                    )
-
-                    scan_k = self._int4_candidates(k)
+                    from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
 
                     def scan(qb):
-                        _, i = cosine4_scan_topk_auto(
-                            jnp.asarray(qb), index, k=scan_k,
-                            max_distance=UNBOUNDED_DISTANCE,
-                            sample=self._get_scan_sample(), meta=meta,
-                        )
-                        return rerank_candidates_u8(
-                            qb, np.asarray(i),
+                        return scan_with_u8_rerank(
+                            lambda c, md: cosine4_scan_topk_auto(
+                                jnp.asarray(qb), index, k=c,
+                                max_distance=md,
+                                sample=self._get_scan_sample(), meta=meta,
+                            ),
+                            qb,
                             self._sem_store._host_rows,
                             k=k, max_distance=max_distance,
                         )

@@ -566,9 +566,12 @@ def rerank_candidates_u8(
     for s in range(0, qn, chunk_queries):
         e = min(s + chunk_queries, qn)
         idx_blk = ci[s:e]
-        # −1 marks empty slots; ids past the mirror's current length can
-        # appear if the store compacted between scan and rerank — treat
-        # both as absent rather than crashing the gather.
+        # −1 marks empty slots.  The length bound only guards the gather
+        # against crashing; it is NOT a compaction-race guard — a
+        # compact() renumbers surviving rows, so a stale in-range id
+        # would rescore the wrong vector.  Callers must hold the index
+        # read lock across scan + rerank (every engine path does;
+        # serve.py holds it across submit→assemble).
         ok = (idx_blk >= 0) & (idx_blk < rows.shape[0])
         safe = np.where(ok, idx_blk, 0)
         gathered = rows[safe]                       # [B, C, D]
@@ -583,3 +586,46 @@ def rerank_candidates_u8(
     if squeeze:
         return out_d[0], out_i[0]
     return out_d, out_i
+
+
+def scan_with_u8_rerank(
+    scan_fn,
+    query_u8: np.ndarray,
+    host_rows_u8: np.ndarray,
+    k: int = 100,
+    max_distance: float = 1e3,
+    n_real: int | None = None,
+):
+    """Candidates-then-rerank orchestration, in ONE place.
+
+    The engine's ``int4_rerank`` contract: retrieve ``C =
+    default_rerank_candidates(k)`` candidates in the int4 metric
+    UNBOUNDED (the ``WHERE dist < max`` filter applies in the exact u8
+    metric after rescoring), then rescore them against the store's u8
+    host mirror with the real ``(k, max_distance)``.
+
+    ``scan_fn(candidates, unbounded_distance) -> (dist, idx)`` wraps
+    whichever int4 scan the caller uses (single-chip auto, sharded,
+    masked-filtered, serving-batched) — routing every path through this
+    helper keeps new scan paths rerank-correct by construction instead
+    of hand-copying the scan_k/UNBOUNDED/rescore dance per call site.
+    Callers must hold the index read lock across scan + rerank: a
+    compaction between them renumbers rows, and a renumbered id that is
+    still in range would silently rescore the wrong row.
+
+    ``n_real``: for batched callers that zero-pad queries up to a compile
+    bucket (serving), the padded device scan still runs on the full
+    batch, but only the first ``n_real`` rows are rescored on the host
+    (and only those rows are returned).
+    """
+    c = default_rerank_candidates(k)
+    _dist, idx = scan_fn(c, UNBOUNDED_DISTANCE)
+    idx = np.asarray(idx)
+    q = np.asarray(query_u8, dtype=np.uint8)
+    if n_real is not None:
+        idx = idx[:n_real]
+        q = q[:n_real]
+    return rerank_candidates_u8(
+        q, idx, host_rows_u8,
+        k=k, max_distance=max_distance,
+    )

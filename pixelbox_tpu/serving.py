@@ -212,7 +212,7 @@ class BatchingScanService:
                 queries[i] = r.query
             with timed(f"serving.batched_scan.{kind}"):
                 if kind == "semantic":
-                    dist, idx = self._semantic_scan(queries)
+                    dist, idx = self._semantic_scan(queries, n_real=m)
                 else:
                     dist, idx = self._scan_fns[kind](
                         queries, self.k, self.max_distance
@@ -230,53 +230,47 @@ class BatchingScanService:
                 r.error = e
                 r.event.set()
 
-    def _semantic_scan(self, queries: np.ndarray):
+    def _semantic_scan(self, queries: np.ndarray, n_real: int | None = None):
         index = self._provider()
         from pixelbox_tpu.ops.int4 import PackedSemantic4Index
 
         int4 = isinstance(index, PackedSemantic4Index)
         if int4:
-            # Rerank (engine.int4_rerank semantics): top-C candidates in
-            # the int4 metric (unbounded — WHERE dist < max applies in
-            # u8 space after rescoring), exact-u8 rescore from the host
-            # mirror.  Falls back to raw int4 results when no mirror is
-            # wired.
+            # Rerank (engine.int4_rerank semantics) via the shared
+            # orchestration in ops.int4.scan_with_u8_rerank: top-C
+            # candidates in the int4 metric (unbounded — WHERE dist <
+            # max applies in u8 space after rescoring), exact-u8 rescore
+            # from the host mirror, trimmed to the batch's n_real rows
+            # (the device scan runs on the padded compile bucket; the
+            # host rescore must not).  Falls back to raw int4 results
+            # when no mirror is wired.
             from pixelbox_tpu.ops.int4 import (
-                UNBOUNDED_DISTANCE,
                 cosine4_scan_topk_auto,
                 cosine4a_scan_topk,
-                default_rerank_candidates,
-                rerank_candidates_u8,
+                scan_with_u8_rerank,
             )
 
-            rows = self._rerank_rows() if self._rerank_rows else None
-            scan_k = (
-                default_rerank_candidates(self.k) if rows is not None
-                else self.k
-            )
-            scan_maxd = (
-                UNBOUNDED_DISTANCE if rows is not None else self.max_distance
-            )
-            if self.mode != "auto":
-                # Honor an explicitly requested execution strategy — with
-                # the same (asymmetric) metric every other int4 path
-                # uses; mode picks HOW to scan, never what distance
-                # ranks by.
-                dist, idx = cosine4a_scan_topk(
-                    jnp.asarray(queries), index, k=scan_k,
-                    max_distance=scan_maxd,
-                )
-            else:
+            def _scan(c, md):
+                if self.mode != "auto":
+                    # Honor an explicitly requested execution strategy —
+                    # with the same (asymmetric) metric every other int4
+                    # path uses; mode picks HOW to scan, never what
+                    # distance ranks by.
+                    return cosine4a_scan_topk(
+                        jnp.asarray(queries), index, k=c, max_distance=md
+                    )
                 sample, meta = self._scan_aux(index)
-                dist, idx = cosine4_scan_topk_auto(
-                    queries, index, k=scan_k,
-                    max_distance=scan_maxd, sample=sample, meta=meta,
+                return cosine4_scan_topk_auto(
+                    queries, index, k=c, max_distance=md,
+                    sample=sample, meta=meta,
                 )
+
+            rows = self._rerank_rows() if self._rerank_rows else None
             if rows is None:
-                return dist, idx
-            return rerank_candidates_u8(
-                queries, np.asarray(idx), rows,
-                k=self.k, max_distance=self.max_distance,
+                return _scan(self.k, self.max_distance)
+            return scan_with_u8_rerank(
+                _scan, queries, rows,
+                k=self.k, max_distance=self.max_distance, n_real=n_real,
             )
         if self.mode == "auto":
             sample, meta = self._scan_aux(index)
