@@ -66,30 +66,42 @@ class NomicEmbedder(Embedder):
         self._onnx = None
         if checkpoint_path is not None:
             # The user's actual nomic .onnx runs via the graph interpreter
-            # (tract-equivalent execution, nomic.rs:10-19); its token
-            # output pools + projects to the configured width through a
-            # deterministic fixed random projection (seeded) so the hash
-            # width contract holds without extra trained weights.
-            from pixelbox_tpu.models.onnx_embedder import OnnxEmbedder
+            # (tract-equivalent execution, nomic.rs:10-19).  The graph is
+            # driven directly (not via OnnxEmbedder, whose [B, latent]
+            # contract flattens a [B, T, H] token grid to [B, T·H] — the
+            # reference's unwieldy raw dump): tokens mean-pool to the
+            # model's own hidden width, discovered by tracing the graph
+            # shape (works for ANY hidden size, not just nomic's 768),
+            # then project to the configured hash width through a
+            # deterministic seeded random projection so the width
+            # contract holds without extra trained weights.
+            from pixelbox_tpu.models.onnx_graph import OnnxGraphModel
 
-            try:
-                self._onnx = OnnxEmbedder(
-                    checkpoint_path, input_size=input_size,
-                    prefer_native=False,
-                )
-                out_dim = self._onnx.dim
-            except ValueError:
-                # No trailing Gemm to infer width from (ViT token output)
-                # — assume the nomic hidden size and project from it.
-                self._onnx = OnnxEmbedder(
-                    checkpoint_path, dim=768, input_size=input_size,
-                    prefer_native=False,
-                )
-                out_dim = 768
+            self._onnx = OnnxGraphModel(checkpoint_path)
+
+            def _pooled(batch_hwc):
+                out = self._onnx(jnp.transpose(batch_hwc, (0, 3, 1, 2)))
+                if isinstance(out, tuple):
+                    out = out[0]
+                out = jnp.asarray(out, jnp.float32)
+                if out.ndim > 2:  # token grid [B, T, H] → mean over tokens
+                    out = jnp.mean(out, axis=tuple(range(1, out.ndim - 1)))
+                return out
+
+            probe = jax.eval_shape(
+                _pooled,
+                jax.ShapeDtypeStruct(
+                    (1, self.input_size, self.input_size, 3), jnp.float32
+                ),
+            )
+            out_dim = int(probe.shape[-1])
             key = jax.random.PRNGKey(seed)
-            self._proj = jax.random.normal(
+            proj = jax.random.normal(
                 key, (out_dim, self.dim), jnp.float32
             ) / jnp.sqrt(jnp.float32(out_dim))
+            self._fwd_onnx = jax.jit(
+                lambda x: jnp.tanh(_pooled(x) @ proj)
+            )
             return
         self.module = NomicVisionModule(latent_dim=self.dim, dtype=dtype)
         if params is None:
@@ -100,8 +112,5 @@ class NomicEmbedder(Embedder):
 
     def embed_preprocessed(self, batch: jnp.ndarray) -> jnp.ndarray:
         if self._onnx is not None:
-            z = self._onnx.embed_preprocessed(batch)
-            if z.ndim > 2:  # token grid [B, T, H] → mean pool
-                z = jnp.mean(z, axis=tuple(range(1, z.ndim - 1)))
-            return jnp.tanh(z @ self._proj)
+            return self._fwd_onnx(jnp.asarray(batch, jnp.float32))
         return self._fwd(self.variables, batch)

@@ -293,3 +293,210 @@ def test_negative_axis_attributes(tmp_path):
 
     exp = scipy.special.softmax(x @ w, axis=-1).mean(axis=-1)
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+
+
+# --- ViT / attention graphs (the nomic-style op profile) ---------------
+#
+# The reference's alternative embedder feeds a real ViT export
+# (nomic_embed_vision_v1_5_int8.onnx, a 197×768 token-grid output) to
+# tract (src/image_hashes/nomic.rs:7-19).  A user bringing such a model
+# here needs the interpreter to run the transformer op profile: batched
+# 4-D attention MatMuls, Softmax(axis=-1), Transpose/Reshape head
+# splitting, the opset-11 LayerNorm decomposition, and GELU-via-Erf.
+# torch.onnx.export needs the `onnx` pip package (absent in this image),
+# so the graph is built with the repo's own writer primitives and
+# cross-checked against a hand numpy implementation.
+
+def _build_vit_block(path, rng, size=32, patch=8, hidden=8, heads=2):
+    """Patch-embed Conv + pos-add + one encoder block → [B, T, H]."""
+    T = (size // patch) ** 2
+    dh = hidden // heads
+    p = {
+        "Wp": rng.standard_normal((hidden, 3, patch, patch)).astype(np.float32) * 0.2,
+        "bp": rng.standard_normal(hidden).astype(np.float32) * 0.1,
+        "pos": rng.standard_normal((1, T, hidden)).astype(np.float32) * 0.3,
+        "g1": rng.uniform(0.5, 1.5, hidden).astype(np.float32),
+        "c1": rng.standard_normal(hidden).astype(np.float32) * 0.1,
+        "Wq": rng.standard_normal((hidden, hidden)).astype(np.float32) * 0.3,
+        "Wk": rng.standard_normal((hidden, hidden)).astype(np.float32) * 0.3,
+        "Wv": rng.standard_normal((hidden, hidden)).astype(np.float32) * 0.3,
+        "Wo": rng.standard_normal((hidden, hidden)).astype(np.float32) * 0.3,
+        "bo": rng.standard_normal(hidden).astype(np.float32) * 0.1,
+        "g2": rng.uniform(0.5, 1.5, hidden).astype(np.float32),
+        "c2": rng.standard_normal(hidden).astype(np.float32) * 0.1,
+        "W1": rng.standard_normal((hidden, 2 * hidden)).astype(np.float32) * 0.3,
+        "b1": rng.standard_normal(2 * hidden).astype(np.float32) * 0.1,
+        "W2": rng.standard_normal((2 * hidden, hidden)).astype(np.float32) * 0.3,
+        "b2": rng.standard_normal(hidden).astype(np.float32) * 0.1,
+    }
+    consts = {
+        "eps": np.float32(1e-5), "sqrt2": np.float32(np.sqrt(2.0)),
+        "one": np.float32(1.0), "half": np.float32(0.5),
+        "scale": np.float32(1.0 / np.sqrt(dh)),
+        "shape_qkv": np.array([0, T, heads, dh], dtype=np.int64),
+        "shape_merge": np.array([0, T, hidden], dtype=np.int64),
+        "shape_tok": np.array([0, hidden, T], dtype=np.int64),
+    }
+
+    def ln(nodes, x, g, c, out):
+        nodes += [
+            _node("ReduceMean", [x], [f"{out}_mu"],
+                  [_attr("axes", ints=[-1]), _attr("keepdims", i=1)]),
+            _node("Sub", [x, f"{out}_mu"], [f"{out}_xc"]),
+            _node("Mul", [f"{out}_xc", f"{out}_xc"], [f"{out}_x2"]),
+            _node("ReduceMean", [f"{out}_x2"], [f"{out}_var"],
+                  [_attr("axes", ints=[-1]), _attr("keepdims", i=1)]),
+            _node("Add", [f"{out}_var", "eps"], [f"{out}_ve"]),
+            _node("Sqrt", [f"{out}_ve"], [f"{out}_sd"]),
+            _node("Div", [f"{out}_xc", f"{out}_sd"], [f"{out}_xn"]),
+            _node("Mul", [f"{out}_xn", g], [f"{out}_xs"]),
+            _node("Add", [f"{out}_xs", c], [out]),
+        ]
+
+    def head_split(nodes, x, out):
+        nodes += [
+            _node("Reshape", [x, "shape_qkv"], [f"{out}_4d"]),
+            _node("Transpose", [f"{out}_4d"], [out],
+                  [_attr("perm", ints=[0, 2, 1, 3])]),
+        ]
+
+    nodes = [
+        _node("Conv", ["input", "Wp", "bp"], ["pe"],
+              [_attr("strides", ints=[patch, patch]),
+               _attr("kernel_shape", ints=[patch, patch])]),
+        _node("Reshape", ["pe", "shape_tok"], ["pr"]),
+        _node("Transpose", ["pr"], ["tok"], [_attr("perm", ints=[0, 2, 1])]),
+        _node("Add", ["tok", "pos"], ["h0"]),
+    ]
+    ln(nodes, "h0", "g1", "c1", "n1")
+    nodes += [
+        _node("MatMul", ["n1", "Wq"], ["q"]),
+        _node("MatMul", ["n1", "Wk"], ["kk"]),
+        _node("MatMul", ["n1", "Wv"], ["v"]),
+    ]
+    head_split(nodes, "q", "qh")
+    head_split(nodes, "kk", "kh")
+    head_split(nodes, "v", "vh")
+    nodes += [
+        _node("Transpose", ["kh"], ["khT"], [_attr("perm", ints=[0, 1, 3, 2])]),
+        _node("MatMul", ["qh", "khT"], ["scores"]),
+        _node("Mul", ["scores", "scale"], ["sc"]),
+        _node("Softmax", ["sc"], ["aw"], [_attr("axis", i=-1)]),
+        _node("MatMul", ["aw", "vh"], ["ctx"]),
+        _node("Transpose", ["ctx"], ["ctxT"], [_attr("perm", ints=[0, 2, 1, 3])]),
+        _node("Reshape", ["ctxT", "shape_merge"], ["ctx2"]),
+        _node("MatMul", ["ctx2", "Wo"], ["ao0"]),
+        _node("Add", ["ao0", "bo"], ["ao"]),
+        _node("Add", ["h0", "ao"], ["h1"]),
+    ]
+    ln(nodes, "h1", "g2", "c2", "n2")
+    nodes += [
+        _node("MatMul", ["n2", "W1"], ["m0"]),
+        _node("Add", ["m0", "b1"], ["m1"]),
+        # GELU(x) = 0.5·x·(1 + erf(x/√2)) — the opset-11 decomposition.
+        _node("Div", ["m1", "sqrt2"], ["ge0"]),
+        _node("Erf", ["ge0"], ["ge1"]),
+        _node("Add", ["ge1", "one"], ["ge2"]),
+        _node("Mul", ["m1", "ge2"], ["ge3"]),
+        _node("Mul", ["ge3", "half"], ["gelu"]),
+        _node("MatMul", ["gelu", "W2"], ["mm0"]),
+        _node("Add", ["mm0", "b2"], ["mm1"]),
+        _node("Add", ["h1", "mm1"], ["output"]),
+    ]
+    inits = [_tensor(k, v) for k, v in {**p, **consts}.items()]
+    _write_model(path, nodes, inits, [("input", [1, 3, size, size])],
+                 [("output", [1, T, hidden])])
+    return p, T, heads, dh
+
+
+def _vit_reference_np(p, x_nchw, patch, heads, dh):
+    """Hand numpy forward of the same block (the oracle)."""
+    def lnorm(x, g, c):
+        mu = x.mean(-1, keepdims=True)
+        xc = x - mu
+        sd = np.sqrt((xc * xc).mean(-1, keepdims=True) + np.float32(1e-5))
+        return (xc / sd) * g + c
+
+    B, _, S, _ = x_nchw.shape
+    hidden = p["Wp"].shape[0]
+    n = S // patch
+    # Conv stride=patch == per-patch projection.
+    pe = np.zeros((B, hidden, n, n), dtype=np.float32)
+    for i in range(n):
+        for j in range(n):
+            blk = x_nchw[:, :, i*patch:(i+1)*patch, j*patch:(j+1)*patch]
+            pe[:, :, i, j] = np.einsum("bchw,ochw->bo", blk, p["Wp"]) + p["bp"]
+    tok = pe.reshape(B, hidden, n * n).transpose(0, 2, 1)
+    h0 = tok + p["pos"]
+    n1 = lnorm(h0, p["g1"], p["c1"])
+    T = n * n
+
+    def split(z):
+        return z.reshape(B, T, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = split(n1 @ p["Wq"]), split(n1 @ p["Wk"]), split(n1 @ p["Wv"])
+    sc = (q @ k.transpose(0, 1, 3, 2)) * np.float32(1.0 / np.sqrt(dh))
+    sc = sc - sc.max(-1, keepdims=True)
+    aw = np.exp(sc); aw /= aw.sum(-1, keepdims=True)
+    ctx = (aw @ v).transpose(0, 2, 1, 3).reshape(B, T, hidden)
+    h1 = h0 + (ctx @ p["Wo"] + p["bo"])
+    n2 = lnorm(h1, p["g2"], p["c2"])
+    m1 = n2 @ p["W1"] + p["b1"]
+    from scipy.special import erf
+    gelu = 0.5 * m1 * (1.0 + erf(m1 / np.sqrt(2.0)))
+    return h1 + (gelu @ p["W2"] + p["b2"])
+
+
+def test_vit_attention_block_matches_numpy(tmp_path):
+    """The full transformer op profile — 4-D attention MatMuls, head
+    split/merge reshapes, Softmax(-1), LayerNorm decomposition, Erf-GELU
+    — through the interpreter, vs a hand numpy oracle."""
+    pytest.importorskip("scipy")
+    rng = np.random.default_rng(42)
+    path = str(tmp_path / "vit_block.onnx")
+    p, T, heads, dh = _build_vit_block(path, rng)
+    model = OnnxGraphModel(path)
+    x = rng.uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    got = np.asarray(model(jnp.asarray(x)))
+    exp = _vit_reference_np(p, x, patch=8, heads=heads, dh=dh)
+    assert got.shape == (2, T, p["Wp"].shape[0])  # token grid, not flat
+    np.testing.assert_allclose(got, exp, rtol=2e-4, atol=2e-5)
+
+
+def test_nomic_embedder_runs_user_vit_onnx(tmp_path):
+    """NomicEmbedder(checkpoint_path=<user ViT .onnx>) embeds end-to-end:
+    the [B, T, H] token grid mean-pools to the model's OWN hidden width
+    (discovered by shape tracing — not assumed to be nomic's 768) and
+    projects to the configured hash width, deterministically."""
+    pytest.importorskip("scipy")
+    from pixelbox_tpu.models.nomic import NomicEmbedder
+
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "user_vit.onnx")
+    p, T, heads, dh = _build_vit_block(path, rng)
+
+    emb = NomicEmbedder(dim=16, input_size=32, checkpoint_path=path)
+    batch = rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32)
+    z = np.asarray(emb.embed_preprocessed(jnp.asarray(batch)))
+    assert z.shape == (3, 16)
+    assert np.all(np.isfinite(z)) and np.all(np.abs(z) <= 1.0)
+    # Deterministic across instances (fixed seeded projection).
+    emb2 = NomicEmbedder(dim=16, input_size=32, checkpoint_path=path)
+    z2 = np.asarray(emb2.embed_preprocessed(jnp.asarray(batch)))
+    np.testing.assert_array_equal(z, z2)
+    # Token pooling really averaged the HIDDEN axis' tokens: the numpy
+    # oracle's pooled tokens, pushed through tanh(· @ proj), must differ
+    # from z by float noise only.  Recover proj via the embedder's own
+    # seeded construction.
+    import jax as _jax
+    tokens = _vit_reference_np(p, batch.transpose(0, 3, 1, 2),
+                               patch=8, heads=heads, dh=dh)
+    pooled = tokens.mean(axis=1)
+    proj = np.asarray(
+        _jax.random.normal(_jax.random.PRNGKey(0), (pooled.shape[-1], 16))
+    ) / np.sqrt(np.float32(pooled.shape[-1]))
+    np.testing.assert_allclose(
+        z, np.tanh(pooled @ proj), rtol=2e-4, atol=2e-5
+    )
