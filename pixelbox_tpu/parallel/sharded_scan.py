@@ -395,15 +395,22 @@ def sharded_cosine_scan_topk_auto(
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _sharded_dus(index: PackedSemanticIndex, data, row_sum, row_mag2, valid, start):
+def _sharded_dus(index, data, row_sum, row_mag2, valid, start):
     """In-place row update of a (sharded) packed index; the SPMD
     partitioner lowers the dynamic-update-slice to writes on the owning
-    shard(s) only."""
-    return PackedSemanticIndex(
-        lax.dynamic_update_slice_in_dim(index.data, data, start, axis=0),
-        lax.dynamic_update_slice_in_dim(index.row_sum, row_sum, start, axis=0),
-        lax.dynamic_update_slice_in_dim(index.row_mag2, row_mag2, start, axis=0),
-        lax.dynamic_update_slice_in_dim(index.valid, valid, start, axis=0),
+    shard(s) only.  Type-preserving: ``index`` may be a
+    PackedSemanticIndex OR a PackedSemantic4Index (same four fields) —
+    rebuilding as the wrong type would desync the pytree from the int4
+    shard_map in_specs on the next sharded scan."""
+    return index._replace(
+        data=lax.dynamic_update_slice_in_dim(index.data, data, start, axis=0),
+        row_sum=lax.dynamic_update_slice_in_dim(
+            index.row_sum, row_sum, start, axis=0
+        ),
+        row_mag2=lax.dynamic_update_slice_in_dim(
+            index.row_mag2, row_mag2, start, axis=0
+        ),
+        valid=lax.dynamic_update_slice_in_dim(index.valid, valid, start, axis=0),
     )
 
 
