@@ -232,6 +232,8 @@ class Engine:
         self._face_pallas_meta_at_ver = -1
         self._face_sharded = None
         self._face_sharded_at_ver = -1
+        self._blip_sharded = None
+        self._blip_sharded_at_ver = -1
         self._load_stores()
 
         # Indexing state.
@@ -1213,11 +1215,10 @@ class Engine:
                         jnp.asarray(q_hash), index, k=k, max_distance=np.inf
                     )
                 else:
-                    dists, idxs = cosine_scan_topk_auto(
-                        jnp.asarray(q_hash), index, k=k,
-                        max_distance=np.inf,
-                        sample=self._get_blip_scan_sample(),
-                        row_meta=self._get_blip_pallas_meta(),
+                    # Unfiltered: the shared core (row-sharded over the
+                    # mesh under serve_on_mesh, auto single-chip else).
+                    dists, idxs = self._blip_topk_rows(
+                        jnp.asarray(q_hash), k
                     )
             dists = np.asarray(dists)
             idxs = np.asarray(idxs)
@@ -1553,6 +1554,8 @@ class Engine:
         self._ph_sharded_at_ver = -1
         self._face_sharded = None
         self._face_sharded_at_ver = -1
+        self._blip_sharded = None
+        self._blip_sharded_at_ver = -1
 
     def _get_sharded_index(self):
         """Row-sharded index mirror, synced lazily.
@@ -2019,14 +2022,47 @@ class Engine:
 
     def blip_scan_batched(self, hashes: np.ndarray, k: int, max_distance: float):
         """Batched text→image scan over the BLIP store: quantized text
-        hashes u8 [B, D] → (dist [B,k], device rows [B,k])."""
-        dist, idx = cosine_scan_topk_auto(
-            jnp.asarray(np.asarray(hashes, np.uint8)),
-            self._blip_store.device_index, k=k, max_distance=np.inf,
+        hashes u8 [B, D] → (dist [B,k], device rows [B,k]).  Row-sharded
+        over the mesh under ``serve_on_mesh``, single-chip otherwise —
+        the same guaranteed-exact auto scan either way."""
+        dist, idx = self._blip_topk_rows(
+            jnp.asarray(np.asarray(hashes, np.uint8)), k
+        )
+        return np.asarray(dist), np.asarray(idx)
+
+    def _blip_topk_rows(self, q, k: int):
+        """Unfiltered BLIP scan core (``text:`` has no distance threshold
+        — engine.rs:294-315 orders the whole match set)."""
+        if self.scan_mesh is not None:
+            from pixelbox_tpu.parallel.sharded_scan import (
+                sharded_cosine_scan_topk_auto,
+            )
+
+            return sharded_cosine_scan_topk_auto(
+                q, self._ensure_blip_sharded(), self.scan_mesh,
+                k=k, max_distance=np.inf,
+            )
+        return cosine_scan_topk_auto(
+            q, self._blip_store.device_index, k=k, max_distance=np.inf,
             sample=self._get_blip_scan_sample(),
             row_meta=self._get_blip_pallas_meta(),
         )
-        return np.asarray(dist), np.asarray(idx)
+
+    def _ensure_blip_sharded(self):
+        """Row-sharded BLIP-store mirror (serve_on_mesh).  Full reshard
+        on version change, like the face mirror — BLIP stores grow one
+        row per image and are far smaller than delta-sync would pay for."""
+        from pixelbox_tpu.parallel.sharded_scan import shard_semantic_index
+
+        if (
+            self._blip_sharded is None
+            or self._blip_sharded_at_ver != self._blip_store.version
+        ):
+            self._blip_sharded = shard_semantic_index(
+                self._blip_store.device_index, self.scan_mesh
+            )
+            self._blip_sharded_at_ver = self._blip_store.version
+        return self._blip_sharded
 
     def blip_ids_for_rows(self, rows) -> list:
         return [self._blip_image_ids[int(r)] for r in rows]

@@ -238,3 +238,69 @@ def test_face_query_uses_mesh(tmp_path):
             eng.scan_mesh = None
     finally:
         eng.close()
+
+
+def test_text_query_uses_mesh(tmp_path):
+    """Unfiltered ``text:`` (BLIP) queries serve from the mesh and match
+    single-chip exactly — every modality routes through serve_on_mesh."""
+    from pixelbox_tpu.models.blip import BlipConfig, BlipSearcher
+    from pixelbox_tpu.models.wordpiece import WordPieceTokenizer
+
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in (1, 2, 3, 4):
+        Image.fromarray(textured_image(seed=s, size=(64, 64))).save(
+            d / f"img{s}.png"
+        )
+    eng = Engine.new(
+        str(tmp_path / "blipmesh.db"), embedder="stub",
+        embedder_kwargs={"dim": 16},
+    )
+    eng._blip_enabled = True
+    eng._blip_searcher = BlipSearcher(
+        cfg=BlipConfig.tiny(),
+        tokenizer=WordPieceTokenizer.toy(words=["sunset", "beach"]),
+        max_text_len=16,
+    )
+    eng.catalog.ensure_aux_hash_table("blip_hashes")
+    try:
+        eng.add_tracked_folder(str(d))
+        eng.start_indexing(num_workers=2)
+        assert eng.wait_for_indexing(timeout=120)
+        assert eng._blip_store is not None and eng._blip_store.size == 4
+
+        eng.query("text:sunset")
+        single = _results(eng)
+        assert len(single) == 4
+
+        eng.serve_on_mesh(make_mesh(8))
+        eng.query("text:sunset")
+        assert _results(eng) == single
+        assert eng._blip_sharded is not None  # the mesh path actually ran
+
+        # Batched serving path (kind="blip") shards too.
+        q = eng._blip_searcher.text_hashes(["sunset"])
+        ver = eng._blip_sharded_at_ver
+        dist, idx = eng.blip_scan_batched(
+            np.asarray(q, np.uint8), k=4, max_distance=np.inf
+        )
+        assert eng._blip_sharded_at_ver == ver  # mirror reused, not rebuilt
+        got = [
+            (eng._blip_image_ids[int(r)], round(float(v), 5))
+            for v, r in zip(dist[0], idx[0])
+            if r >= 0
+        ]
+        exp = [
+            (next(r.id for r in eng.get_query_results() if r.filename == f), dd)
+            for f, dd in single
+        ]
+        assert got == exp
+
+        # Filtered text queries stay correct alongside (masked path).
+        eng.query("text:sunset img1")
+        filtered = _results(eng)
+        assert [f for f, _ in filtered] == ["img1.png"]
+        assert filtered[0][1] == dict(single)["img1.png"]
+    finally:
+        eng.scan_mesh = None
+        eng.close()
