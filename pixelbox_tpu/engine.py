@@ -251,6 +251,9 @@ class Engine:
         self._sharded_full_reshards = 0  # observability (tests assert on it)
         self._ph_sharded = None
         self._ph_sharded_at_ver = -1
+        self._ph_sharded_struct_ver = -1
+        self._ph_sharded_synced_n = 0
+        self._ph_sharded_full_reshards = 0
         self._pipeline = None
         self._watcher: Optional[threading.Thread] = None
         self._watch_stop: Optional[threading.Event] = None
@@ -1552,6 +1555,7 @@ class Engine:
         self._sharded_struct_ver = -1
         self._ph_sharded = None
         self._ph_sharded_at_ver = -1
+        self._ph_sharded_struct_ver = -1
         self._face_sharded = None
         self._face_sharded_at_ver = -1
         self._blip_sharded = None
@@ -1971,16 +1975,46 @@ class Engine:
         return np.asarray(dist), np.asarray(idx)
 
     def _ensure_ph_sharded(self):
-        from pixelbox_tpu.parallel.sharded_scan import shard_hamming_index
+        """Row-sharded phash mirror, synced lazily with the same delta
+        contract as :meth:`_get_sharded_index`: in-capacity appends ship
+        only the bucket-padded delta rows; structural changes (capacity
+        or width growth, deletes, compaction) full-reshard."""
+        from pixelbox_tpu.parallel.sharded_scan import (
+            append_to_sharded_hamming_index,
+            shard_hamming_index,
+        )
 
+        store = self._ph_store
         if (
-            self._ph_sharded is None
-            or self._ph_sharded_at_ver != self._ph_store.version
+            self._ph_sharded is not None
+            and self._ph_sharded_at_ver == store.version
         ):
-            self._ph_sharded = shard_hamming_index(
-                self._ph_store.device_index, self.scan_mesh
+            return self._ph_sharded
+        if (
+            self._ph_sharded is not None
+            and store.structural_version == self._ph_sharded_struct_ver
+            and store.n > self._ph_sharded_synced_n
+        ):
+            end = store.n
+            m = end - self._ph_sharded_synced_n
+            bucket = 1
+            while bucket < m:
+                bucket *= 2
+            start = max(0, end - bucket)
+            self._ph_sharded = append_to_sharded_hamming_index(
+                self._ph_sharded,
+                store._host_rows[start:end],
+                store._host_valid[start:end],
+                start,
             )
-            self._ph_sharded_at_ver = self._ph_store.version
+        else:
+            self._ph_sharded = shard_hamming_index(
+                store.device_index, self.scan_mesh
+            )
+            self._ph_sharded_full_reshards += 1
+            self._ph_sharded_struct_ver = store.structural_version
+        self._ph_sharded_at_ver = store.version
+        self._ph_sharded_synced_n = store.n
         return self._ph_sharded
 
     def _phash_sharded_scan(self, q: np.ndarray, k: int, max_distance: float):

@@ -447,6 +447,30 @@ def append_to_sharded_index(
     )
 
 
+def append_to_sharded_hamming_index(sharded, rows_u8, valid, start: int):
+    """Hamming twin of :func:`append_to_sharded_index`: write freshly
+    appended phash rows [start, start+m) into the existing sharded
+    mirror without re-transferring it (continuous ingest under
+    serve_on_mesh with phash queries).  Same caller contract: pad the
+    delta to a size bucket with rows the mirror already holds, carry
+    CURRENT validity, and full-reshard on any structural change
+    (capacity growth, deletes, compaction, width growth)."""
+    return sharded._replace(
+        data=lax.dynamic_update_slice_in_dim(
+            sharded.data,
+            jnp.asarray(np.ascontiguousarray(rows_u8, dtype=np.uint8)),
+            jnp.int32(start),
+            axis=0,
+        ),
+        valid=lax.dynamic_update_slice_in_dim(
+            sharded.valid,
+            jnp.asarray(np.ascontiguousarray(valid, dtype=bool)),
+            jnp.int32(start),
+            axis=0,
+        ),
+    )
+
+
 def sharded_hamming_scan_topk(
     query_u8: jnp.ndarray,
     index: PackedHammingIndex,

@@ -304,3 +304,45 @@ def test_text_query_uses_mesh(tmp_path):
     finally:
         eng.scan_mesh = None
         eng.close()
+
+
+def test_incremental_phash_shard_append(mesh_engine, tmp_path):
+    """Phash in-capacity appends ship only delta rows to the mesh (the
+    semantic mirror's contract, round-3); width growth / removal full-
+    reshards."""
+    eng, d = mesh_engine
+    eng.serve_on_mesh(make_mesh(8))
+    try:
+        rec = eng.load_image(str(d / "s1.png"))
+        eng.query_by_phash(rec.phash)
+        base = eng._ph_sharded_full_reshards
+        assert base >= 1
+
+        for i in range(3):
+            p = tmp_path / f"phx{i}.png"
+            Image.fromarray(
+                textured_image(seed=300 + i, size=(48, 48))
+            ).save(p)
+            eng.insert_image_from_path(str(p))
+            r = eng.load_image(str(p))
+            eng.query_by_phash(r.phash)
+            assert eng.get_query_results()[0].filename == f"phx{i}.png"
+        assert eng._ph_sharded_full_reshards == base  # deltas only
+
+        # Removal is structural → full reshard, and the tombstone must
+        # not be visible from the mirror afterwards.
+        victim = eng.get_query_results()[0].id
+        eng.remove_image(victim)
+        eng.query_by_phash(rec.phash)
+        assert all(r.id != victim for r in eng.get_query_results())
+        assert eng._ph_sharded_full_reshards == base + 1
+
+        # Later delta padding must not resurrect the tombstoned row.
+        p = tmp_path / "phx_after.png"
+        Image.fromarray(textured_image(seed=310, size=(48, 48))).save(p)
+        eng.insert_image_from_path(str(p))
+        eng.query_by_phash(rec.phash)
+        assert all(r.id != victim for r in eng.get_query_results())
+        assert eng._ph_sharded_full_reshards == base + 1
+    finally:
+        eng.scan_mesh = None
