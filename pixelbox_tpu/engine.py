@@ -2328,7 +2328,17 @@ class Engine:
         if by == "phash":
             widths = np.asarray(self._ph_widths, dtype=np.int64)
             uniform = bool(np.all(widths[live_rows] == store.dim))
-            if uniform:
+            if uniform and self.scan_mesh is not None:
+                # Whole-index self-scan rides the mesh: each query batch
+                # goes through the row-sharded hamming scan (8 chips ≈
+                # 8× the single-chip pair-finding rate).
+                def scan(qb):
+                    return self._phash_sharded_scan(
+                        np.asarray(qb), k, max_distance
+                    )
+
+                groups.append((live_rows, scan))
+            elif uniform:
                 from pixelbox_tpu.ops.hamming_gemm import (
                     hamming_gemm_scan_topk_auto,
                 )
@@ -2383,6 +2393,23 @@ class Engine:
                     else None
                 )
 
+                if self.scan_mesh is not None:
+                    from pixelbox_tpu.parallel.sharded_scan import (
+                        sharded_cosine4_scan_topk_auto,
+                    )
+
+                    def base_scan(qb, c, md):
+                        return sharded_cosine4_scan_topk_auto(
+                            jnp.asarray(qb), self._get_sharded_index(),
+                            self.scan_mesh, k=c, max_distance=md,
+                        )
+                else:
+                    def base_scan(qb, c, md):
+                        return cosine4_scan_topk_auto(
+                            jnp.asarray(qb), index, k=c, max_distance=md,
+                            sample=self._get_scan_sample(), meta=meta,
+                        )
+
                 if self.int4_rerank:
                     # Candidates in the int4 metric (unbounded), pair
                     # distances in the exact u8 metric — duplicate pairs
@@ -2391,23 +2418,26 @@ class Engine:
 
                     def scan(qb):
                         return scan_with_u8_rerank(
-                            lambda c, md: cosine4_scan_topk_auto(
-                                jnp.asarray(qb), index, k=c,
-                                max_distance=md,
-                                sample=self._get_scan_sample(), meta=meta,
-                            ),
+                            lambda c, md: base_scan(qb, c, md),
                             qb,
                             self._sem_store._host_rows,
                             k=k, max_distance=max_distance,
                         )
                 else:
                     def scan(qb):
-                        d, i = cosine4_scan_topk_auto(
-                            jnp.asarray(qb), index, k=k,
-                            max_distance=max_distance,
-                            sample=self._get_scan_sample(), meta=meta,
-                        )
+                        d, i = base_scan(qb, k, max_distance)
                         return np.asarray(d), np.asarray(i)
+            elif self.scan_mesh is not None:
+                from pixelbox_tpu.parallel.sharded_scan import (
+                    sharded_cosine_scan_topk_auto,
+                )
+
+                def scan(qb):
+                    d, i = sharded_cosine_scan_topk_auto(
+                        jnp.asarray(qb), self._get_sharded_index(),
+                        self.scan_mesh, k=k, max_distance=max_distance,
+                    )
+                    return np.asarray(d), np.asarray(i)
             else:
                 def scan(qb):
                     d, i = cosine_scan_topk_auto(

@@ -167,3 +167,51 @@ def test_mixed_width_phash_groups(tmp_path_factory):
     assert frozenset(("wide1.png", "wide2.png")) in names
     assert not any("sq.png" in fs for fs in names)
     eng.close()
+
+
+def test_duplicates_on_mesh_match_single_chip(engine):
+    """Whole-index duplicate finding rides the mesh under serve_on_mesh
+    (sharded hamming / semantic scans) with identical pairs."""
+    from pixelbox_tpu.parallel.mesh import make_mesh
+
+    ph_single = engine.find_duplicate_pairs(max_distance=0.1, by="phash")
+    sem_single = engine.find_duplicate_pairs(max_distance=0.5, by="semantic")
+    engine.serve_on_mesh(make_mesh(8))
+    try:
+        assert (
+            engine.find_duplicate_pairs(max_distance=0.1, by="phash")
+            == ph_single
+        )
+        assert engine._ph_sharded is not None  # the mesh path actually ran
+        assert (
+            engine.find_duplicate_pairs(max_distance=0.5, by="semantic")
+            == sem_single
+        )
+        assert engine._sharded_index is not None
+    finally:
+        engine.scan_mesh = None
+
+
+def test_int4_duplicates_on_mesh(tmp_path, dup_dir):
+    """int4 libraries find the same duplicate pairs from the mesh
+    (sharded int4 candidates + exact-u8 rerank)."""
+    from pixelbox_tpu.parallel.mesh import make_mesh
+
+    eng = Engine.new(
+        str(tmp_path / "dup4.db"), embedder="stub",
+        embedder_kwargs={"dim": 16}, semantic_precision="int4",
+    )
+    try:
+        eng.add_tracked_folder(str(dup_dir))
+        eng.start_indexing(num_workers=2)
+        assert eng.wait_for_indexing(timeout=120)
+        single = eng.find_duplicate_pairs(max_distance=0.5, by="semantic")
+        assert single and single[0][2] == 0.0  # exact u8 rerank distances
+        eng.serve_on_mesh(make_mesh(8))
+        assert (
+            eng.find_duplicate_pairs(max_distance=0.5, by="semantic")
+            == single
+        )
+    finally:
+        eng.scan_mesh = None
+        eng.close()
