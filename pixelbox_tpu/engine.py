@@ -1067,12 +1067,55 @@ class Engine:
             if len(rows) > 16384:
                 # Broad filter: run the device scan with the filter folded
                 # into the validity mask (beats gathering the subset to
-                # host: one masked pass over the resident index).
-                index = self._sem_store.device_index
-                mask = jnp.zeros(index.capacity, dtype=bool).at[
+                # host: one masked pass over the resident index).  Under
+                # serve_on_mesh the mask folds into the SHARDED mirror's
+                # validity instead, so broad-filtered queries scale with
+                # the mesh like unfiltered ones.  Filtered scans run
+                # exact (a filter-shrunk validity set breaks the θ
+                # sample's assumptions — same choice as text:).
+                on_mesh = self.scan_mesh is not None
+                if on_mesh:
+                    base = self._get_sharded_index()
+                else:
+                    base = self._sem_store.device_index
+                mask = jnp.zeros(base.capacity, dtype=bool).at[
                     jnp.asarray(rows)
                 ].set(True)
-                masked = index._replace(valid=jnp.logical_and(index.valid, mask))
+                masked = base._replace(
+                    valid=jnp.logical_and(base.valid, mask)
+                )
+
+                def _masked_scan(c, md):
+                    if int4 and on_mesh:
+                        from pixelbox_tpu.parallel.sharded_scan import (
+                            sharded_cosine4_scan_topk,
+                        )
+
+                        return sharded_cosine4_scan_topk(
+                            jnp.asarray(sim.visual_hash), masked,
+                            self.scan_mesh, k=c, max_distance=md,
+                        )
+                    if int4:
+                        from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
+
+                        return cosine4a_scan_topk(
+                            jnp.asarray(sim.visual_hash), masked,
+                            k=c, max_distance=md,
+                        )
+                    if on_mesh:
+                        from pixelbox_tpu.parallel.sharded_scan import (
+                            sharded_cosine_scan_topk,
+                        )
+
+                        return sharded_cosine_scan_topk(
+                            jnp.asarray(sim.visual_hash), masked,
+                            self.scan_mesh, k=c, max_distance=md,
+                        )
+                    return cosine_scan_topk(
+                        jnp.asarray(sim.visual_hash), masked,
+                        k=c, max_distance=md,
+                    )
+
                 with timed("engine.text_query_scan"):
                     if int4 and self.int4_rerank:
                         # Same rerank contract as the unfiltered path:
@@ -1080,34 +1123,17 @@ class Engine:
                         # rescore — so the same image pair scores the
                         # same distance with or without a filter.  No
                         # threshold on this path (engine.rs:294-315).
-                        from pixelbox_tpu.ops.int4 import (
-                            cosine4a_scan_topk,
-                            scan_with_u8_rerank,
-                        )
+                        from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
 
                         dists, idxs = scan_with_u8_rerank(
-                            lambda c, md: cosine4a_scan_topk(
-                                jnp.asarray(sim.visual_hash), masked,
-                                k=c, max_distance=md,
-                            ),
+                            _masked_scan,
                             np.asarray(sim.visual_hash, dtype=np.uint8),
                             self._sem_store._host_rows,
                             k=k, max_distance=np.inf,
                         )
-                    elif int4:
-                        from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
-
-                        dists, idxs = cosine4a_scan_topk(
-                            jnp.asarray(sim.visual_hash), masked, k=k,
-                            max_distance=np.inf,
-                        )
                     else:
-                        dists, idxs = cosine_scan_topk(
-                            jnp.asarray(sim.visual_hash),
-                            masked,
-                            k=k,
-                            max_distance=np.inf,  # no threshold on this path
-                        )
+                        # no threshold on this path (engine.rs:294-315)
+                        dists, idxs = _masked_scan(k, np.inf)
                 dists = np.asarray(dists)
                 idxs = np.asarray(idxs)
                 keep = idxs >= 0
