@@ -1226,22 +1226,13 @@ class Engine:
             # Real device scan — blocked GEMM + streaming top-k over the
             # resident BLIP index (any catalog filter folds into the
             # validity mask).  No full-index host gather on this path.
-            index = self._blip_store.device_index
             filtered = len(rows) != n_rows
-            if filtered:
-                mask = jnp.zeros(index.capacity, dtype=bool).at[
-                    jnp.asarray(rows)
-                ].set(True)
-                index = index._replace(
-                    valid=jnp.logical_and(index.valid, mask)
-                )
             with timed("engine.text_to_image_scan"):
                 if filtered:
-                    # θ-sampling assumes the sample mirrors the scanned
-                    # validity set; a filter-shrunk set would just fail
-                    # proofs into repairs — scan exactly instead.
-                    dists, idxs = cosine_scan_topk(
-                        jnp.asarray(q_hash), index, k=k, max_distance=np.inf
+                    # Masked exact scan (sharded under serve_on_mesh).
+                    dists, idxs = self._masked_exact_topk(
+                        jnp.asarray(q_hash), self._blip_store,
+                        self._ensure_blip_sharded, rows, k, np.inf,
                     )
                 else:
                     # Unfiltered: the shared core (row-sharded over the
@@ -1360,24 +1351,19 @@ class Engine:
             self._cached_search_results = []
             return
         if len(rows) > 16384:
-            index = self._face_store.device_index
-            mask = jnp.zeros(index.capacity, dtype=bool).at[
-                jnp.asarray(rows)
-            ].set(True)
-            index = index._replace(
-                valid=jnp.logical_and(index.valid, mask)
-            )
             # Over-fetch faces so image-level dedup can still fill k
             # IMAGES (an image contributes all its matching faces to the
             # face top-k); multi-face libraries (group photos) can crowd
             # any fixed over-fetch, so retry with doubled k_faces until
-            # k images fill or the candidate set is exhausted.
+            # k images fill or the candidate set is exhausted.  The
+            # masked exact scan shards under serve_on_mesh.
             k_faces = min(4 * k + 16, len(rows))
             while True:
                 with timed("engine.face_scan"):
-                    dists, idxs = cosine_scan_topk(
-                        jnp.asarray(q_hash), index, k=k_faces,
-                        max_distance=max_distance,
+                    dists, idxs = self._masked_exact_topk(
+                        jnp.asarray(q_hash), self._face_store,
+                        self._ensure_face_sharded, rows, k_faces,
+                        max_distance,
                     )
                 dists = np.asarray(dists)
                 idxs = np.asarray(idxs)
@@ -2107,6 +2093,37 @@ class Engine:
             sample=self._get_blip_scan_sample(),
             row_meta=self._get_blip_pallas_meta(),
         )
+
+    def _masked_exact_topk(self, q, store, ensure_sharded, rows, k,
+                           max_distance):
+        """Exact top-k over a row-masked u8 index (broad catalog filters).
+
+        Single-chip: mask the resident index's validity.  Under
+        ``serve_on_mesh``: fold the mask into the sharded mirror's
+        validity so filtered scans scale with the mesh too.  Exact (not
+        auto) — a filter-shrunk validity set breaks the θ sample's
+        assumptions, so proofs would just fail into repairs."""
+        if self.scan_mesh is not None:
+            from pixelbox_tpu.parallel.sharded_scan import (
+                sharded_cosine_scan_topk,
+            )
+
+            base = ensure_sharded()
+            mask = jnp.zeros(base.capacity, dtype=bool).at[
+                jnp.asarray(rows)
+            ].set(True)
+            masked = base._replace(
+                valid=jnp.logical_and(base.valid, mask)
+            )
+            return sharded_cosine_scan_topk(
+                q, masked, self.scan_mesh, k=k, max_distance=max_distance
+            )
+        index = store.device_index
+        mask = jnp.zeros(index.capacity, dtype=bool).at[
+            jnp.asarray(rows)
+        ].set(True)
+        masked = index._replace(valid=jnp.logical_and(index.valid, mask))
+        return cosine_scan_topk(q, masked, k=k, max_distance=max_distance)
 
     def _ensure_blip_sharded(self):
         """Row-sharded BLIP-store mirror (serve_on_mesh).  Full reshard

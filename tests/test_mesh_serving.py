@@ -346,3 +346,44 @@ def test_incremental_phash_shard_append(mesh_engine, tmp_path):
         assert eng._ph_sharded_full_reshards == base + 1
     finally:
         eng.scan_mesh = None
+
+
+def test_masked_exact_topk_on_mesh(tmp_path, rng):
+    """The shared broad-filter helper (filtered text:/face: scans) folds
+    the row mask into the sharded mirror and matches the oracle over the
+    masked subset."""
+    from pixelbox_tpu.index.store import VectorStore
+
+    eng = Engine.new(
+        str(tmp_path / "mask.db"), embedder="stub",
+        embedder_kwargs={"dim": 16},
+    )
+    try:
+        rows_u8 = rng.integers(0, 256, size=(20000, 16), dtype=np.uint8)
+        store = VectorStore(dim=16, kind="semantic")
+        store.append(rows_u8)
+        sel = np.sort(rng.choice(20000, 17000, replace=False))
+        q = rows_u8[int(sel[5])]
+
+        d1, i1 = eng._masked_exact_topk(
+            jnp.asarray(q), store, None, sel, 10, np.inf
+        )
+        mesh = make_mesh(8)
+        eng.serve_on_mesh(mesh)
+        d2, i2 = eng._masked_exact_topk(
+            jnp.asarray(q), store,
+            lambda: shard_semantic_index(store.device_index, mesh),
+            sel, 10, np.inf,
+        )
+        exp_d, exp_i = oracle.cosine_scan_topk_np(
+            q, rows_u8[sel], k=10, max_distance=np.inf
+        )
+        # Map subset oracle ids back to global rows.
+        exp_global = sel[exp_i[0]]
+        np.testing.assert_array_equal(np.asarray(i1), exp_global)
+        np.testing.assert_array_equal(np.asarray(i2), exp_global)
+        np.testing.assert_allclose(np.asarray(d1), exp_d[0], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(d2), exp_d[0], rtol=1e-6)
+    finally:
+        eng.scan_mesh = None
+        eng.close()
