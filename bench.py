@@ -990,6 +990,65 @@ def bench_blip_text(n=1_000_000, iters=8, q=32, rng=None):
     }
 
 
+def bench_train_step(iters=20, rng=None):
+    """Offline-trainer throughput (SURVEY L0): one contrastive step =
+    EfficientNet-B0 forward×2 + backward + Adam (training/train.py,
+    mirroring /root/reference/resources/train.py:118-160).  Reported as
+    images/sec/chip at the reference's shipped config (latent 8, 224²,
+    batch 32, f32 — train.py:178-191) and at a TPU-native config
+    (batch 256, bf16 compute on the MXU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.parallel.mesh import make_mesh
+    from pixelbox_tpu.training.train import (
+        TrainConfig,
+        init_train_state,
+        make_sharded_train_step,
+    )
+
+    rng = rng or np.random.default_rng(5)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, axis_names=("data", "model"), shape=(n_dev, 1))
+    out = {}
+    for name, cfg in (
+        ("ref_b32_f32", TrainConfig(latent_dim=8, batch_size=32)),
+        (
+            "tpu_b256_bf16",
+            TrainConfig(latent_dim=8, batch_size=256, dtype=jnp.bfloat16),
+        ),
+    ):
+        state = init_train_state(cfg, mesh)
+        step = make_sharded_train_step(cfg, mesh)
+        b = cfg.batch_size
+        shape = (b, cfg.input_size, cfg.input_size, 3)
+        left = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+        right = jnp.asarray(
+            np.clip(
+                np.asarray(left) + rng.normal(0, 0.05, shape), 0, 1
+            ).astype(np.float32)
+        )
+        labels = jnp.asarray(
+            np.where(rng.uniform(size=b) < 0.5, 1.0, -1.0).astype(np.float32)
+        )
+        t0 = time.perf_counter()
+        state, loss = step(state, left, right, labels)  # compile
+        jax.block_until_ready(loss)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = step(state, left, right, labels)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / iters
+        out[f"train_{name}_images_per_s"] = 2 * b / dt  # a pair = 2 images
+        out[f"train_{name}_step_ms"] = dt * 1e3
+        out[f"train_{name}_first_call_s"] = compile_s
+        out[f"train_{name}_loss_finite"] = bool(
+            np.isfinite(np.asarray(loss, dtype=np.float32))
+        )
+    return out
+
+
 def main():
     full = "--full" in sys.argv
     from pixelbox_tpu.utils.jaxcache import enable_compilation_cache
@@ -1041,6 +1100,7 @@ def main():
             ("serve_e2e", bench_serve_e2e),
             ("e2e_dragdrop_1M", bench_e2e_dragdrop),
             ("blip_text_search", bench_blip_text),
+            ("train_step", bench_train_step),
         ]
         if full
         else []
