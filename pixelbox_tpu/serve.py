@@ -758,6 +758,10 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8333,
             scan_service.warmup(engine._ph_store.dim, kinds=("phash",))
         if "face" in scan_service.kinds:
             scan_service.warmup(engine._face_store.dim, kinds=("face",))
+        if "blip" in scan_service.kinds and (
+            engine._blip_store is not None and engine._blip_store.size > 0
+        ):
+            scan_service.warmup(engine._blip_store.dim, kinds=("blip",))
     server = ThreadingHTTPServer(
         (host, port), make_handler(engine, lock, scan_service)
     )
