@@ -465,6 +465,40 @@ def _where(node, ins):
     return jnp.where(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b))
 
 
+def _layer_norm(node, ins):
+    """Fused LayerNormalization (opset ≥17 — modern ViT/transformer
+    exports emit this instead of the ReduceMean/Sub/… decomposition)."""
+    x = jnp.asarray(ins[0], jnp.float32)
+    scale = jnp.asarray(ins[1], jnp.float32)
+    bias = (
+        jnp.asarray(ins[2], jnp.float32)
+        if len(ins) > 2 and ins[2] is not None
+        else None
+    )
+    axis = int(node["attrs"].get("axis", -1) if node["attrs"].get("axis") is not None else -1)
+    eps = float(node["attrs"].get("epsilon") or 1e-5)
+    if axis < 0:
+        axis += x.ndim
+    axes = tuple(range(axis, x.ndim))
+    mu = jnp.mean(x, axis=axes, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=axes, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + jnp.float32(eps)) * scale
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _gelu(node, ins):
+    """Fused Gelu (opset ≥20).  approximate="tanh" selects the tanh
+    approximation; default is the exact erf form."""
+    x = jnp.asarray(ins[0], jnp.float32)
+    approx = node["attrs"].get("approximate")
+    if isinstance(approx, bytes):
+        approx = approx.decode()
+    return jax.nn.gelu(x, approximate=(approx == "tanh"))
+
+
 _OPS = {
     "Conv": _conv,
     "ConvInteger": _conv_integer,
@@ -536,6 +570,8 @@ _OPS = {
     "Expand": _expand,
     "Where": _where,
     "Pad": _pad,
+    "LayerNormalization": _layer_norm,
+    "Gelu": _gelu,
     "DequantizeLinear": _dequantize_linear,
     "QuantizeLinear": _quantize_linear,
     "DynamicQuantizeLinear": _dynamic_quantize_linear,

@@ -355,7 +355,7 @@ def params_from_onnx(path: str, latent_dim: Optional[int] = None):
 
 
 def _attr(name: str, *, i: Optional[int] = None, f: Optional[float] = None,
-          ints: Optional[List[int]] = None) -> bytes:
+          ints: Optional[List[int]] = None, s: Optional[str] = None) -> bytes:
     """AttributeProto with the type field set (checkers require it)."""
     out = _field_bytes(1, name.encode())
     if i is not None:
@@ -364,6 +364,8 @@ def _attr(name: str, *, i: Optional[int] = None, f: Optional[float] = None,
         out += _tag(2, 5) + struct.pack("<f", f) + _field_varint(20, 1)  # FLOAT
     elif ints is not None:
         out += _field_packed_varints(8, ints) + _field_varint(20, 7)     # INTS
+    elif s is not None:
+        out += _field_bytes(4, s.encode()) + _field_varint(20, 3)        # STRING
     return out
 
 

@@ -500,3 +500,60 @@ def test_nomic_embedder_runs_user_vit_onnx(tmp_path):
     np.testing.assert_allclose(
         z, np.tanh(pooled @ proj), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fused_layernorm_and_gelu_ops(tmp_path):
+    """Opset-17+/20+ fused ops (LayerNormalization, Gelu incl. the tanh
+    approximation) — what modern transformer exporters emit instead of
+    the decompositions the ViT test above covers."""
+    pytest.importorskip("scipy")
+    from scipy.special import erf
+
+    rng = np.random.default_rng(9)
+    H = 12
+    g = rng.uniform(0.5, 1.5, H).astype(np.float32)
+    b = rng.standard_normal(H).astype(np.float32) * 0.1
+    nodes = [
+        _node("LayerNormalization", ["input", "g", "b"], ["ln"],
+              [_attr("axis", i=-1), _attr("epsilon", f=1e-5)]),
+        _node("Gelu", ["ln"], ["ge"]),
+        _node("Gelu", ["ge"], ["output"], [_attr("approximate", s="tanh")]),
+    ]
+    path = str(tmp_path / "fused.onnx")
+    _write_model(path, nodes, [_tensor("g", g), _tensor("b", b)],
+                 [("input", [3, 7, H])], [("output", [3, 7, H])])
+    m = read_onnx(path)
+    assert m["nodes"][2]["attrs"]["approximate"] == "tanh"
+    model = OnnxGraphModel(path)
+    x = rng.standard_normal((3, 7, H)).astype(np.float32)
+    got = np.asarray(model(jnp.asarray(x)))
+
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    ln = xc / np.sqrt((xc * xc).mean(-1, keepdims=True) + 1e-5) * g + b
+    ge = 0.5 * ln * (1.0 + erf(ln / np.sqrt(2.0)))
+    c = np.sqrt(2.0 / np.pi)
+    exp = 0.5 * ge * (1.0 + np.tanh(c * (ge + 0.044715 * ge**3)))
+    np.testing.assert_allclose(got, exp, rtol=2e-5, atol=2e-6)
+
+
+def test_layernorm_no_bias_and_2d_axis(tmp_path):
+    """LayerNormalization without the optional bias, normalizing the
+    trailing TWO axes (axis=1 on a 3-D input)."""
+    rng = np.random.default_rng(10)
+    T, H = 4, 6
+    g = rng.uniform(0.5, 1.5, (T, H)).astype(np.float32)
+    nodes = [
+        _node("LayerNormalization", ["input", "g"], ["output"],
+              [_attr("axis", i=1)]),
+    ]
+    path = str(tmp_path / "ln2d.onnx")
+    _write_model(path, nodes, [_tensor("g", g)],
+                 [("input", [2, T, H])], [("output", [2, T, H])])
+    model = OnnxGraphModel(path)
+    x = rng.standard_normal((2, T, H)).astype(np.float32)
+    got = np.asarray(model(jnp.asarray(x)))
+    mu = x.mean(axis=(1, 2), keepdims=True)
+    xc = x - mu
+    exp = xc / np.sqrt((xc * xc).mean(axis=(1, 2), keepdims=True) + 1e-5) * g
+    np.testing.assert_allclose(got, exp, rtol=2e-5, atol=2e-6)
