@@ -229,6 +229,54 @@ def _matmul_integer(node, ins):
     return jnp.matmul(a, b, preferred_element_type=jnp.int32)
 
 
+def _requantize(acc_i32, scale, y_zp, channel_axis=None, ndim=None):
+    """int32 accumulator → quantized output: round(acc·scale) + zp,
+    clipped to the zero-point's dtype range (QLinear* epilogue)."""
+    zp = _np(y_zp)
+    scale = np.asarray(scale, dtype=np.float32)
+    if channel_axis is not None and scale.ndim == 1 and scale.size > 1:
+        shape = [1] * ndim
+        shape[channel_axis] = scale.size
+        scale = scale.reshape(shape)
+    lo, hi = (-128, 127) if zp.dtype == np.int8 else (0, 255)
+    y = jnp.clip(
+        jnp.round(jnp.asarray(acc_i32, jnp.float32) * scale)
+        + zp.astype(np.int32),
+        lo, hi,
+    )
+    return y.astype(jnp.int8 if zp.dtype == np.int8 else jnp.uint8)
+
+
+def _qlinear_matmul(node, ins):
+    """QOperator-format quantized MatMul (the other int8 export flavor
+    besides QDQ): y = q((a−azp)·(b−bzp) · a_s·b_s/y_s, yzp)."""
+    a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp = ins[:8]
+    acc = _matmul_integer(node, [a, b, a_zp, b_zp])
+    scale = (
+        _np(a_s).astype(np.float32)
+        * _np(b_s).astype(np.float32)
+        / _np(y_s).astype(np.float32)
+    )
+    # Per-column b scales broadcast over the last axis naturally.
+    return _requantize(acc, scale, y_zp)
+
+
+def _qlinear_conv(node, ins):
+    """QOperator-format quantized Conv; per-output-channel weight scales
+    supported; optional int32 bias adds into the accumulator."""
+    x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp = ins[:8]
+    acc = _conv_integer(node, [x, w, x_zp, w_zp])
+    if len(ins) > 8 and ins[8] is not None:
+        bias = jnp.asarray(ins[8], jnp.int32)
+        acc = acc + bias[None, :, None, None]
+    scale = (
+        _np(x_s).astype(np.float32)
+        * _np(w_s).astype(np.float32)
+        / _np(y_s).astype(np.float32)
+    )
+    return _requantize(acc, scale, y_zp, channel_axis=1, ndim=4)
+
+
 def _pool(node, ins, kind):
     x = jnp.asarray(ins[0], jnp.float32)
     a = node["attrs"]
@@ -572,6 +620,8 @@ _OPS = {
     "Pad": _pad,
     "LayerNormalization": _layer_norm,
     "Gelu": _gelu,
+    "QLinearMatMul": _qlinear_matmul,
+    "QLinearConv": _qlinear_conv,
     "DequantizeLinear": _dequantize_linear,
     "QuantizeLinear": _quantize_linear,
     "DynamicQuantizeLinear": _dynamic_quantize_linear,

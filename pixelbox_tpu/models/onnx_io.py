@@ -384,6 +384,12 @@ def _tensor(name: str, arr: np.ndarray) -> bytes:
         dt = _DT_FLOAT
     elif arr.dtype == np.int64:
         dt = _DT_INT64
+    elif arr.dtype == np.uint8:
+        dt = 2
+    elif arr.dtype == np.int8:
+        dt = 3
+    elif arr.dtype == np.int32:
+        dt = 6
     else:
         arr = arr.astype(np.float32)
         dt = _DT_FLOAT

@@ -557,3 +557,84 @@ def test_layernorm_no_bias_and_2d_axis(tmp_path):
     xc = x - mu
     exp = xc / np.sqrt((xc * xc).mean(axis=(1, 2), keepdims=True) + 1e-5) * g
     np.testing.assert_allclose(got, exp, rtol=2e-5, atol=2e-6)
+
+
+def test_qlinear_matmul(tmp_path):
+    """QOperator-format int8 MatMul (tract runs the nomic int8 export;
+    QOperator is the other quantized flavor besides QDQ)."""
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, (3, 6), dtype=np.uint8)
+    b = rng.integers(-128, 128, (6, 5), dtype=np.int8)
+    a_s, b_s, y_s = np.float32(0.02), np.float32(0.05), np.float32(0.1)
+    a_zp, b_zp, y_zp = np.uint8(128), np.int8(0), np.uint8(120)
+    nodes = [
+        _node(
+            "QLinearMatMul",
+            ["input", "a_s", "a_zp", "b", "b_s", "b_zp", "y_s", "y_zp"],
+            ["output"],
+        ),
+    ]
+    inits = [
+        _tensor("a_s", a_s), _tensor("a_zp", a_zp), _tensor("b", b),
+        _tensor("b_s", b_s), _tensor("b_zp", b_zp),
+        _tensor("y_s", y_s), _tensor("y_zp", y_zp),
+    ]
+    path = str(tmp_path / "qmm.onnx")
+    _write_model(path, nodes, inits, [("input", [3, 6])], [("output", [3, 5])])
+    model = OnnxGraphModel(path)
+    got = np.asarray(model(jnp.asarray(a)))
+    acc = (a.astype(np.int32) - 128) @ b.astype(np.int32)
+    exp = np.clip(
+        np.round(acc * (float(a_s) * float(b_s) / float(y_s))) + 120, 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+    assert got.dtype == np.uint8
+
+
+def test_qlinear_conv_per_channel(tmp_path):
+    """QOperator int8 Conv with per-output-channel weight scales and an
+    int32 bias folded into the accumulator."""
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 256, (1, 3, 6, 6), dtype=np.uint8)
+    w = rng.integers(-128, 128, (4, 3, 3, 3), dtype=np.int8)
+    bias = rng.integers(-1000, 1000, 4, dtype=np.int32)
+    x_s, y_s = np.float32(0.03), np.float32(0.2)
+    w_s = rng.uniform(0.01, 0.05, 4).astype(np.float32)
+    x_zp, w_zp, y_zp = np.uint8(100), np.int8(0), np.uint8(128)
+    nodes = [
+        _node(
+            "QLinearConv",
+            ["input", "x_s", "x_zp", "w", "w_s", "w_zp", "y_s", "y_zp", "bias"],
+            ["output"],
+            [_attr("strides", ints=[1, 1]), _attr("kernel_shape", ints=[3, 3]),
+             _attr("pads", ints=[1, 1, 1, 1])],
+        ),
+    ]
+    inits = [
+        _tensor("x_s", x_s), _tensor("x_zp", x_zp), _tensor("w", w),
+        _tensor("w_s", w_s), _tensor("w_zp", w_zp),
+        _tensor("y_s", y_s), _tensor("y_zp", y_zp), _tensor("bias", bias),
+    ]
+    path = str(tmp_path / "qconv.onnx")
+    _write_model(path, nodes, inits, [("input", [1, 3, 6, 6])],
+                 [("output", [1, 4, 6, 6])])
+    model = OnnxGraphModel(path)
+    got = np.asarray(model(jnp.asarray(x)))
+
+    # Numpy oracle: integer conv on zero-centered values + bias, then
+    # per-channel requantize.
+    xi = x.astype(np.int32) - 100
+    pad = np.pad(xi, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    acc = np.zeros((1, 4, 6, 6), dtype=np.int64)
+    for o in range(4):
+        for i in range(6):
+            for j in range(6):
+                patch = pad[0, :, i : i + 3, j : j + 3]
+                acc[0, o, i, j] = np.sum(
+                    patch.astype(np.int64) * w[o].astype(np.int64)
+                )
+    acc += bias[None, :, None, None]
+    scale = (float(x_s) * w_s / float(y_s))[None, :, None, None]
+    exp = np.clip(np.round(acc * scale) + 128, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, exp)
+    assert got.dtype == np.uint8
