@@ -513,6 +513,43 @@ def _where(node, ins):
     return jnp.where(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b))
 
 
+def _variadic(op, xs):
+    out = jnp.asarray(xs[0], jnp.float32)
+    for x in xs[1:]:
+        out = op(out, jnp.asarray(x, jnp.float32))
+    return out
+
+
+def _resize(node, ins):
+    """Resize (opset 11+ signature: X, roi, scales, sizes) — nearest and
+    (bi)linear, the modes image models' upsampling decoders use.  ROI is
+    ignored (only used by crop-and-resize transform modes)."""
+    x = jnp.asarray(ins[0], jnp.float32)
+    scales = (
+        _np(ins[2]).reshape(-1).astype(np.float64)
+        if len(ins) > 2 and ins[2] is not None and np.size(_np(ins[2]))
+        else None
+    )
+    sizes = (
+        [int(v) for v in _np(ins[3]).reshape(-1)]
+        if len(ins) > 3 and ins[3] is not None and np.size(_np(ins[3]))
+        else None
+    )
+    if sizes is None:
+        if scales is None:
+            raise ValueError("Resize needs scales or sizes")
+        sizes = [
+            int(np.floor(s * d)) for s, d in zip(scales, x.shape)
+        ]
+    mode = node["attrs"].get("mode") or "nearest"
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[
+        str(mode)
+    ]
+    return jax.image.resize(x, tuple(sizes), method=method)
+
+
 def _layer_norm(node, ins):
     """Fused LayerNormalization (opset ≥17 — modern ViT/transformer
     exports emit this instead of the ReduceMean/Sub/… decomposition)."""
@@ -625,4 +662,49 @@ _OPS = {
     "DequantizeLinear": _dequantize_linear,
     "QuantizeLinear": _quantize_linear,
     "DynamicQuantizeLinear": _dynamic_quantize_linear,
+    # MobileNet-family activations (torchvision exporters emit these).
+    "HardSigmoid": lambda node, ins: jnp.clip(
+        float(node["attrs"].get("alpha", 0.2) or 0.2)
+        * jnp.asarray(ins[0], jnp.float32)
+        + float(node["attrs"].get("beta", 0.5) or 0.5),
+        0.0, 1.0,
+    ),
+    "HardSwish": _ew(
+        lambda x: jnp.asarray(x, jnp.float32)
+        * jnp.clip(jnp.asarray(x, jnp.float32) / 6.0 + 0.5, 0.0, 1.0)
+    ),
+    "PRelu": _ew(
+        lambda x, slope: jnp.where(
+            jnp.asarray(x, jnp.float32) >= 0,
+            jnp.asarray(x, jnp.float32),
+            jnp.asarray(slope, jnp.float32) * jnp.asarray(x, jnp.float32),
+        )
+    ),
+    "Elu": lambda node, ins: jax.nn.elu(
+        jnp.asarray(ins[0], jnp.float32),
+        alpha=float(node["attrs"].get("alpha", 1.0) or 1.0),
+    ),
+    "Softplus": _ew(lambda x: jax.nn.softplus(jnp.asarray(x, jnp.float32))),
+    "GlobalMaxPool": _ew(
+        lambda x: jnp.max(jnp.asarray(x, jnp.float32), axis=(2, 3), keepdims=True)
+    ),
+    "ReduceMax": lambda node, ins: _reduce(node, ins, jnp.max),
+    "ReduceMin": lambda node, ins: _reduce(node, ins, jnp.min),
+    "ArgMax": lambda node, ins: jnp.argmax(
+        jnp.asarray(ins[0], jnp.float32),
+        axis=int(node["attrs"].get("axis", 0) or 0),
+        keepdims=bool(int(node["attrs"].get("keepdims", 1) or 0)),
+    ).astype(jnp.int64),
+    "Min": _ew(lambda *xs: _variadic(jnp.minimum, xs)),
+    "Max": _ew(lambda *xs: _variadic(jnp.maximum, xs)),
+    "Sum": _ew(lambda *xs: _variadic(jnp.add, xs)),
+    "Mean": _ew(
+        lambda *xs: _variadic(jnp.add, xs) / jnp.float32(len(xs))
+    ),
+    "Abs": _ew(lambda x: jnp.abs(jnp.asarray(x))),
+    "Floor": _ew(lambda x: jnp.floor(jnp.asarray(x, jnp.float32))),
+    "Ceil": _ew(lambda x: jnp.ceil(jnp.asarray(x, jnp.float32))),
+    "Log": _ew(lambda x: jnp.log(jnp.asarray(x, jnp.float32))),
+    "Reciprocal": _ew(lambda x: 1.0 / jnp.asarray(x, jnp.float32)),
+    "Resize": _resize,
 }

@@ -638,3 +638,54 @@ def test_qlinear_conv_per_channel(tmp_path):
     exp = np.clip(np.round(acc * scale) + 128, 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(got, exp)
     assert got.dtype == np.uint8
+
+
+def test_mobilenet_activations_and_variadic(tmp_path):
+    """HardSwish/HardSigmoid (MobileNetV3 exports), PRelu, and variadic
+    Mean — vs numpy formulas."""
+    rng = np.random.default_rng(14)
+    slope = np.float32(0.1) * np.ones(1, dtype=np.float32)
+    nodes = [
+        _node("HardSwish", ["input"], ["hs"]),
+        _node("HardSigmoid", ["input"], ["hg"]),
+        _node("PRelu", ["input", "slope"], ["pr"]),
+        _node("Mean", ["hs", "hg", "pr"], ["output"]),
+    ]
+    path = str(tmp_path / "acts.onnx")
+    _write_model(path, nodes, [_tensor("slope", slope)],
+                 [("input", [2, 5])], [("output", [2, 5])])
+    model = OnnxGraphModel(path)
+    x = rng.standard_normal((2, 5)).astype(np.float32) * 3
+    got = np.asarray(model(jnp.asarray(x)))
+    hs = x * np.clip(x / 6.0 + 0.5, 0, 1)
+    hg = np.clip(0.2 * x + 0.5, 0, 1)
+    pr = np.where(x >= 0, x, 0.1 * x)
+    np.testing.assert_allclose(got, (hs + hg + pr) / 3.0, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_nearest_and_linear(tmp_path):
+    """Resize 2× upsampling: nearest == exact pixel duplication; linear
+    matches torch's bilinear (align_corners=False == ONNX half_pixel)."""
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal((1, 2, 4, 4)).astype(np.float32)
+    scales = np.array([1.0, 1.0, 2.0, 2.0], dtype=np.float32)
+    for mode, check in (("nearest", None), ("linear", None)):
+        nodes = [
+            _node("Resize", ["input", "", "scales"], ["output"],
+                  [_attr("mode", s=mode)]),
+        ]
+        path = str(tmp_path / f"resize_{mode}.onnx")
+        _write_model(path, nodes, [_tensor("scales", scales)],
+                     [("input", [1, 2, 4, 4])], [("output", [1, 2, 8, 8])])
+        got = np.asarray(OnnxGraphModel(path)(jnp.asarray(x)))
+        assert got.shape == (1, 2, 8, 8)
+        if mode == "nearest":
+            exp = x.repeat(2, axis=2).repeat(2, axis=3)
+            np.testing.assert_allclose(got, exp, rtol=1e-6)
+        else:
+            torch = pytest.importorskip("torch")
+            exp = torch.nn.functional.interpolate(
+                torch.from_numpy(x), scale_factor=2, mode="bilinear",
+                align_corners=False,
+            ).numpy()
+            np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
