@@ -202,6 +202,13 @@ class Engine:
         self._blip_scan_sample_at_ver = -1
         self._blip_pallas_meta = None
         self._blip_pallas_meta_at_ver = -1
+        #: ONE result set per engine (reference semantics: the UI pages
+        #: through a single cached_search_results, engine.rs).  Queries
+        #: are safe against concurrent MUTATIONS (insert/remove/compact
+        #: — the internal rwlock covers those), but concurrent CALLERS
+        #: must serialize their query→get_query_results pairs at the app
+        #: level, like serve.py's request lock (or use
+        #: BatchingScanService, which returns per-request results).
         self._cached_search_results: Optional[List[IndexedImage]] = None
         self._cached_image_search: Optional[IndexedImage] = None
         self.last_query_error: Optional[str] = None

@@ -58,6 +58,13 @@ def test_engine_mutation_fuzz(tmp_path):
     errors = []
     stop = threading.Event()
     ROUNDS = 40
+    # The engine keeps ONE result set (reference semantics: a single
+    # cached_search_results the UI pages through) — concurrent CALLERS
+    # serialize query→read pairs at the app level, exactly like
+    # serve.py's request lock.  Mutations (insert/remove/compact/tag)
+    # need no caller lock: the engine's internal rwlock covers them —
+    # THAT interleaving is what this fuzz hammers.
+    qlock = threading.Lock()
 
     def guard(fn):
         def run():
@@ -73,16 +80,18 @@ def test_engine_mutation_fuzz(tmp_path):
         # Semantic int4+rerank queries; static3 must always rank first,
         # every returned id must exist in the catalog at fetch time.
         while not stop.is_set():
-            eng.query_by_image_hash_from_image(probe)
-            res = eng.get_query_results()
+            with qlock:
+                eng.query_by_image_hash_from_image(probe)
+                res = eng.get_query_results()
             assert res and res[0].path.endswith("static3.png"), res
             assert all(r.id > 0 and r.filename for r in res)
 
     @guard
     def ph_querier():
         while not stop.is_set():
-            eng.query_by_phash(ph_probe.phash)
-            res = eng.get_query_results()
+            with qlock:
+                eng.query_by_phash(ph_probe.phash)
+                res = eng.get_query_results()
             assert res and res[0].path.endswith("static4.png"), res
 
     @guard
@@ -90,8 +99,9 @@ def test_engine_mutation_fuzz(tmp_path):
         while not stop.is_set():
             if face_probe is None:
                 return
-            eng.query_by_face_hash(face_probe)
-            res = eng.get_query_results()
+            with qlock:
+                eng.query_by_face_hash(face_probe)
+                res = eng.get_query_results()
             assert res and res[0].path.endswith("face_static.png"), res
 
     @guard
@@ -99,7 +109,10 @@ def test_engine_mutation_fuzz(tmp_path):
         i = 0
         while not stop.is_set():
             eng.set_tag(1, "fuzz", f"v{i}")
-            eng.query("tag:fuzz")
+            with qlock:
+                eng.query("tag:fuzz")
+                res = eng.get_query_results()
+            assert res and res[0].id == 1, res
             i += 1
 
     threads = [
