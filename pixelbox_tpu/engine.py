@@ -182,6 +182,26 @@ class Engine:
         self._embedder_kwargs = dict(embedder_kwargs or {})
         if dim is not None:
             self._embedder_kwargs.setdefault("dim", dim)
+        # The embedding width PERSISTS in the library (like
+        # semantic_precision): reopening without --dim restores the
+        # width it was indexed with instead of the embedder's default
+        # (which used to fail later with an opaque shape mismatch).
+        # Explicit dim wins and re-persists; stored semantic hashes are
+        # the fallback source for pre-existing/reference libraries.
+        if self._embedder_kwargs.get("dim") is not None:
+            self.catalog.set_setting(
+                "embedder_dim", str(int(self._embedder_kwargs["dim"]))
+            )
+        else:
+            stored_dim = self.catalog.get_setting("embedder_dim")
+            if not stored_dim:
+                first = next(
+                    self.catalog.iter_hashes("semantic_hashes"), None
+                )
+                if first is not None:
+                    stored_dim = str(len(first[1]))
+            if stored_dim:
+                self._embedder_kwargs["dim"] = int(stored_dim)
         self._embedder = None  # lazy, like the reference's lazy_static MODEL
 
         # Searching and filtering (public fields, engine.rs:91-92).

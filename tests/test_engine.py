@@ -188,3 +188,40 @@ def test_query_by_image_hash_from_id(engine):
     assert eng.get_query_results() == []
     assert "no semantic hash" in eng.last_query_error
     eng.max_distance_from_query = 1e3
+
+
+def test_reopen_without_dim_restores_stored_width(tmp_path, photo_dir):
+    """The embedding width persists in the library (like
+    semantic_precision): reopening with no dim restores the indexed
+    width instead of the embedder default (which later failed with an
+    opaque reshape error — round-3 UX fix).  Pre-existing libraries
+    without the setting fall back to the stored hash width."""
+    db = str(tmp_path / "redim.db")
+    eng = Engine.new(db, embedder="stub", embedder_kwargs={"dim": 48})
+    eng.max_distance_from_query = 1e7
+    probe = None
+    imgs = sorted(q for q in photo_dir.iterdir() if q.suffix == ".png")
+    for p in imgs[:3]:
+        eng.insert_image_from_path(str(p))
+        probe = probe or str(p)
+    eng.close()
+
+    eng2 = Engine.open(db, embedder="stub")  # NO dim anywhere
+    try:
+        assert eng2.embedder.dim == 48
+        eng2.max_distance_from_query = 1e7
+        eng2.query_by_image_hash_from_file(probe)
+        assert eng2.get_query_results()[0].path == probe
+    finally:
+        eng2.close()
+
+    # Fallback source: a library whose settings row predates the
+    # feature (or a reference DB) infers from the stored hashes.
+    eng3 = Engine.open(db)
+    eng3.catalog.set_setting("embedder_dim", "")
+    eng3.close()
+    eng4 = Engine.open(db, embedder="stub")
+    try:
+        assert eng4.embedder.dim == 48
+    finally:
+        eng4.close()
