@@ -109,10 +109,12 @@ def main(argv=None) -> int:
         sp = sub.add_parser(name, **kw)
         sp.add_argument("db", help="catalog database path")
         sp.add_argument(
-            "--embedder", default="stub",
+            "--embedder", default=None,
             help="stub|efficientnet|onnx|nomic|none ('none' = tags-only "
             "mode: index without semantic hashes, similarity search "
-            "disabled; 'onnx' runs an arbitrary user .onnx via --model)",
+            "disabled; 'onnx' runs an arbitrary user .onnx via --model). "
+            "The choice persists in the library: later commands restore "
+            "it automatically; explicit flags override.",
         )
         sp.add_argument("--dim", type=int, default=None, help="embedding width")
         sp.add_argument(

@@ -89,7 +89,7 @@ class Engine:
         self,
         db_path: str,
         create: bool = False,
-        embedder: str = "stub",
+        embedder: Optional[str] = None,
         embedder_kwargs: Optional[dict] = None,
         dim: Optional[int] = None,
         phash_compat: bool = True,
@@ -178,10 +178,55 @@ class Engine:
 
         self.index_rwlock = RWLock()
 
+        # The embedder CHOICE persists in the library too (it defines
+        # what the stored hashes MEAN — querying with a different
+        # embedder silently returns garbage rankings): explicit name /
+        # model path win and re-persist; omitted ones restore the
+        # library's stored choice; a brand-new library defaults to the
+        # stub.  ("none" is an explicit choice — tags-only mode.)
+        if embedder is None:
+            embedder = self.catalog.get_setting("embedder_name") or "stub"
+        else:
+            self.catalog.set_setting("embedder_name", embedder)
         self._embedder_name = embedder
         self._embedder_kwargs = dict(embedder_kwargs or {})
         if dim is not None:
             self._embedder_kwargs.setdefault("dim", dim)
+        if self._embedder_kwargs.get("input_size"):
+            self.catalog.set_setting(
+                "embedder_input_size",
+                str(int(self._embedder_kwargs["input_size"])),
+            )
+        elif "input_size" not in self._embedder_kwargs:
+            stored_isz = self.catalog.get_setting("embedder_input_size")
+            if stored_isz:
+                self._embedder_kwargs["input_size"] = int(stored_isz)
+        _model = self._embedder_kwargs.get(
+            "checkpoint_path"
+        ) or self._embedder_kwargs.get("model")
+        if isinstance(_model, str) and _model:
+            self.catalog.set_setting("embedder_model", _model)
+        elif (
+            "checkpoint_path" not in self._embedder_kwargs
+            and "model" not in self._embedder_kwargs
+            and embedder in ("efficientnet", "nomic", "onnx")
+        ):
+            stored_model = self.catalog.get_setting("embedder_model")
+            if stored_model:
+                key = "model" if embedder == "onnx" else "checkpoint_path"
+                self._embedder_kwargs[key] = stored_model
+        # Normalize the model-kwarg key for the embedder that will run
+        # (callers can't know a restored name when they pass --model):
+        # OnnxEmbedder takes model=, the towers take checkpoint_path=.
+        kw = self._embedder_kwargs
+        if embedder == "onnx" and "model" not in kw and "checkpoint_path" in kw:
+            kw["model"] = kw.pop("checkpoint_path")
+        elif (
+            embedder in ("efficientnet", "nomic")
+            and "checkpoint_path" not in kw
+            and "model" in kw
+        ):
+            kw["checkpoint_path"] = kw.pop("model")
         # The embedding width PERSISTS in the library (like
         # semantic_precision): reopening without --dim restores the
         # width it was indexed with instead of the embedder's default

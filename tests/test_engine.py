@@ -225,3 +225,59 @@ def test_reopen_without_dim_restores_stored_width(tmp_path, photo_dir):
         assert eng4.embedder.dim == 48
     finally:
         eng4.close()
+
+
+def test_embedder_choice_persists(tmp_path, photo_dir):
+    """The embedder name + model path persist in the library: reopening
+    with NO flags restores them (querying a real-model library with the
+    default stub would silently return garbage rankings)."""
+    import json
+
+    from test_onnx_graph import _build_tiny_cnn
+
+    rng = np.random.default_rng(3)
+    model_path = str(tmp_path / "user_model.onnx")
+    _build_tiny_cnn(model_path, rng, latent=16)
+
+    db = str(tmp_path / "emb.db")
+    eng = Engine.new(
+        db, embedder="onnx",
+        embedder_kwargs={"model": model_path, "input_size": 32},
+    )
+    imgs = sorted(q for q in photo_dir.iterdir() if q.suffix == ".png")
+    probe = str(imgs[0])
+    eng.max_distance_from_query = 1e7
+    for p in imgs[:3]:
+        eng.insert_image_from_path(str(p))
+    eng.query_by_image_hash_from_file(probe)
+    expected = [
+        (r.filename, round(float(r.distance_from_query), 5))
+        for r in eng.get_query_results()
+    ]
+    eng.close()
+
+    eng2 = Engine.open(db)  # NO embedder / model / dim flags at all
+    try:
+        assert eng2._embedder_name == "onnx"
+        assert eng2._embedder_kwargs.get("model") == model_path
+        eng2.max_distance_from_query = 1e7
+        eng2.query_by_image_hash_from_file(probe)
+        got = [
+            (r.filename, round(float(r.distance_from_query), 5))
+            for r in eng2.get_query_results()
+        ]
+        assert got == expected
+    finally:
+        eng2.close()
+
+    # Explicit choice still overrides and re-persists.
+    eng3 = Engine.open(db, embedder="stub", embedder_kwargs={"dim": 16})
+    try:
+        assert eng3._embedder_name == "stub"
+    finally:
+        eng3.close()
+    eng4 = Engine.open(db)
+    try:
+        assert eng4._embedder_name == "stub"
+    finally:
+        eng4.close()
