@@ -93,10 +93,10 @@ class Engine:
         embedder_kwargs: Optional[dict] = None,
         dim: Optional[int] = None,
         phash_compat: bool = True,
-        blip: bool = False,
+        blip: Optional[bool] = None,
         blip_kwargs: Optional[dict] = None,
         semantic_precision: Optional[str] = None,
-        ocr: bool = False,
+        ocr: Optional[bool] = None,
         int4_rerank: bool = True,
         faces: Optional[bool] = None,
         face_detector_kwargs: Optional[dict] = None,
@@ -161,12 +161,24 @@ class Engine:
                 self._face_detector_kwargs = json.loads(stored_det)
         self._face_detector = None
         self._face_detector_init_lock = threading.Lock()
-        self._blip_enabled = blip
+        # blip/ocr persist like faces/precision: an explicit value wins
+        # and re-persists; None restores the library's stored choice (a
+        # library indexed with --blip keeps text: working on flag-less
+        # reopen; same for ocr: continuing to index).
+        if blip is None:
+            blip = self.catalog.get_setting("blip_enabled") == "1"
+        else:
+            self.catalog.set_setting("blip_enabled", "1" if blip else "0")
+        self._blip_enabled = bool(blip)
         self._blip_kwargs = dict(blip_kwargs or {})
         self._blip_searcher = None
         #: OCR at index time (reference roadmap README.md:32-34): extract
         #: machine-rendered text into the ocr_text/ocr_fold tags, searched
         #: by the ocr: operator (pixelbox_tpu/ocr/).
+        if ocr is None:
+            ocr = self.catalog.get_setting("ocr_enabled") == "1"
+        else:
+            self.catalog.set_setting("ocr_enabled", "1" if ocr else "0")
         self.ocr_enabled = bool(ocr)
         #: Guards row↔image-id mappings against compaction renumbering:
         #: query flows (here and in the serving layer) hold the read
@@ -486,6 +498,7 @@ class Engine:
 
     def enable_blip(self, **blip_kwargs) -> None:
         self._blip_enabled = True
+        self.catalog.set_setting("blip_enabled", "1")
         if blip_kwargs:
             self._blip_kwargs = dict(blip_kwargs)
             self._blip_searcher = None

@@ -281,3 +281,27 @@ def test_embedder_choice_persists(tmp_path, photo_dir):
         assert eng4._embedder_name == "stub"
     finally:
         eng4.close()
+
+
+def test_blip_and_ocr_flags_persist(tmp_path):
+    """--blip / --ocr persist in the library like --faces / --precision:
+    flag-less reopen keeps text: and OCR indexing working."""
+    db = str(tmp_path / "flags.db")
+    eng = Engine.new(
+        db, embedder="stub", embedder_kwargs={"dim": 16},
+        blip=True, ocr=True,
+    )
+    eng.close()
+    eng2 = Engine.open(db)
+    try:
+        assert eng2._blip_enabled and eng2.ocr_enabled
+    finally:
+        eng2.close()
+    # Explicit False turns them off and persists.
+    eng3 = Engine.open(db, blip=False, ocr=False)
+    eng3.close()
+    eng4 = Engine.open(db)
+    try:
+        assert not eng4._blip_enabled and not eng4.ocr_enabled
+    finally:
+        eng4.close()
