@@ -92,7 +92,7 @@ class Engine:
         embedder: Optional[str] = None,
         embedder_kwargs: Optional[dict] = None,
         dim: Optional[int] = None,
-        phash_compat: bool = True,
+        phash_compat: Optional[bool] = None,
         blip: Optional[bool] = None,
         blip_kwargs: Optional[dict] = None,
         semantic_precision: Optional[str] = None,
@@ -104,7 +104,19 @@ class Engine:
         assert semantic_precision in (None, "int8", "int4"), semantic_precision
         self.catalog = Catalog(db_path, create=create)
         self.db_path = db_path
-        self.phash_compat = phash_compat
+        # phash geometry persists too (it defines how QUERY phashes are
+        # computed — compat/aspect-preserving vs fixed-square; comparing
+        # across geometries silently weakens near-duplicate matching).
+        # Explicit wins + persists; None restores; new libraries default
+        # to compat (the reference's behavior, phash.rs:7).
+        if phash_compat is None:
+            stored_pc = self.catalog.get_setting("phash_compat")
+            phash_compat = True if stored_pc in (None, "", "1") else False
+        else:
+            self.catalog.set_setting(
+                "phash_compat", "1" if phash_compat else "0"
+            )
+        self.phash_compat = bool(phash_compat)
         #: "int8" (default, reference-exact distances) or "int4": the
         #: device index packs two 4-bit codes per byte (ops/int4.py) —
         #: 2× rows per chip at coarser distances.  The catalog keeps the

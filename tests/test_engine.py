@@ -305,3 +305,26 @@ def test_blip_and_ocr_flags_persist(tmp_path):
         assert not eng4._blip_enabled and not eng4.ocr_enabled
     finally:
         eng4.close()
+
+
+def test_phash_compat_persists(tmp_path):
+    """phash geometry (compat/aspect vs fixed-square) persists — a
+    square-hash library must not silently compute aspect-preserving
+    QUERY phashes after a flag-less reopen."""
+    db = str(tmp_path / "pc.db")
+    Engine.new(
+        db, embedder="stub", embedder_kwargs={"dim": 16},
+        phash_compat=False,
+    ).close()
+    eng = Engine.open(db)
+    try:
+        assert eng.phash_compat is False
+    finally:
+        eng.close()
+    # Default for fresh/reference libraries stays compat=True.
+    db2 = str(tmp_path / "pc2.db")
+    eng2 = Engine.new(db2, embedder="stub", embedder_kwargs={"dim": 16})
+    try:
+        assert eng2.phash_compat is True
+    finally:
+        eng2.close()
