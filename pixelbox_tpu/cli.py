@@ -566,6 +566,10 @@ def main(argv=None) -> int:
                             engine._sem_store.dim if engine._sem_store else None
                         ),
                         "semantic_precision": engine.semantic_precision,
+                        "embedder": engine._embedder_name,
+                        "blip_enabled": engine._blip_enabled,
+                        "ocr_enabled": engine.ocr_enabled,
+                        "phash_compat": engine.phash_compat,
                         "phash_dim": engine._ph_store.dim if engine._ph_store else None,
                         "faces_enabled": engine.faces_enabled,
                         "faces": engine.catalog.num_faces(),

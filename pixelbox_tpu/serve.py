@@ -584,6 +584,10 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "max_search_results": engine.max_search_results,
                         "max_distance": engine.max_distance_from_query,
                         "semantic_precision": engine.semantic_precision,
+                        "embedder": engine._embedder_name,
+                        "blip_enabled": engine._blip_enabled,
+                        "ocr_enabled": engine.ocr_enabled,
+                        "phash_compat": engine.phash_compat,
                         "faces_enabled": engine.faces_enabled,
                         "faces": (
                             engine._face_store.size
