@@ -1049,8 +1049,49 @@ def bench_train_step(iters=20, rng=None):
     return out
 
 
+def _probe_platform():
+    """Verify the default JAX platform actually initializes.
+
+    A half-up accelerator tunnel can make backend init hang *forever*
+    (observed on the axon attachment), which would leave the whole bench
+    silent — worse than a slow CPU number.  Probe `jax.devices()` in a
+    subprocess with a hard timeout; on hang/failure, fall back to CPU so
+    the headline JSON line is always emitted.  Respects a caller-pinned
+    JAX_PLATFORMS.
+    """
+    import os
+    import subprocess
+
+    pinned = os.environ.get("JAX_PLATFORMS", "")
+    if pinned == "cpu":
+        # Explicit CPU pin — nothing to probe, CPU init can't hang.
+        return {"platform": "cpu", "pinned": True}
+    timeout_s = float(os.environ.get("PIXELBOX_BENCH_PROBE_TIMEOUT_S", "240"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if r.returncode == 0:
+            return {"platform": r.stdout.strip().splitlines()[-1]}
+        err = (r.stderr or "").strip().splitlines()
+        reason = err[-1] if err else f"rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        reason = f"device init hung >{timeout_s:.0f}s (tunnel down?)"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return {"platform": "cpu", "fallback_reason": reason}
+
+
 def main():
     full = "--full" in sys.argv
+    platform_info = _probe_platform()
+    if "fallback_reason" in platform_info:
+        # The env-var override alone can lose to a force-set JAX_PLATFORMS
+        # read before ours lands; jax.config.update always wins.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from pixelbox_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -1065,7 +1106,7 @@ def main():
         os.environ.get("PIXELBOX_BENCH_DEADLINE_S", "480")
     )
 
-    detail = {}
+    detail = {"platform": platform_info}
     rng = np.random.default_rng(0)
 
     # Measurement floor: a null body through the same device loop — one
@@ -1082,10 +1123,32 @@ def main():
 
     # Headline: the engine's default guaranteed-exact scan (verified-fast
     # with per-query exact repair).  End-to-end number, exact semantics.
-    auto = bench_auto_scan(rng=rng)
+    # On an emergency CPU fallback (accelerator tunnel down) shrink the
+    # problem so the headline line still emits in minutes, not hours —
+    # the number is then an honest CPU measurement, flagged via
+    # detail.platform.fallback_reason.
+    emergency_cpu = "fallback_reason" in platform_info
+    if emergency_cpu:
+        auto = bench_auto_scan(n=100_000, q=32, iters=5,
+                               block_rows=2**15, rng=rng)
+    else:
+        auto = bench_auto_scan(rng=rng)
     detail["cosine_scan_auto_1Mx128"] = auto
     headline = auto["dots_per_sec_exact_guaranteed"]
 
+    shrink = (
+        {
+            "cosine_scan_direct_exact_1Mx128": dict(
+                n=100_000, q=32, iters=5, block_rows=2**15),
+            "cosine_scan_fast_mode_1Mx128": dict(
+                n=100_000, q=32, iters=5, block_rows=2**15),
+            "hamming_scan_1Mx32": dict(n=100_000, q=32, iters=5,
+                                       block_rows=2**15),
+            "int4_scan_1Mx128": dict(n=100_000, q=32, iters=5),
+        }
+        if emergency_cpu
+        else {}
+    )
     for name, fn in [
         ("cosine_scan_direct_exact_1Mx128", bench_cosine_scan),
         ("cosine_scan_fast_mode_1Mx128", bench_fast_scan),
@@ -1109,7 +1172,7 @@ def main():
             detail[name] = {"skipped": "bench deadline reached (compile cache cold)"}
             continue
         try:
-            detail[name] = fn()
+            detail[name] = fn(**shrink.get(name, {}))
         except Exception as e:  # noqa: BLE001
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
 
