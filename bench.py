@@ -350,6 +350,35 @@ def bench_int4_scan(n=1_000_000, d=128, q=256, k=100, iters=50, rng=None):
     return out
 
 
+def structured_embeddings(rng, n, d, q, n_clusters=256):
+    """Structured latents shared by the recall benches: 256 clusters,
+    decaying spectrum (anisotropic), tanh-bounded like the trained
+    embedder head (train.py:30-46); queries are corruption-pair
+    neighbors (noisy copies) of indexed items — the
+    drag-drop-a-similar-photo workload.  Returns (db_u8 [n,d], q_u8
+    [q,d])."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops.quantize import quantize_embedding
+
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    spectrum = (1.0 / np.sqrt(1.0 + np.arange(d))).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    z = centers[assign] + 0.35 * rng.standard_normal((n, d)).astype(np.float32)
+    z = np.tanh(z * spectrum[None, :])
+    db_u8 = np.asarray(quantize_embedding(jnp.asarray(z)))
+
+    pick = rng.integers(0, n, size=q)
+    zq = np.tanh(
+        (centers[assign[pick]]
+         + 0.35 * rng.standard_normal((q, d)).astype(np.float32)
+         + 0.15 * rng.standard_normal((q, d)).astype(np.float32))
+        * spectrum[None, :]
+    )
+    q_u8 = np.asarray(quantize_embedding(jnp.asarray(zq)))
+    return db_u8, q_u8
+
+
 def bench_int4_recall_vs_u8(n=200_000, d=128, q=64, rng=None):
     """Retrieval quality of the int4 index vs the U8 ground truth on
     STRUCTURED embeddings (not uniform random): clustered anisotropic
@@ -361,30 +390,10 @@ def bench_int4_recall_vs_u8(n=200_000, d=128, q=64, rng=None):
     import jax.numpy as jnp
 
     from pixelbox_tpu.ops.int4 import build_semantic4_index, cosine4_scan_topk
-    from pixelbox_tpu.ops.quantize import quantize_embedding
     from pixelbox_tpu.ops.scan import cosine_scan_topk
 
     rng = rng or np.random.default_rng(13)
-    # Structured latents: 256 clusters, decaying spectrum (anisotropic),
-    # tanh-bounded like the trained embedder head (train.py:30-46).
-    n_clusters = 256
-    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
-    spectrum = (1.0 / np.sqrt(1.0 + np.arange(d))).astype(np.float32)
-    assign = rng.integers(0, n_clusters, size=n)
-    z = centers[assign] + 0.35 * rng.standard_normal((n, d)).astype(np.float32)
-    z = np.tanh(z * spectrum[None, :])
-    db_u8 = np.asarray(quantize_embedding(jnp.asarray(z)))
-
-    # Queries: corruption-pair neighbors of indexed items (noisy copies —
-    # the drag-drop-a-similar-photo workload).
-    pick = rng.integers(0, n, size=q)
-    zq = np.tanh(
-        (centers[assign[pick]]
-         + 0.35 * rng.standard_normal((q, d)).astype(np.float32)
-         + 0.15 * rng.standard_normal((q, d)).astype(np.float32))
-        * spectrum[None, :]
-    )
-    q_u8 = np.asarray(quantize_embedding(jnp.asarray(zq)))
+    db_u8, q_u8 = structured_embeddings(rng, n, d, q)
 
     from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
 
@@ -448,6 +457,78 @@ def bench_int4_recall_vs_u8(n=200_000, d=128, q=64, rng=None):
             "n": n, "queries": q,
             "data": "clustered anisotropic tanh latents, corruption-pair queries",
         },
+    }
+
+
+def bench_ivf_scan(n=1_000_000, d=128, q=64, k=100, nprobe=8, iters=50,
+                   rng=None):
+    """Opt-in IVF clustered index (ops/ivf.py): single-query latency and
+    recall vs the exact flat scan on structured embeddings.  IVF probes
+    nprobe/n_clusters of the index per query — the >10M-row capacity and
+    interactive-latency option; the flat guaranteed-exact scan stays the
+    default."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops import ivf as ivf_ops
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    rng = rng or np.random.default_rng(29)
+    db_u8, q_u8 = structured_embeddings(rng, n, d, q)
+    valid = np.ones(n, dtype=bool)
+
+    t0 = time.perf_counter()
+    n_clusters = ivf_ops.default_n_clusters(n)
+    cents = ivf_ops.spherical_kmeans(db_u8, valid, n_clusters, iters=10)
+    train_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    index = ivf_ops.build_ivf(db_u8, valid, cents)
+    build_s = time.perf_counter() - t0
+
+    # Ground truth: exact flat scan (one pass, not timed here).
+    _, u8_index = build_semantic_index_from_rows(db_u8, block_rows=2**15)
+    _, exp_i = cosine_scan_topk(
+        jnp.asarray(q_u8), u8_index, k=k, block_rows=2**15
+    )
+    exp_i = np.asarray(exp_i)
+
+    _, got_i = ivf_ops.ivf_scan_topk(q_u8, index, k=k, nprobe=nprobe)
+    got_i = np.asarray(got_i)
+    r10 = float(np.mean(
+        [len(set(got_i[i][:10]) & set(exp_i[i][:10])) / 10 for i in range(q)]
+    ))
+    r100 = float(np.mean(
+        [len(set(got_i[i]) & set(exp_i[i][exp_i[i] >= 0]))
+         / max(1, int((exp_i[i] >= 0).sum())) for i in range(q)]
+    ))
+
+    # Latency: single query and a small batch, on-device loop.
+    def one(qi, ivf):
+        dist, idx = ivf_ops.ivf_scan_topk(qi, ivf, k=k, nprobe=nprobe)
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0]).astype(jnp.float32)
+
+    q1 = jnp.asarray(
+        rng.integers(0, 256, size=(iters, 1, d), dtype=np.uint8)
+    )
+    dt1, _ = _device_loop(one, q1, iters, index)
+    q16 = jnp.asarray(
+        rng.integers(0, 256, size=(iters, 16, d), dtype=np.uint8)
+    )
+    dt16, _ = _device_loop(one, q16, iters, index)
+
+    cap = index.bucket_cap
+    return {
+        "ivf_q1_ms": dt1 * 1e3,
+        "ivf_q16_ms_per_batch": dt16 * 1e3,
+        "qps_q16": 16.0 / dt16,
+        "recall_at_10_vs_exact": r10,
+        "recall_at_100_vs_exact": r100,
+        "n": n, "d": d, "n_clusters": int(n_clusters), "nprobe": nprobe,
+        "bucket_cap": int(cap),
+        "rows_probed_frac": nprobe * cap / float(n),
+        "spill_rows": int(index.spill_count),
+        "train_s": train_s, "pack_s": build_s,
+        "index_bytes": int(index.bucket_data.size
+                           + index.spill.data.size),
     }
 
 
@@ -1145,6 +1226,7 @@ def main():
             "hamming_scan_1Mx32": dict(n=100_000, q=32, iters=5,
                                        block_rows=2**15),
             "int4_scan_1Mx128": dict(n=100_000, q=32, iters=5),
+            "ivf_scan_1Mx128": dict(n=50_000, q=16, iters=5),
         }
         if emergency_cpu
         else {}
@@ -1155,6 +1237,7 @@ def main():
         ("recall_parity_10k", bench_recall_parity),
         ("hamming_scan_1Mx32", bench_hamming),
         ("int4_scan_1Mx128", bench_int4_scan),
+        ("ivf_scan_1Mx128", bench_ivf_scan),
     ] + (
         [
             ("efficientnet_embedding", bench_embedding),

@@ -65,6 +65,10 @@ def _open_engine(args, create=False):
     eng = Engine(args.db, create=create, **kwargs)
     if getattr(args, "scan_mode", None):
         eng.scan_mode = args.scan_mode
+    if getattr(args, "nprobe", None):
+        eng.ivf_nprobe = int(args.nprobe)
+    if getattr(args, "ivf_clusters", None):
+        eng.ivf_clusters = int(args.ivf_clusters)
     return eng
 
 
@@ -135,8 +139,19 @@ def main(argv=None) -> int:
         )
         sp.add_argument(
             "--scan-mode", dest="scan_mode", default=None,
-            choices=("auto", "exact", "fast", "pallas"),
-            help="similarity scan mode (default auto: verified-exact)",
+            choices=("auto", "exact", "fast", "pallas", "ivf"),
+            help="similarity scan mode (default auto: verified-exact; "
+            "ivf = clustered ANN — approximate selection over the "
+            "--nprobe nearest clusters, exact distances)",
+        )
+        sp.add_argument(
+            "--nprobe", type=int, default=None,
+            help="ivf mode: clusters probed per query (default 8; "
+            "higher = better recall, slower)",
+        )
+        sp.add_argument(
+            "--ivf-clusters", dest="ivf_clusters", type=int, default=None,
+            help="ivf mode: k-means cluster count (default ~4*sqrt(N))",
         )
         sp.add_argument(
             "--precision", default=None, choices=("int8", "int4"),

@@ -281,8 +281,22 @@ class Engine:
         #: "exact" = direct bit-parity scan; "fast" = TPU PartialReduce
         #: selection (recall≈0.99+, exact distances, no guarantee);
         #: "pallas" = the fused single-pass Mosaic kernel (exact; best for
-        #: single interactive queries — see ops.pallas_scan).
+        #: single interactive queries — see ops.pallas_scan);
+        #: "ivf" = clustered ANN: probe the ivf_nprobe nearest k-means
+        #: clusters only (approximate selection, exact distances — the
+        #: >10M-row / lowest-latency option, see ops.ivf).
         self.scan_mode: str = "auto"
+        #: IVF (clustered ANN) knobs — active when scan_mode == "ivf".
+        #: Approximate candidate selection over the nprobe nearest
+        #: clusters; returned distances stay exact u8 reciprocal-cosine
+        #: (ops/ivf.py).  Built lazily from the u8 host mirror; k-means
+        #: retrains only when the library doubles since training.
+        self.ivf_nprobe: int = 8
+        self.ivf_clusters: Optional[int] = None  # default ~4*sqrt(N)
+        self._ivf = None
+        self._ivf_version = -1
+        self._ivf_centroids = None
+        self._ivf_trained_n = 0
         self._pallas_meta = None
         self._pallas_meta_at_ver = -1
         self._scan_sample = None
@@ -1729,6 +1743,42 @@ class Engine:
             self._pallas_meta_at_ver = self._sem_store.version
         return self._pallas_meta
 
+    def _get_ivf(self):
+        """Cached IVF clustered index over the semantic store.
+
+        Rebuilds bucket packing whenever the store mutates (version
+        bump); retrains k-means centroids only when none exist yet, the
+        dim changed, or the live row count has more than doubled since
+        the last training (stale centroids still route probes well —
+        classic IVF practice).
+        """
+        from pixelbox_tpu.ops import ivf as ivf_ops
+
+        store = self._sem_store
+        if self._ivf is not None and self._ivf_version == store.version:
+            return self._ivf
+        rows = store._host_rows[: store.n]
+        valid = store._host_valid[: store.n]
+        n_live = int(valid.sum())
+        if n_live == 0:
+            return None
+        retrain = (
+            self._ivf_centroids is None
+            or self._ivf_centroids.shape[1] != store.dim
+            or n_live > 2 * max(1, self._ivf_trained_n)
+        )
+        if retrain:
+            c = self.ivf_clusters or ivf_ops.default_n_clusters(n_live)
+            with timed("engine.ivf_train"):
+                self._ivf_centroids = ivf_ops.spherical_kmeans(
+                    rows, valid, c, iters=10, seed=0
+                )
+            self._ivf_trained_n = n_live
+        with timed("engine.ivf_build"):
+            self._ivf = ivf_ops.build_ivf(rows, valid, self._ivf_centroids)
+        self._ivf_version = store.version
+        return self._ivf
+
     def _get_scan_sample(self):
         """Cached θ-estimation subsample for the auto scan (ops.scan);
         None while the index is small enough that auto scans directly."""
@@ -1865,7 +1915,24 @@ class Engine:
         t0 = time.perf_counter()
         k = int(self.max_search_results)
         with timed("engine.similarity_scan"):
-            if self.semantic_precision == "int4":
+            if self.scan_mode == "ivf":
+                # Clustered ANN (opt-in): probe the nprobe nearest
+                # clusters; candidate selection is approximate, returned
+                # distances are exact u8 reciprocal-cosine (ops/ivf.py).
+                # Built from the always-u8 host mirror, so it works under
+                # any device precision; single-chip by design (multi-chip
+                # deployments shard the flat guaranteed-exact scan).
+                from pixelbox_tpu.ops.ivf import ivf_scan_topk
+
+                ivf = self._get_ivf()
+                dist, idx = ivf_scan_topk(
+                    np.asarray(record.visual_hash, dtype=np.uint8),
+                    ivf,
+                    k=k,
+                    nprobe=self.ivf_nprobe,
+                    max_distance=float(self.max_distance_from_query),
+                )
+            elif self.semantic_precision == "int4":
                 # With rerank on (default): candidates-then-exact-u8-
                 # rescore via the shared orchestration (ops.int4.
                 # scan_with_u8_rerank — one place owns the scan_k /

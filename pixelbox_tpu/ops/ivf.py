@@ -1,0 +1,389 @@
+"""IVF (inverted-file) clustered index — opt-in ANN over the u8 store.
+
+The reference scans every row per query (src/engine.rs:375-383); the flat
+TPU scans here keep that exact semantics at 60+ Gdots/s.  This module adds
+the standard next rung for >10M-row libraries and interactive single-query
+latency: spherical k-means clusters the index, queries probe only the
+``nprobe`` nearest clusters, and candidate distances are computed with the
+SAME exact integer spec as the flat scan (ops/scan.py `_cosine_block_dist`
+math), so returned distances are true u8 reciprocal-cosine values — only
+the candidate *selection* is approximate, exactly like the engine's
+``fast`` mode and the int4 rerank flow.
+
+TPU-first design notes:
+- k-means assignment is one int-free f32 GEMM per block ([B, D] x [D, C])
+  — MXU work, streamed over the index with ``lax.scan`` (static shapes).
+- centroid updates are a second GEMM (one-hot^T @ unit_rows), not a
+  scatter: segment-sum via matmul keeps the step entirely on the MXU.
+- buckets are FIXED-CAPACITY (static shapes; XLA-friendly gather).  Rows
+  beyond a cluster's capacity spill into a dense side index that every
+  query scans exactly — recall degrades gracefully instead of rows
+  silently vanishing, and `nprobe == n_clusters` remains provably
+  equivalent to the exact flat scan (tested).
+- reciprocal-cosine (engine.rs:587) is monotone-decreasing in cosine, so
+  "nearest clusters by centroid cosine" is the correct probe order.
+
+Not sharded: IVF exists for single-chip latency/capacity; multi-chip
+deployments shard the flat guaranteed-exact scan (parallel/sharded_scan).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pixelbox_tpu.ops import topk as topk_ops
+from pixelbox_tpu.ops.distances import _cosine_distance_from_moments
+from pixelbox_tpu.ops.packed import (
+    PackedSemanticIndex,
+    query_moments_from_u8,
+    semantic_rows_from_u8,
+)
+
+
+class IVFIndex(NamedTuple):
+    """Device arrays for a clustered u8 index.
+
+    ``bucket_rows`` maps bucket slots back to store row ids (-1 = pad).
+    ``spill``/``spill_rows`` hold overflow rows scanned exactly by every
+    query (empty spill ⇒ capacity 0 arrays, still static).
+    """
+
+    centroids: jnp.ndarray     # f32 [C, D] unit vectors (spec scale)
+    bucket_data: jnp.ndarray   # int8 [C, cap, D] (u8 - 128)
+    bucket_sum: jnp.ndarray    # int32 [C, cap]
+    bucket_mag2: jnp.ndarray   # int32 [C, cap]
+    bucket_rows: jnp.ndarray   # int32 [C, cap]
+    bucket_valid: jnp.ndarray  # bool [C, cap]
+    spill: PackedSemanticIndex
+    spill_rows: jnp.ndarray    # int32 [S_pad]
+
+    @property
+    def n_clusters(self) -> int:
+        return self.bucket_data.shape[0]
+
+    @property
+    def bucket_cap(self) -> int:
+        return self.bucket_data.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.bucket_data.shape[2]
+
+    @property
+    def spill_count(self) -> int:
+        return int(self.spill.capacity)
+
+
+def _unit_rows_f32(rows_u8: np.ndarray) -> np.ndarray:
+    """Centered (2q-255) rows, unit-normalized, f32 (host)."""
+    x = (2.0 * rows_u8.astype(np.float32)) - 255.0
+    norm = np.sqrt(np.sum(x * x, axis=-1, keepdims=True))
+    return x / np.maximum(norm, 1e-6)
+
+
+@partial(jax.jit, static_argnames=("block_rows",))
+def _kmeans_step(centroids, rows_u8, valid, block_rows: int):
+    """One Lloyd iteration, fully on device.
+
+    rows_u8: uint8 [N_pad, D] (N_pad % block_rows == 0); valid [N_pad].
+    Returns (new_centroids [C, D] f32 unit, objective scalar).
+    """
+    c, d = centroids.shape
+    nb = rows_u8.shape[0] // block_rows
+    xs = (
+        rows_u8.reshape(nb, block_rows, d),
+        valid.reshape(nb, block_rows),
+    )
+
+    def body(carry, x):
+        sums, counts, obj = carry
+        blk_u8, blk_valid = x
+        xb = 2.0 * blk_u8.astype(jnp.float32) - 255.0
+        inv = lax.rsqrt(jnp.maximum(jnp.sum(xb * xb, axis=-1, keepdims=True),
+                                    1e-12))
+        xu = xb * inv  # unit rows [B, D]
+        scores = lax.dot_general(
+            xu, centroids,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+        )  # [B, C]
+        a = jnp.argmax(scores, axis=-1)
+        best = jnp.max(scores, axis=-1)
+        onehot = (
+            (a[:, None] == lax.broadcasted_iota(jnp.int32, (block_rows, c), 1))
+            & blk_valid[:, None]
+        ).astype(jnp.float32)
+        # Segment-sum as a GEMM: [C, B] x [B, D] on the MXU.
+        sums = sums + lax.dot_general(
+            onehot, xu, dimension_numbers=(((0,), (0,)), ((), ())),
+        )
+        counts = counts + jnp.sum(onehot, axis=0)
+        obj = obj + jnp.sum(jnp.where(blk_valid, best, 0.0))
+        return (sums, counts, obj), None
+
+    init = (
+        jnp.zeros((c, d), jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+        jnp.float32(0.0),
+    )
+    (sums, counts, obj), _ = lax.scan(body, init, xs)
+    mean = sums / jnp.maximum(counts, 1.0)[:, None]
+    norm = jnp.sqrt(jnp.sum(mean * mean, axis=-1, keepdims=True))
+    ok = (counts[:, None] > 0) & (norm > 1e-6)
+    new_c = jnp.where(ok, mean / jnp.maximum(norm, 1e-6), centroids)
+    return new_c, obj
+
+
+@partial(jax.jit, static_argnames=("block_rows",))
+def _assign_rows(centroids, rows_u8, valid, block_rows: int):
+    """Nearest-centroid id per row (by cosine), [N_pad] int32."""
+    c, d = centroids.shape
+    nb = rows_u8.shape[0] // block_rows
+    xs = rows_u8.reshape(nb, block_rows, d)
+
+    def body(_, blk_u8):
+        xb = 2.0 * blk_u8.astype(jnp.float32) - 255.0
+        # argmax over unit centroids is row-norm-invariant: skip rsqrt.
+        scores = lax.dot_general(
+            xb, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+        )
+        return None, jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    _, a = lax.scan(body, None, xs)
+    return a.reshape(-1)
+
+
+def spherical_kmeans(
+    rows_u8: np.ndarray,
+    valid: np.ndarray,
+    n_clusters: int,
+    iters: int = 15,
+    seed: int = 0,
+    block_rows: int = 65536,
+) -> np.ndarray:
+    """Train unit centroids over the valid u8 rows.  Returns f32 [C, D]."""
+    rows_u8 = np.asarray(rows_u8, dtype=np.uint8)
+    valid = np.asarray(valid, dtype=bool)
+    live = np.flatnonzero(valid)
+    n_clusters = int(max(1, min(n_clusters, live.size)))
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(live, size=n_clusters, replace=False)
+    centroids = jnp.asarray(_unit_rows_f32(rows_u8[pick]))
+
+    n = rows_u8.shape[0]
+    block_rows = int(min(block_rows, max(8, n)))
+    n_pad = -(-n // block_rows) * block_rows
+    if n_pad != n:
+        pad = np.zeros((n_pad - n, rows_u8.shape[1]), dtype=np.uint8)
+        rows_u8 = np.concatenate([rows_u8, pad], axis=0)
+        valid = np.concatenate([valid, np.zeros(n_pad - n, dtype=bool)])
+    rows_dev = jnp.asarray(rows_u8)
+    valid_dev = jnp.asarray(valid)
+    for _ in range(int(iters)):
+        centroids, _ = _kmeans_step(centroids, rows_dev, valid_dev,
+                                    block_rows=block_rows)
+    return np.asarray(centroids)
+
+
+def assign_rows_u8(
+    rows_u8: np.ndarray, centroids: np.ndarray, block_rows: int = 65536
+) -> np.ndarray:
+    """Host wrapper: nearest-centroid assignment for u8 rows [n] int32."""
+    rows_u8 = np.asarray(rows_u8, dtype=np.uint8)
+    n, d = rows_u8.shape
+    if n == 0:
+        return np.zeros((0,), dtype=np.int32)
+    block_rows = int(min(block_rows, max(8, n)))
+    n_pad = -(-n // block_rows) * block_rows
+    if n_pad != n:
+        rows_u8 = np.concatenate(
+            [rows_u8, np.zeros((n_pad - n, d), dtype=np.uint8)], axis=0
+        )
+    a = _assign_rows(jnp.asarray(centroids), jnp.asarray(rows_u8),
+                     None, block_rows=block_rows)
+    return np.asarray(a)[:n]
+
+
+def default_n_clusters(n_live: int) -> int:
+    """~4·sqrt(N) clusters (IVF folklore sweet spot): 1M rows → 4000
+    clusters → mean 250 rows/bucket → nprobe=8 probes ~0.4% of the
+    index per query."""
+    n_live = int(max(1, n_live))
+    return max(1, min(n_live, int(round(4.0 * n_live ** 0.5))))
+
+
+def default_bucket_cap(n_live: int, n_clusters: int) -> int:
+    """2x the mean cluster size, rounded up to a lane-friendly multiple."""
+    mean = max(1, -(-n_live // max(1, n_clusters)))
+    return -(-2 * mean // 8) * 8
+
+
+def _empty_spill(d: int) -> PackedSemanticIndex:
+    z = np.zeros((0, d), dtype=np.uint8)
+    data, s, m = semantic_rows_from_u8(z)
+    return PackedSemanticIndex(
+        jnp.asarray(data), jnp.asarray(s), jnp.asarray(m),
+        jnp.zeros((0,), dtype=bool),
+    )
+
+
+def build_ivf(
+    rows_u8: np.ndarray,
+    valid: np.ndarray,
+    centroids: np.ndarray,
+    bucket_cap: Optional[int] = None,
+    row_ids: Optional[np.ndarray] = None,
+) -> IVFIndex:
+    """Pack valid rows into fixed-capacity buckets (host), ship to device.
+
+    ``row_ids`` default to positions in ``rows_u8`` (the store's row ids).
+    Overflow past ``bucket_cap`` goes to the exact-scanned spill index.
+    """
+    rows_u8 = np.asarray(rows_u8, dtype=np.uint8)
+    valid = np.asarray(valid, dtype=bool)
+    n, d = rows_u8.shape
+    if row_ids is None:
+        row_ids = np.arange(n, dtype=np.int32)
+    live = np.flatnonzero(valid)
+    c = centroids.shape[0]
+    assign = np.full(n, -1, dtype=np.int32)
+    if live.size:
+        assign[live] = assign_rows_u8(rows_u8[live], centroids)
+    if bucket_cap is None:
+        bucket_cap = default_bucket_cap(live.size, c)
+    bucket_cap = int(max(8, bucket_cap))
+
+    bdata = np.zeros((c, bucket_cap, d), dtype=np.uint8)
+    brows = np.full((c, bucket_cap), -1, dtype=np.int32)
+    bvalid = np.zeros((c, bucket_cap), dtype=bool)
+    # Vectorized packing: stable-sort rows by cluster, rank within the
+    # cluster = position minus the cluster's start; rank >= cap spills.
+    live_assign = assign[live]
+    order = np.argsort(live_assign, kind="stable")
+    sl = live[order]
+    sa = live_assign[order]
+    counts = np.bincount(sa, minlength=c)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(sl), dtype=np.int64) - starts[sa]
+    in_bucket = rank < bucket_cap
+    bp, bc, br = sl[in_bucket], sa[in_bucket], rank[in_bucket]
+    bdata[bc, br] = rows_u8[bp]
+    brows[bc, br] = row_ids[bp]
+    bvalid[bc, br] = True
+    spill_pos = sl[~in_bucket]
+
+    flat = bdata.reshape(c * bucket_cap, d)
+    data_i8, bsum, bmag2 = semantic_rows_from_u8(flat)
+    if len(spill_pos):
+        sp = np.asarray(spill_pos, dtype=np.int64)
+        s_rows = rows_u8[sp]
+        s_pad = -(-len(sp) // 8) * 8
+        s_mat = np.zeros((s_pad, d), dtype=np.uint8)
+        s_mat[: len(sp)] = s_rows
+        s_valid = np.zeros(s_pad, dtype=bool)
+        s_valid[: len(sp)] = True
+        s_ids = np.full(s_pad, -1, dtype=np.int32)
+        s_ids[: len(sp)] = row_ids[sp]
+        sd, ss, sm = semantic_rows_from_u8(s_mat)
+        spill = PackedSemanticIndex(
+            jnp.asarray(sd), jnp.asarray(ss), jnp.asarray(sm),
+            jnp.asarray(s_valid),
+        )
+        spill_rows = jnp.asarray(s_ids)
+    else:
+        spill = _empty_spill(d)
+        spill_rows = jnp.zeros((0,), dtype=jnp.int32)
+
+    return IVFIndex(
+        centroids=jnp.asarray(centroids, dtype=jnp.float32),
+        bucket_data=jnp.asarray(data_i8.reshape(c, bucket_cap, d)),
+        bucket_sum=jnp.asarray(bsum.reshape(c, bucket_cap)),
+        bucket_mag2=jnp.asarray(bmag2.reshape(c, bucket_cap)),
+        bucket_rows=jnp.asarray(brows),
+        bucket_valid=jnp.asarray(bvalid) & (jnp.asarray(brows) >= 0),
+        spill=spill,
+        spill_rows=spill_rows,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_probe_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int,
+                    max_distance):
+    """Probe ``nprobe`` buckets per query; exact distances within them."""
+    qn, d = query_u8.shape
+    q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None, None]
+
+    # Probe order: centroid cosine, descending (reciprocal distance is
+    # monotone-decreasing in cosine).  Row norm is probe-invariant.
+    xq = 2.0 * query_u8.astype(jnp.float32) - 255.0
+    scores = lax.dot_general(
+        xq, ivf.centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+    )  # [Q, C]
+    _, bids = lax.top_k(scores, nprobe)  # [Q, P]
+
+    data = ivf.bucket_data[bids]      # [Q, P, cap, D] int8
+    bsum = ivf.bucket_sum[bids]       # [Q, P, cap]
+    bmag2 = ivf.bucket_mag2[bids]
+    brows = ivf.bucket_rows[bids]
+    bval = ivf.bucket_valid[bids]
+
+    dot8 = jnp.einsum(
+        "qpcd,qd->qpc", data, q_i8, preferred_element_type=jnp.int32
+    )
+    dot_c = 4 * dot8 + 2 * (q_sum[:, None, None] + bsum) + jnp.int32(d)
+    dist = _cosine_distance_from_moments(
+        dot_c.astype(jnp.float32), q_mag2_f, bmag2.astype(jnp.float32)
+    )
+    keep = bval & (dist < max_distance)
+    dist = jnp.where(keep, dist, jnp.inf)
+
+    cap = ivf.bucket_cap
+    flat_d = dist.reshape(qn, nprobe * cap)
+    flat_i = brows.reshape(qn, nprobe * cap)
+    return topk_ops.block_topk(flat_d, flat_i, k)
+
+
+def ivf_scan_topk(
+    query_u8,
+    ivf: IVFIndex,
+    k: int = 100,
+    nprobe: int = 8,
+    max_distance: float = 1e3,
+):
+    """Top-k by exact u8 reciprocal-cosine over the probed candidate set.
+
+    Same return contract as ``cosine_scan_topk``: (dist [Q, k] f32,
+    row_ids [Q, k] int32, -1 where excluded).  With ``nprobe ==
+    n_clusters`` the probed set covers every bucket, and together with
+    the always-exact spill scan the result equals the flat exact scan.
+    """
+    query_u8 = jnp.asarray(query_u8, dtype=jnp.uint8)
+    squeeze = query_u8.ndim == 1
+    if squeeze:
+        query_u8 = query_u8[None, :]
+    nprobe = int(max(1, min(nprobe, ivf.n_clusters)))
+    md = jnp.asarray(max_distance, dtype=jnp.float32)
+
+    best_d, best_i = _ivf_probe_topk(query_u8, ivf, k, nprobe, md)
+
+    if ivf.spill_count:
+        from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+        sd, si = cosine_scan_topk(
+            query_u8, ivf.spill, k=k, max_distance=md,
+            block_rows=ivf.spill.capacity, mode="exact", gate=False,
+        )
+        si = jnp.where(si >= 0, ivf.spill_rows[jnp.maximum(si, 0)], -1)
+        sd = jnp.where(si >= 0, sd, jnp.inf)
+        best_d, best_i = topk_ops.merge_sorted_topk(best_d, best_i, sd, si, k)
+
+    best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
+    if squeeze:
+        return best_d[0], best_i[0]
+    return best_d, best_i

@@ -62,3 +62,14 @@ def test_headline_json_schema():
         "detail": {},
     }
     assert set(out) == {"metric", "value", "unit", "vs_baseline", "detail"}
+
+
+def test_bench_ivf_miniature(rng):
+    import bench
+
+    res = bench.bench_ivf_scan(n=3000, d=32, q=8, k=10, nprobe=4,
+                               iters=2, rng=rng)
+    assert res["ivf_q1_ms"] > 0
+    assert 0.0 <= res["recall_at_10_vs_exact"] <= 1.0
+    assert res["n_clusters"] >= 4
+    assert res["rows_probed_frac"] <= 1.0

@@ -1,0 +1,128 @@
+"""Engine-level IVF mode (scan_mode='ivf'): clustered ANN serving.
+
+Small libraries make the probe set exhaustive, so engine results must
+match the exact oracle; the cache tests cover rebuild-on-mutation and
+retrain-on-doubling behavior.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pixelbox_tpu.engine import Engine
+
+from fixtures import textured_image
+
+
+@pytest.fixture()
+def ivf_engine(tmp_path):
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in range(10):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    db = tmp_path / "ivf.db"
+    eng = Engine.new(str(db), embedder="stub", embedder_kwargs={"dim": 32})
+    eng.max_distance_from_query = 1e7
+    for s in range(10):
+        eng.insert_image_from_path(str(d / f"s{s}.png"))
+    eng.scan_mode = "ivf"
+    eng.ivf_clusters = 3
+    eng.ivf_nprobe = 3  # exhaustive at this size -> oracle-equal
+    yield eng, d
+    eng.close()
+
+
+def _results(eng):
+    return [(r.id, round(float(r.distance_from_query), 6))
+            for r in eng.get_query_results()]
+
+
+def test_ivf_query_matches_exact(ivf_engine):
+    eng, d = ivf_engine
+    rec = eng.load_image(str(d / "s4.png"))
+    eng.query_by_image_hash_from_image(rec)
+    got = _results(eng)
+
+    eng.scan_mode = "exact"
+    eng.query_by_image_hash_from_image(rec)
+    want = _results(eng)
+    eng.scan_mode = "ivf"
+    assert got == want
+    assert got[0][1] == 0.0  # self-match at exactly 0
+
+
+def test_ivf_rebuilds_after_append(ivf_engine):
+    eng, d = ivf_engine
+    rec = eng.load_image(str(d / "s1.png"))
+    eng.query_by_image_hash_from_image(rec)
+    v1 = eng._ivf_version
+
+    Image.fromarray(textured_image(seed=99, size=(48, 48))).save(
+        d / "late.png"
+    )
+    eng.insert_image_from_path(str(d / "late.png"))
+    rec2 = eng.load_image(str(d / "late.png"))
+    eng.query_by_image_hash_from_image(rec2)
+    assert eng._ivf_version != v1
+    # The appended image is findable (self-match first).
+    top = eng.get_query_results()[0]
+    assert top.path.endswith("late.png")
+    assert float(top.distance_from_query) == 0.0
+
+
+def test_ivf_skips_removed_images(ivf_engine):
+    eng, d = ivf_engine
+    rec = eng.load_image(str(d / "s2.png"))
+    eng.query_by_image_hash_from_image(rec)
+    removed_id = eng.get_query_results()[0].id
+    eng.remove_image(removed_id)
+    eng.query_by_image_hash_from_image(rec)
+    assert all(r.id != removed_id for r in eng.get_query_results())
+
+
+def test_ivf_centroids_retrain_on_doubling(ivf_engine):
+    eng, d = ivf_engine
+    rec = eng.load_image(str(d / "s0.png"))
+    eng.query_by_image_hash_from_image(rec)
+    trained_at = eng._ivf_trained_n
+    c0 = eng._ivf_centroids
+
+    # +1 image: rebuild, but no retrain.
+    Image.fromarray(textured_image(seed=50, size=(48, 48))).save(
+        d / "one.png"
+    )
+    eng.insert_image_from_path(str(d / "one.png"))
+    eng.query_by_image_hash_from_image(rec)
+    assert eng._ivf_trained_n == trained_at
+    assert eng._ivf_centroids is c0
+
+    # Past 2x live rows: retrain fires.
+    for s in range(60, 60 + 2 * trained_at):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"x{s}.png"
+        )
+        eng.insert_image_from_path(str(d / f"x{s}.png"))
+    eng.query_by_image_hash_from_image(rec)
+    assert eng._ivf_trained_n > trained_at
+
+
+def test_cli_ivf_flags(tmp_path):
+    from pixelbox_tpu import cli
+
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in range(4):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    db = str(tmp_path / "c.db")
+    assert cli.main(["init", db, "--dim", "32"]) == 0
+    assert cli.main(["add-folder", db, str(d)]) == 0
+    assert cli.main(["index", db]) == 0
+    assert cli.main([
+        "similar", db, str(d / "s1.png"),
+        "--scan-mode", "ivf", "--nprobe", "2", "--ivf-clusters", "2",
+        "--max-distance", "1e7",
+    ]) == 0

@@ -1,0 +1,149 @@
+"""IVF clustered index: k-means, bucket packing, probe scan, recall.
+
+The IVF mode's contract: candidate SELECTION is approximate (probe the
+nprobe nearest clusters), but distances of returned rows are the exact u8
+reciprocal-cosine values (engine.rs:572-588 semantics) — and with
+``nprobe == n_clusters`` the probe covers every bucket, so IVF + the
+always-exact spill scan must equal the flat exact scan bit-for-bit.
+"""
+
+import numpy as np
+import pytest
+
+from pixelbox_tpu.ops import ivf as ivf_ops
+from pixelbox_tpu.ops.packed import semantic_rows_from_u8
+from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+import jax.numpy as jnp
+
+
+def _clustered_rows(rng, n, d, n_blobs=8, spread=12.0):
+    """Structured u8 embeddings: tanh-ish latents around blob centers."""
+    centers = rng.normal(size=(n_blobs, d)) * 40.0
+    which = rng.integers(0, n_blobs, size=n)
+    x = centers[which] + rng.normal(size=(n, d)) * spread
+    return np.clip(x + 128.0, 0, 255).astype(np.uint8), which
+
+
+def _flat_index(rows):
+    n, d = rows.shape
+    n_pad = -(-n // 8) * 8
+    mat = np.zeros((n_pad, d), dtype=np.uint8)
+    mat[:n] = rows
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+    data, s, m = semantic_rows_from_u8(mat)
+    from pixelbox_tpu.ops.packed import PackedSemanticIndex
+
+    return PackedSemanticIndex(
+        jnp.asarray(data), jnp.asarray(s), jnp.asarray(m), jnp.asarray(valid)
+    ), n_pad
+
+
+def test_kmeans_separates_blobs(rng):
+    rows, which = _clustered_rows(rng, 600, 32, n_blobs=4, spread=4.0)
+    valid = np.ones(len(rows), dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 4, iters=10, seed=0)
+    assign = ivf_ops.assign_rows_u8(rows, cents)
+    # Every k-means cluster should be dominated by one blob (pure >= 90%).
+    for c in np.unique(assign):
+        members = which[assign == c]
+        top = np.bincount(members).max()
+        assert top / len(members) >= 0.9
+
+
+def test_full_nprobe_equals_exact_scan(rng):
+    rows, _ = _clustered_rows(rng, 500, 32)
+    valid = np.ones(len(rows), dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 8, iters=5, seed=1)
+    # Tiny cap forces spill: exactness must survive overflow.
+    index = ivf_ops.build_ivf(rows, valid, cents, bucket_cap=32)
+    assert index.spill_count > 0
+
+    flat, _ = _flat_index(rows)
+    q = rows[rng.integers(0, len(rows), size=5)]
+    d_ivf, i_ivf = ivf_ops.ivf_scan_topk(q, index, k=10, nprobe=8)
+    d_ex, i_ex = cosine_scan_topk(jnp.asarray(q), flat, k=10,
+                                  block_rows=flat.capacity)
+    np.testing.assert_array_equal(np.asarray(i_ivf), np.asarray(i_ex))
+    np.testing.assert_allclose(np.asarray(d_ivf), np.asarray(d_ex),
+                               rtol=0, atol=0)
+
+
+def test_max_distance_filter_and_padding(rng):
+    rows, _ = _clustered_rows(rng, 200, 32)
+    valid = np.ones(len(rows), dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 4, iters=5, seed=2)
+    index = ivf_ops.build_ivf(rows, valid, cents)
+    q = rows[:1]
+    d, i = ivf_ops.ivf_scan_topk(q, index, k=10, nprobe=4,
+                                 max_distance=1e-9)
+    d, i = np.asarray(d)[0], np.asarray(i)[0]
+    # Only the self-match (dist exactly 0) survives a 1e-9 threshold.
+    assert i[0] == 0 and d[0] == 0.0
+    assert np.all(i[1:] == -1)
+
+
+def test_recall_at_low_nprobe(rng):
+    rows, _ = _clustered_rows(rng, 4000, 32, n_blobs=16)
+    valid = np.ones(len(rows), dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 32, iters=8, seed=3)
+    index = ivf_ops.build_ivf(rows, valid, cents)
+    flat, _ = _flat_index(rows)
+
+    # Perturbed-row queries (nearest-neighbor structure, not self-match).
+    base = rows[rng.integers(0, len(rows), size=16)].astype(np.int32)
+    q = np.clip(base + rng.integers(-6, 7, size=base.shape), 0, 255)
+    q = q.astype(np.uint8)
+
+    _, i_ivf = ivf_ops.ivf_scan_topk(q, index, k=10, nprobe=4)
+    _, i_ex = cosine_scan_topk(jnp.asarray(q), flat, k=10,
+                               block_rows=flat.capacity)
+    i_ivf, i_ex = np.asarray(i_ivf), np.asarray(i_ex)
+    hits = sum(
+        len(set(i_ivf[r]) & set(i_ex[r][i_ex[r] >= 0]))
+        for r in range(len(q))
+    )
+    total = int((i_ex >= 0).sum())
+    assert hits / total >= 0.8, hits / total
+
+
+def test_tombstoned_rows_never_returned(rng):
+    rows, _ = _clustered_rows(rng, 300, 32)
+    valid = np.ones(len(rows), dtype=bool)
+    valid[::3] = False
+    cents = ivf_ops.spherical_kmeans(rows, valid, 4, iters=5, seed=4)
+    index = ivf_ops.build_ivf(rows, valid, cents)
+    q = rows[rng.integers(0, len(rows), size=4)]
+    _, i = ivf_ops.ivf_scan_topk(q, index, k=20, nprobe=4)
+    i = np.asarray(i)
+    returned = i[i >= 0]
+    assert np.all(returned % 3 != 0)
+
+
+def test_single_query_squeeze(rng):
+    rows, _ = _clustered_rows(rng, 100, 32)
+    valid = np.ones(len(rows), dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 2, iters=3, seed=5)
+    index = ivf_ops.build_ivf(rows, valid, cents)
+    d, i = ivf_ops.ivf_scan_topk(rows[7], index, k=5, nprobe=2)
+    assert d.shape == (5,) and i.shape == (5,)
+    assert int(np.asarray(i)[0]) == 7
+    assert float(np.asarray(d)[0]) == 0.0
+
+
+def test_fewer_rows_than_clusters(rng):
+    rows, _ = _clustered_rows(rng, 6, 16)
+    valid = np.ones(len(rows), dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 64, iters=3, seed=6)
+    assert cents.shape[0] <= 6
+    index = ivf_ops.build_ivf(rows, valid, cents)
+    # Full-nprobe equivalence holds at any n-vs-C ratio (default
+    # max_distance excludes near-orthogonal rows on BOTH sides).
+    flat, _ = _flat_index(rows)
+    d, i = ivf_ops.ivf_scan_topk(rows[:2], index, k=6,
+                                 nprobe=cents.shape[0])
+    d_ex, i_ex = cosine_scan_topk(jnp.asarray(rows[:2]), flat, k=6,
+                                  block_rows=flat.capacity)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ex))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ex))
