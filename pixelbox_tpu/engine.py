@@ -1762,6 +1762,8 @@ class Engine:
         n_live = int(valid.sum())
         if n_live == 0:
             return None
+        if self._ivf_centroids is None:
+            self._load_ivf_sidecar(store.dim)
         retrain = (
             self._ivf_centroids is None
             or self._ivf_centroids.shape[1] != store.dim
@@ -1774,10 +1776,44 @@ class Engine:
                     rows, valid, c, iters=10, seed=0
                 )
             self._ivf_trained_n = n_live
+            self._save_ivf_sidecar()
         with timed("engine.ivf_build"):
             self._ivf = ivf_ops.build_ivf(rows, valid, self._ivf_centroids)
         self._ivf_version = store.version
         return self._ivf
+
+    def _ivf_sidecar_path(self) -> Optional[str]:
+        if not self.db_path or self.db_path == ":memory:":
+            return None
+        return self.db_path + ".ivf.npz"
+
+    def _load_ivf_sidecar(self, dim: int) -> None:
+        """Restore trained IVF centroids from the library sidecar, so a
+        reopened library's first ivf query skips k-means (the bucket
+        packing itself always rebuilds from the live store)."""
+        path = self._ivf_sidecar_path()
+        if path is None or not os.path.exists(path):
+            return
+        try:
+            with np.load(path) as z:
+                cents = np.asarray(z["centroids"], dtype=np.float32)
+                trained_n = int(z["trained_n"])
+        except Exception as e:  # noqa: BLE001 — stale/corrupt: retrain
+            print(f"ivf sidecar unreadable ({e}); retraining", file=sys.stderr)
+            return
+        if cents.ndim == 2 and cents.shape[1] == dim:
+            self._ivf_centroids = cents
+            self._ivf_trained_n = trained_n
+
+    def _save_ivf_sidecar(self) -> None:
+        path = self._ivf_sidecar_path()
+        if path is None or self._ivf_centroids is None:
+            return
+        try:
+            np.savez(path, centroids=self._ivf_centroids,
+                     trained_n=np.int64(self._ivf_trained_n))
+        except Exception as e:  # noqa: BLE001 — non-fatal cache
+            print(f"ivf sidecar not saved: {e}", file=sys.stderr)
 
     def _get_scan_sample(self):
         """Cached θ-estimation subsample for the auto scan (ops.scan);

@@ -265,7 +265,12 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
         """
         import numpy as np
 
-        if scan_service is not None and engine._sem_store is not None \
+        # The batching service scans with the guaranteed-exact auto path:
+        # result-identical to auto/exact/pallas, so those modes coalesce
+        # freely.  IVF intentionally returns a different (probed) result
+        # set, so it must go through the engine's own dispatch.
+        if scan_service is not None and engine.scan_mode != "ivf" \
+                and engine._sem_store is not None \
                 and engine._sem_store.size > 0:
             scan_service.k = int(engine.max_search_results)
             scan_service.max_distance = float(engine.max_distance_from_query)
@@ -583,6 +588,8 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "indexing": engine.is_indexing_active(),
                         "max_search_results": engine.max_search_results,
                         "max_distance": engine.max_distance_from_query,
+                        "scan_mode": engine.scan_mode,
+                        "ivf_nprobe": engine.ivf_nprobe,
                         "semantic_precision": engine.semantic_precision,
                         "embedder": engine._embedder_name,
                         "blip_enabled": engine._blip_enabled,
@@ -713,6 +720,17 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         ui_settings["thumbnail_size"] = min(
                             512, max(60, int(data["thumbnail_size"]))
                         )
+                    if "scan_mode" in data:
+                        mode = str(data["scan_mode"])
+                        if mode not in (
+                            "auto", "exact", "fast", "pallas", "ivf"
+                        ):
+                            return self._send(
+                                400, {"error": f"bad scan_mode: {mode}"}
+                            )
+                        engine.scan_mode = mode
+                    if "ivf_nprobe" in data:
+                        engine.ivf_nprobe = max(1, int(data["ivf_nprobe"]))
                     return self._send(200, {"ok": True})
                 return self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001

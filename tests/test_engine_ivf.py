@@ -126,3 +126,36 @@ def test_cli_ivf_flags(tmp_path):
         "--scan-mode", "ivf", "--nprobe", "2", "--ivf-clusters", "2",
         "--max-distance", "1e7",
     ]) == 0
+
+
+def test_ivf_sidecar_persists_centroids(tmp_path):
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in range(6):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    db = str(tmp_path / "side.db")
+    eng = Engine.new(db, embedder="stub", embedder_kwargs={"dim": 32})
+    eng.max_distance_from_query = 1e7
+    for s in range(6):
+        eng.insert_image_from_path(str(d / f"s{s}.png"))
+    eng.scan_mode = "ivf"
+    eng.ivf_clusters = 2
+    rec = eng.load_image(str(d / "s0.png"))
+    eng.query_by_image_hash_from_image(rec)
+    c_trained = np.array(eng._ivf_centroids)
+    eng.close()
+    import os
+
+    assert os.path.exists(db + ".ivf.npz")
+
+    eng2 = Engine(db)
+    eng2.max_distance_from_query = 1e7
+    eng2.scan_mode = "ivf"
+    rec2 = eng2.load_image(str(d / "s0.png"))
+    eng2.query_by_image_hash_from_image(rec2)
+    # Reopen restored the trained centroids instead of retraining.
+    np.testing.assert_array_equal(np.array(eng2._ivf_centroids), c_trained)
+    assert eng2.get_query_results()[0].path.endswith("s0.png")
+    eng2.close()

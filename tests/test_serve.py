@@ -178,3 +178,36 @@ def test_ui_settings_roundtrip_and_clamping(server):
     assert s["thumbnail_size"] == 60
     post(base, "/api/settings",
          json.dumps({"search_min_length": 3, "thumbnail_size": 180}).encode())
+
+
+def test_settings_scan_mode_and_ivf(server):
+    base, eng, photos = server
+    st = get_json(base, "/api/status")
+    assert st["scan_mode"] == eng.scan_mode
+    assert st["ivf_nprobe"] == eng.ivf_nprobe
+
+    code, _ = post(
+        base, "/api/settings",
+        json.dumps({"scan_mode": "bogus"}).encode(), expect_error=True,
+    )
+    assert code == 400
+
+    code, _ = post(
+        base, "/api/settings",
+        json.dumps({"scan_mode": "ivf", "ivf_nprobe": 2}).encode(),
+    )
+    assert code == 200
+    assert eng.scan_mode == "ivf" and eng.ivf_nprobe == 2
+
+    # /api/similar must route through the engine's ivf dispatch (not the
+    # batching service) and still find the duplicate first.
+    eng.max_distance_from_query = 1e7
+    img = (photos / "img1.png").read_bytes()
+    code, res = post(base, "/api/similar", img)
+    assert code == 200
+    assert res[0]["path"].endswith("img1.png")
+    assert res[0]["distance"] == 0.0
+    assert eng._ivf is not None  # the ivf path actually served it
+
+    post(base, "/api/settings", json.dumps({"scan_mode": "auto"}).encode())
+    assert eng.scan_mode == "auto"

@@ -96,3 +96,34 @@ def test_status_exposes_batching_stats(batched_server):
     with urllib.request.urlopen(base + "/api/status", timeout=30) as r:
         status = json.loads(r.read())
     assert "scan_batches" in status and "scan_queries" in status
+
+
+def test_ivf_mode_bypasses_batching(batched_server):
+    """scan_mode=ivf returns a PROBED result set, so /api/similar must
+    route through the engine dispatch, not the coalescing service."""
+    base, eng, photos, service = batched_server
+    req = urllib.request.Request(
+        base + "/api/settings",
+        data=json.dumps({"scan_mode": "ivf", "ivf_nprobe": 1}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+    try:
+        batches_before = service.batches_run
+        img = (photos / "img2.png").read_bytes()
+        req = urllib.request.Request(
+            base + "/api/similar", data=img, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            res = json.loads(r.read())
+        assert res[0]["path"].endswith("img2.png")
+        assert eng._ivf is not None
+        assert service.batches_run == batches_before
+    finally:
+        req = urllib.request.Request(
+            base + "/api/settings",
+            data=json.dumps({"scan_mode": "auto"}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=30).read()
