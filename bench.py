@@ -1154,10 +1154,14 @@ def _probe_platform():
              "import jax; print(jax.devices()[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s,
         )
+        lines = r.stdout.strip().splitlines()
+        if r.returncode == 0 and lines:
+            return {"platform": lines[-1]}
         if r.returncode == 0:
-            return {"platform": r.stdout.strip().splitlines()[-1]}
-        err = (r.stderr or "").strip().splitlines()
-        reason = err[-1] if err else f"rc={r.returncode}"
+            reason = "probe printed nothing to stdout"
+        else:
+            err = (r.stderr or "").strip().splitlines()
+            reason = err[-1] if err else f"rc={r.returncode}"
     except subprocess.TimeoutExpired:
         reason = f"device init hung >{timeout_s:.0f}s (tunnel down?)"
     os.environ["JAX_PLATFORMS"] = "cpu"

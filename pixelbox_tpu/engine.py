@@ -297,6 +297,12 @@ class Engine:
         self._ivf_version = -1
         self._ivf_centroids = None
         self._ivf_trained_n = 0
+        # Incremental-append bookkeeping: store state at the last full
+        # bucket pack, and the knob values the cached index was built
+        # with (changing ivf_clusters invalidates the cache).
+        self._ivf_structural = -1
+        self._ivf_packed_n = 0
+        self._ivf_cfg = None
         # Queries hold the read lock, so concurrent ivf queries could
         # otherwise both pay the k-means train; serialize the build.
         self._ivf_build_lock = threading.Lock()
@@ -1749,24 +1755,42 @@ class Engine:
     def _get_ivf(self):
         """Cached IVF clustered index over the semantic store.
 
-        Rebuilds bucket packing whenever the store mutates (version
-        bump); retrains k-means centroids only when none exist yet, the
-        dim changed, or the live row count has more than doubled since
-        the last training (stale centroids still route probes well —
-        classic IVF practice).
+        Pure appends (version bump, same ``structural_version``) extend
+        the exact-scanned spill incrementally — O(spill+delta) instead of
+        repacking all N rows per query during interleaved indexing; a
+        full repack runs once the spill outgrows its threshold or the
+        store mutates structurally (delete/compact/grow).  K-means
+        retrains only when no centroids exist yet, the dim changed, the
+        requested ``ivf_clusters`` differs from the trained count, or the
+        live row count has more than doubled since the last training
+        (stale centroids still route probes well — classic IVF practice).
         """
         from pixelbox_tpu.ops import ivf as ivf_ops
 
         store = self._sem_store
-        if self._ivf is not None and self._ivf_version == store.version:
+        if (
+            self._ivf is not None
+            and self._ivf_version == store.version
+            and self._ivf_cfg == self._ivf_cfg_key()
+        ):
             return self._ivf
         with self._ivf_build_lock:
             return self._build_ivf_locked(ivf_ops, store)
 
+    def _ivf_cfg_key(self):
+        """Knobs whose change must invalidate the cached IVF index
+        (0 = auto cluster count)."""
+        return (int(self.ivf_clusters or 0),)
+
     def _build_ivf_locked(self, ivf_ops, store):
         # Double-check under the lock: a concurrent query may have just
         # finished the identical build.
-        if self._ivf is not None and self._ivf_version == store.version:
+        cfg = self._ivf_cfg_key()
+        if (
+            self._ivf is not None
+            and self._ivf_version == store.version
+            and self._ivf_cfg == cfg
+        ):
             return self._ivf
         rows = store._host_rows[: store.n]
         valid = store._host_valid[: store.n]
@@ -1775,13 +1799,44 @@ class Engine:
             return None
         if self._ivf_centroids is None:
             self._load_ivf_sidecar(store.dim)
+        want = (
+            min(int(self.ivf_clusters), n_live) if self.ivf_clusters else None
+        )
         retrain = (
             self._ivf_centroids is None
             or self._ivf_centroids.shape[1] != store.dim
+            or (want is not None and self._ivf_centroids.shape[0] != want)
             or n_live > 2 * max(1, self._ivf_trained_n)
         )
+        if (
+            not retrain
+            and self._ivf is not None
+            and self._ivf_cfg == cfg
+            and self._ivf_structural == store.structural_version
+            and store.n >= self._ivf_packed_n
+        ):
+            # Pure appends since the last pack: extend the spill only.
+            # The current spill may already hold earlier deltas, so the
+            # base is only its pre-pack part — recomputing the full
+            # appended range keeps repeated extends duplicate-free.
+            delta = np.flatnonzero(valid[self._ivf_packed_n :]).astype(
+                np.int64
+            ) + self._ivf_packed_n
+            old_spill = ivf_ops.live_spill_ids(self._ivf).astype(np.int64)
+            base_spill = old_spill[old_spill < self._ivf_packed_n]
+            total_spill = len(base_spill) + len(delta)
+            # Spill is scanned exactly by every query; repack once it
+            # stops being a rounding error next to the probed buckets.
+            if total_spill <= max(8192, (self._ivf_packed_n // 16)):
+                with timed("engine.ivf_extend"):
+                    self._ivf = ivf_ops.rebuild_spill(
+                        self._ivf, rows,
+                        np.concatenate([base_spill, delta]),
+                    )
+                self._ivf_version = store.version
+                return self._ivf
         if retrain:
-            c = self.ivf_clusters or ivf_ops.default_n_clusters(n_live)
+            c = want or ivf_ops.default_n_clusters(n_live)
             with timed("engine.ivf_train"):
                 self._ivf_centroids = ivf_ops.spherical_kmeans(
                     rows, valid, c, iters=10, seed=0
@@ -1791,12 +1846,29 @@ class Engine:
         with timed("engine.ivf_build"):
             self._ivf = ivf_ops.build_ivf(rows, valid, self._ivf_centroids)
         self._ivf_version = store.version
+        self._ivf_structural = store.structural_version
+        self._ivf_packed_n = store.n
+        self._ivf_cfg = cfg
         return self._ivf
 
     def _ivf_sidecar_path(self) -> Optional[str]:
         if not self.db_path or self.db_path == ":memory:":
             return None
         return self.db_path + ".ivf.npz"
+
+    def _library_uuid(self) -> str:
+        """Stable per-library identity (persisted in pixelbox_settings),
+        minted on first use.  Ties derived sidecar files to THIS library:
+        a lib.db deleted and rebuilt in place gets a fresh uuid, so its
+        stale lib.db.ivf.npz is rejected instead of silently steering
+        probes with centroids trained on the old corpus."""
+        u = self.catalog.get_setting("library_uuid")
+        if not u:
+            import uuid
+
+            u = uuid.uuid4().hex
+            self.catalog.set_setting("library_uuid", u)
+        return u
 
     def _load_ivf_sidecar(self, dim: int) -> None:
         """Restore trained IVF centroids from the library sidecar, so a
@@ -1809,8 +1881,14 @@ class Engine:
             with np.load(path) as z:
                 cents = np.asarray(z["centroids"], dtype=np.float32)
                 trained_n = int(z["trained_n"])
+                lib_uuid = str(z["library_uuid"]) if "library_uuid" in z \
+                    else ""
         except Exception as e:  # noqa: BLE001 — stale/corrupt: retrain
             print(f"ivf sidecar unreadable ({e}); retraining", file=sys.stderr)
+            return
+        if lib_uuid != self._library_uuid():
+            print("ivf sidecar belongs to a different library; retraining",
+                  file=sys.stderr)
             return
         if cents.ndim == 2 and cents.shape[1] == dim:
             self._ivf_centroids = cents
@@ -1822,7 +1900,8 @@ class Engine:
             return
         try:
             np.savez(path, centroids=self._ivf_centroids,
-                     trained_n=np.int64(self._ivf_trained_n))
+                     trained_n=np.int64(self._ivf_trained_n),
+                     library_uuid=self._library_uuid())
         except Exception as e:  # noqa: BLE001 — non-fatal cache
             print(f"ivf sidecar not saved: {e}", file=sys.stderr)
 

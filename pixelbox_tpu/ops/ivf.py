@@ -223,6 +223,53 @@ def default_bucket_cap(n_live: int, n_clusters: int) -> int:
     return -(-2 * mean // 8) * 8
 
 
+def _pack_spill(rows_u8: np.ndarray, row_ids: np.ndarray, d: int):
+    """Pack spill rows (host, already in ascending-row-id order) into a
+    lane-padded PackedSemanticIndex + its row-id map."""
+    n = len(rows_u8)
+    if n == 0:
+        return _empty_spill(d), jnp.zeros((0,), dtype=jnp.int32)
+    s_pad = -(-n // 8) * 8
+    s_mat = np.zeros((s_pad, d), dtype=np.uint8)
+    s_mat[:n] = rows_u8
+    s_valid = np.zeros(s_pad, dtype=bool)
+    s_valid[:n] = True
+    s_ids = np.full(s_pad, -1, dtype=np.int32)
+    s_ids[:n] = row_ids
+    sd, ss, sm = semantic_rows_from_u8(s_mat)
+    spill = PackedSemanticIndex(
+        jnp.asarray(sd), jnp.asarray(ss), jnp.asarray(sm),
+        jnp.asarray(s_valid),
+    )
+    return spill, jnp.asarray(s_ids)
+
+
+def live_spill_ids(ivf: IVFIndex) -> np.ndarray:
+    """Store row ids currently held in the spill (host, ascending)."""
+    ids = np.asarray(ivf.spill_rows)
+    return ids[ids >= 0]
+
+
+def rebuild_spill(
+    ivf: IVFIndex, rows_u8: np.ndarray, spill_ids: np.ndarray
+) -> IVFIndex:
+    """New index sharing ``ivf``'s buckets/centroids but with the spill
+    rebuilt from ``rows_u8[spill_ids]``.
+
+    The incremental-append path: rows appended to the store since the
+    last full pack join the exact-scanned spill (O(spill+delta) host work
+    and transfer) instead of repacking all N rows; callers full-repack
+    once the spill grows past their threshold.  ``spill_ids`` must be
+    ascending (append ids exceed every packed id, so concatenation keeps
+    order) to preserve the scan's row-id tie contract.
+    """
+    spill_ids = np.asarray(spill_ids, dtype=np.int64)
+    spill, spill_rows = _pack_spill(
+        rows_u8[spill_ids], spill_ids.astype(np.int32), ivf.dim
+    )
+    return ivf._replace(spill=spill, spill_rows=spill_rows)
+
+
 def _empty_spill(d: int) -> PackedSemanticIndex:
     z = np.zeros((0, d), dtype=np.uint8)
     data, s, m = semantic_rows_from_u8(z)
@@ -275,29 +322,14 @@ def build_ivf(
     bdata[bc, br] = rows_u8[bp]
     brows[bc, br] = row_ids[bp]
     bvalid[bc, br] = True
-    spill_pos = sl[~in_bucket]
+    # Ascending row order keeps the spill scan's tie-break (stable
+    # positional top_k) and its merge into the probe candidates on the
+    # (dist, row_id) contract; cluster order would break both on ties.
+    spill_pos = np.sort(sl[~in_bucket])
 
     flat = bdata.reshape(c * bucket_cap, d)
     data_i8, bsum, bmag2 = semantic_rows_from_u8(flat)
-    if len(spill_pos):
-        sp = np.asarray(spill_pos, dtype=np.int64)
-        s_rows = rows_u8[sp]
-        s_pad = -(-len(sp) // 8) * 8
-        s_mat = np.zeros((s_pad, d), dtype=np.uint8)
-        s_mat[: len(sp)] = s_rows
-        s_valid = np.zeros(s_pad, dtype=bool)
-        s_valid[: len(sp)] = True
-        s_ids = np.full(s_pad, -1, dtype=np.int32)
-        s_ids[: len(sp)] = row_ids[sp]
-        sd, ss, sm = semantic_rows_from_u8(s_mat)
-        spill = PackedSemanticIndex(
-            jnp.asarray(sd), jnp.asarray(ss), jnp.asarray(sm),
-            jnp.asarray(s_valid),
-        )
-        spill_rows = jnp.asarray(s_ids)
-    else:
-        spill = _empty_spill(d)
-        spill_rows = jnp.zeros((0,), dtype=jnp.int32)
+    spill, spill_rows = _pack_spill(rows_u8[spill_pos], row_ids[spill_pos], d)
 
     return IVFIndex(
         centroids=jnp.asarray(centroids, dtype=jnp.float32),
@@ -346,7 +378,12 @@ def _ivf_probe_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int,
     cap = ivf.bucket_cap
     flat_d = dist.reshape(qn, nprobe * cap)
     flat_i = brows.reshape(qn, nprobe * cap)
-    return topk_ops.block_topk(flat_d, flat_i, k)
+    # The pool is laid out in probe-rank order, not row-id order, so a
+    # positionally-stable top_k would break distance ties by probe rank.
+    # lex_topk sorts by (dist, idx) — ties resolve by ascending row id
+    # exactly like the flat scan / SQLite rowid order (engine.rs:375-383),
+    # and the output satisfies merge_sorted_topk's sorted precondition.
+    return topk_ops.lex_topk(flat_d, flat_i, k)
 
 
 def ivf_scan_topk(

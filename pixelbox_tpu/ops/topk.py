@@ -29,6 +29,28 @@ def block_topk(dist: jnp.ndarray, idx: jnp.ndarray, k: int):
     return -neg_d, jnp.take_along_axis(idx, sel, axis=-1)
 
 
+def lex_topk(dist: jnp.ndarray, idx: jnp.ndarray, k: int):
+    """Top-k smallest by lexicographic (dist, idx) over one candidate pool.
+
+    Unlike :func:`block_topk` (which relies on ``lax.top_k``'s positional
+    stability, i.e. candidate positions already ascending in row id), this
+    sorts with the row id as a second key — use it when the pool's layout
+    does NOT follow row-id order (e.g. IVF probe candidates, laid out in
+    probe-rank order).  Non-finite entries get idx 2^31-1 so they sort
+    last among themselves; callers run :func:`finalize_topk` to turn them
+    into -1.  Output is fully sorted ascending by (dist, idx), satisfying
+    :func:`merge_sorted_topk`'s input contract.
+    """
+    b = dist.shape[-1]
+    if b < k:
+        pad = [(0, 0)] * (dist.ndim - 1) + [(0, k - b)]
+        dist = jnp.pad(dist, pad, constant_values=jnp.inf)
+        idx = jnp.pad(idx, pad, constant_values=jnp.int32(2 ** 31 - 1))
+    idx = jnp.where(jnp.isfinite(dist), idx, jnp.int32(2 ** 31 - 1))
+    d_s, i_s = lax.sort((dist, idx), num_keys=2, dimension=-1)
+    return d_s[..., :k], i_s[..., :k]
+
+
 def merge_topk(dist_a, idx_a, dist_b, idx_b, k: int):
     """Merge two candidate lists into the k smallest, stable on ties.
 

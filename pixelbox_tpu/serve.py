@@ -708,18 +708,29 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         )
                     return self._send(200, {"watching": engine.is_watching()})
                 if parsed.path == "/api/settings":
-                    if "max_search_results" in data:
-                        engine.max_search_results = int(data["max_search_results"])
-                    if "max_distance" in data:
-                        engine.max_distance_from_query = float(data["max_distance"])
-                    if "search_min_length" in data:
-                        ui_settings["search_min_length"] = min(
-                            255, max(0, int(data["search_min_length"]))
-                        )
-                    if "thumbnail_size" in data:
-                        ui_settings["thumbnail_size"] = min(
-                            512, max(60, int(data["thumbnail_size"]))
-                        )
+                    # Validate every field BEFORE applying any, so a bad
+                    # value is a clean 400 with nothing half-applied.
+                    try:
+                        staged = {}
+                        if "max_search_results" in data:
+                            staged["max_search_results"] = int(
+                                data["max_search_results"])
+                        if "max_distance" in data:
+                            staged["max_distance"] = float(
+                                data["max_distance"])
+                        if "search_min_length" in data:
+                            staged["search_min_length"] = min(
+                                255, max(0, int(data["search_min_length"]))
+                            )
+                        if "thumbnail_size" in data:
+                            staged["thumbnail_size"] = min(
+                                512, max(60, int(data["thumbnail_size"]))
+                            )
+                        if "ivf_nprobe" in data:
+                            staged["ivf_nprobe"] = max(
+                                1, int(data["ivf_nprobe"]))
+                    except (TypeError, ValueError) as e:
+                        return self._send(400, {"error": f"bad value: {e}"})
                     if "scan_mode" in data:
                         mode = str(data["scan_mode"])
                         if mode not in (
@@ -728,9 +739,20 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                             return self._send(
                                 400, {"error": f"bad scan_mode: {mode}"}
                             )
-                        engine.scan_mode = mode
-                    if "ivf_nprobe" in data:
-                        engine.ivf_nprobe = max(1, int(data["ivf_nprobe"]))
+                        staged["scan_mode"] = mode
+                    if "max_search_results" in staged:
+                        engine.max_search_results = staged["max_search_results"]
+                    if "max_distance" in staged:
+                        engine.max_distance_from_query = staged["max_distance"]
+                    if "search_min_length" in staged:
+                        ui_settings["search_min_length"] = staged[
+                            "search_min_length"]
+                    if "thumbnail_size" in staged:
+                        ui_settings["thumbnail_size"] = staged["thumbnail_size"]
+                    if "scan_mode" in staged:
+                        engine.scan_mode = staged["scan_mode"]
+                    if "ivf_nprobe" in staged:
+                        engine.ivf_nprobe = staged["ivf_nprobe"]
                     return self._send(200, {"ok": True})
                 return self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001

@@ -64,6 +64,24 @@ def test_headline_json_schema():
     assert set(out) == {"metric", "value", "unit", "vs_baseline", "detail"}
 
 
+def test_probe_platform_empty_stdout_falls_back(monkeypatch):
+    """An rc==0 probe that prints nothing must fall back to CPU, not
+    crash with IndexError before the headline JSON is emitted."""
+    import subprocess
+    import bench
+
+    class R:
+        returncode = 0
+        stdout = ""
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **kw: R())
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    info = bench._probe_platform()
+    assert info["platform"] == "cpu"
+    assert "fallback_reason" in info
+
+
 def test_bench_ivf_miniature(rng):
     import bench
 

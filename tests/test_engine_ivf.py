@@ -108,6 +108,107 @@ def test_ivf_centroids_retrain_on_doubling(ivf_engine):
     assert eng._ivf_trained_n > trained_at
 
 
+def test_ivf_clusters_change_takes_effect(ivf_engine):
+    """Changing ivf_clusters retrains to the requested count even with
+    trained centroids cached and no store mutation in between."""
+    eng, d = ivf_engine
+    rec = eng.load_image(str(d / "s5.png"))
+    eng.query_by_image_hash_from_image(rec)
+    assert eng._ivf_centroids.shape[0] == 3
+
+    eng.ivf_clusters = 2
+    eng.query_by_image_hash_from_image(rec)
+    assert eng._ivf_centroids.shape[0] == 2
+    # Results still match the exact oracle at the new cluster count.
+    got = _results(eng)
+    eng.scan_mode = "exact"
+    eng.query_by_image_hash_from_image(rec)
+    want = _results(eng)
+    eng.scan_mode = "ivf"
+    assert got == want
+
+
+def test_append_extends_spill_without_bucket_repack(ivf_engine):
+    """Pure appends ride the incremental spill path: buckets are shared
+    (no O(N) repack per query during interleaved indexing), repeated
+    extends don't duplicate rows, and results stay oracle-equal."""
+    eng, d = ivf_engine
+    rec = eng.load_image(str(d / "s6.png"))
+    eng.query_by_image_hash_from_image(rec)
+    bd0 = eng._ivf.bucket_data
+    packed_n = eng._ivf_packed_n
+
+    for s in (70, 71):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"a{s}.png"
+        )
+        eng.insert_image_from_path(str(d / f"a{s}.png"))
+        rec2 = eng.load_image(str(d / f"a{s}.png"))
+        eng.query_by_image_hash_from_image(rec2)
+        top = eng.get_query_results()[0]
+        assert top.path.endswith(f"a{s}.png")
+        assert float(top.distance_from_query) == 0.0
+    assert eng._ivf.bucket_data is bd0
+    assert eng._ivf_packed_n == packed_n
+    # No duplicates from the repeated extends: each store row at most once.
+    ids = np.asarray(eng._ivf.spill_rows)
+    live = ids[ids >= 0]
+    assert len(live) == len(np.unique(live))
+
+    eng.query_by_image_hash_from_image(rec)
+    got = _results(eng)
+    eng.scan_mode = "exact"
+    eng.query_by_image_hash_from_image(rec)
+    want = _results(eng)
+    eng.scan_mode = "ivf"
+    assert got == want
+
+
+def test_sidecar_from_other_library_rejected(tmp_path):
+    """A stale <db>.ivf.npz left behind after the library is rebuilt in
+    place must NOT steer the new library's probes: the uuid check forces
+    a retrain on the new corpus."""
+    import os
+
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in range(8):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    db = str(tmp_path / "re.db")
+    eng = Engine.new(db, embedder="stub", embedder_kwargs={"dim": 32})
+    eng.max_distance_from_query = 1e7
+    for s in range(8):
+        eng.insert_image_from_path(str(d / f"s{s}.png"))
+    eng.scan_mode = "ivf"
+    eng.ivf_clusters = 2
+    rec = eng.load_image(str(d / "s0.png"))
+    eng.query_by_image_hash_from_image(rec)
+    assert eng._ivf_trained_n == 8
+    eng.close()
+    assert os.path.exists(db + ".ivf.npz")
+
+    # Rebuild the library from scratch at the same path (sidecar remains).
+    os.remove(db)
+    eng2 = Engine.new(db, embedder="stub", embedder_kwargs={"dim": 32})
+    eng2.max_distance_from_query = 1e7
+    for s in range(20, 25):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"n{s}.png"
+        )
+        eng2.insert_image_from_path(str(d / f"n{s}.png"))
+    eng2.scan_mode = "ivf"
+    eng2.ivf_clusters = 2
+    rec2 = eng2.load_image(str(d / "n20.png"))
+    eng2.query_by_image_hash_from_image(rec2)
+    # Retrained on the NEW corpus (5 rows), not adopted from the stale
+    # sidecar (trained_n=8).
+    assert eng2._ivf_trained_n == 5
+    assert eng2.get_query_results()[0].path.endswith("n20.png")
+    eng2.close()
+
+
 def test_cli_ivf_flags(tmp_path):
     from pixelbox_tpu import cli
 

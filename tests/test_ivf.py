@@ -70,6 +70,81 @@ def test_full_nprobe_equals_exact_scan(rng):
                                rtol=0, atol=0)
 
 
+def test_tie_break_across_clusters_matches_exact():
+    """Two rows at EXACTLY equal u8 distance to the query (q[0]==q[1];
+    row1 = row0 with those coords swapped), assigned to different
+    clusters, with the higher-row-id row's cluster probed first.  The
+    probe layout's rank order must not decide the tie — the flat scan's
+    ascending-row-id contract (SQLite rowid order) must."""
+    q = np.array([[100, 100, 10, 250, 40, 200, 30, 90]], dtype=np.uint8)
+    row0 = np.array([30, 220, 60, 60, 10, 90, 170, 128], dtype=np.uint8)
+    row1 = row0.copy()
+    row1[[0, 1]] = row1[[1, 0]]
+    rows = np.stack([row0, row1])
+    valid = np.ones(2, dtype=bool)
+    # Hand-placed centroids: cluster 0 attracts row1, cluster 1 row0.
+    cents = np.concatenate([
+        ivf_ops._unit_rows_f32(row1[None]),
+        ivf_ops._unit_rows_f32(row0[None]),
+    ])
+    assign = ivf_ops.assign_rows_u8(rows, cents)
+    assert assign[0] == 1 and assign[1] == 0
+
+    index = ivf_ops.build_ivf(rows, valid, cents)
+    flat, _ = _flat_index(rows)
+    d, i = ivf_ops.ivf_scan_topk(q, index, k=1, nprobe=2)
+    d_ex, i_ex = cosine_scan_topk(jnp.asarray(q), flat, k=1,
+                                  block_rows=flat.capacity)
+    assert np.isfinite(np.asarray(d_ex)[0, 0])  # tie is inside threshold
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ex))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ex))
+    assert int(np.asarray(i)[0, 0]) == 0  # ascending row id wins the tie
+
+
+def test_full_nprobe_equals_exact_under_heavy_ties(rng):
+    """Low-cardinality rows make equal integer distances common; full-
+    probe IVF (tiny caps forcing spill) must still match the exact scan
+    bit-for-bit, ids included."""
+    vals = np.array([0, 128, 255], dtype=np.uint8)
+    rows = vals[rng.integers(0, 3, size=(300, 8))]
+    valid = np.ones(len(rows), dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 6, iters=4, seed=7)
+    index = ivf_ops.build_ivf(rows, valid, cents, bucket_cap=16)
+    assert index.spill_count > 0
+    flat, _ = _flat_index(rows)
+    q = rows[rng.integers(0, len(rows), size=8)]
+    d, i = ivf_ops.ivf_scan_topk(q, index, k=20, nprobe=index.n_clusters)
+    d_ex, i_ex = cosine_scan_topk(jnp.asarray(q), flat, k=20,
+                                  block_rows=flat.capacity)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ex))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ex))
+
+
+def test_rebuild_spill_incremental_matches_exact(rng):
+    """rebuild_spill shares the buckets and only repacks the spill; with
+    full nprobe the extended index equals the exact scan over all rows."""
+    rows, _ = _clustered_rows(rng, 240, 32)
+    valid = np.ones(240, dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows[:200], valid[:200], 4, iters=4,
+                                     seed=8)
+    base = ivf_ops.build_ivf(rows[:200], valid[:200], cents, bucket_cap=32)
+    spill_base = ivf_ops.live_spill_ids(base).astype(np.int64)
+    ext = ivf_ops.rebuild_spill(
+        base, rows,
+        np.concatenate([spill_base, np.arange(200, 240, dtype=np.int64)]),
+    )
+    assert ext.bucket_data is base.bucket_data  # buckets shared, no repack
+    assert ext.spill_count >= base.spill_count + 40
+
+    flat, _ = _flat_index(rows)
+    q = rows[rng.integers(0, 240, size=4)]
+    d, i = ivf_ops.ivf_scan_topk(q, ext, k=10, nprobe=4)
+    d_ex, i_ex = cosine_scan_topk(jnp.asarray(q), flat, k=10,
+                                  block_rows=flat.capacity)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ex))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ex))
+
+
 def test_max_distance_filter_and_padding(rng):
     rows, _ = _clustered_rows(rng, 200, 32)
     valid = np.ones(len(rows), dtype=bool)

@@ -211,3 +211,26 @@ def test_settings_scan_mode_and_ivf(server):
 
     post(base, "/api/settings", json.dumps({"scan_mode": "auto"}).encode())
     assert eng.scan_mode == "auto"
+
+
+def test_settings_bad_values_are_400_and_atomic(server):
+    """Malformed numeric values are client errors (400, like bad
+    scan_mode), not 500s — and nothing in the same request is applied."""
+    base, eng, _ = server
+    before = eng.ivf_nprobe
+    code, res = post(
+        base, "/api/settings",
+        json.dumps({"ivf_nprobe": "fast"}).encode(), expect_error=True,
+    )
+    assert code == 400 and "error" in res
+    assert eng.ivf_nprobe == before
+
+    before_k = eng.max_search_results
+    code, _ = post(
+        base, "/api/settings",
+        json.dumps({"max_search_results": 9, "max_distance": "wide"}
+                   ).encode(),
+        expect_error=True,
+    )
+    assert code == 400
+    assert eng.max_search_results == before_k  # validate-then-apply
