@@ -303,6 +303,19 @@ class Engine:
         self._ivf_structural = -1
         self._ivf_packed_n = 0
         self._ivf_cfg = None
+        # Centroid generation: bumped on every retrain so BOTH packed
+        # caches (single-chip + sharded) invalidate when either path
+        # retrains at an unchanged store version.
+        self._ivf_centroid_gen = 0
+        self._ivf_gen = -1
+        # Mesh-sharded IVF mirror (serve_on_mesh + scan_mode == "ivf").
+        self._ivf_sharded = None
+        self._ivf_sharded_at_ver = -1
+        self._ivf_sharded_struct = -1
+        self._ivf_sharded_packed_n = 0
+        self._ivf_sharded_cfg = None
+        self._ivf_sharded_gen = -1
+        self._ivf_sharded_spill_ids = None
         # Queries hold the read lock, so concurrent ivf queries could
         # otherwise both pay the k-means train; serialize the build.
         self._ivf_build_lock = threading.Lock()
@@ -1692,6 +1705,13 @@ class Engine:
         self._face_sharded_at_ver = -1
         self._blip_sharded = None
         self._blip_sharded_at_ver = -1
+        self._ivf_sharded = None
+        self._ivf_sharded_at_ver = -1
+        self._ivf_sharded_struct = -1
+        self._ivf_sharded_packed_n = 0
+        self._ivf_sharded_cfg = None
+        self._ivf_sharded_gen = -1
+        self._ivf_sharded_spill_ids = None
 
     def _get_sharded_index(self):
         """Row-sharded index mirror, synced lazily.
@@ -1772,6 +1792,7 @@ class Engine:
             self._ivf is not None
             and self._ivf_version == store.version
             and self._ivf_cfg == self._ivf_cfg_key()
+            and self._ivf_gen == self._ivf_centroid_gen
         ):
             return self._ivf
         with self._ivf_build_lock:
@@ -1782,6 +1803,33 @@ class Engine:
         (0 = auto cluster count)."""
         return (int(self.ivf_clusters or 0),)
 
+    def _ensure_ivf_centroids(self, ivf_ops, rows, valid, n_live) -> bool:
+        """Train or restore the shared k-means centroids (call under the
+        build lock).  Returns True when a retrain happened — the
+        centroid generation bump invalidates BOTH packed caches."""
+        dim = rows.shape[1]
+        if self._ivf_centroids is None:
+            self._load_ivf_sidecar(dim)
+        want = (
+            min(int(self.ivf_clusters), n_live) if self.ivf_clusters else None
+        )
+        retrain = (
+            self._ivf_centroids is None
+            or self._ivf_centroids.shape[1] != dim
+            or (want is not None and self._ivf_centroids.shape[0] != want)
+            or n_live > 2 * max(1, self._ivf_trained_n)
+        )
+        if retrain:
+            c = want or ivf_ops.default_n_clusters(n_live)
+            with timed("engine.ivf_train"):
+                self._ivf_centroids = ivf_ops.spherical_kmeans(
+                    rows, valid, c, iters=10, seed=0
+                )
+            self._ivf_trained_n = n_live
+            self._ivf_centroid_gen += 1
+            self._save_ivf_sidecar()
+        return retrain
+
     def _build_ivf_locked(self, ivf_ops, store):
         # Double-check under the lock: a concurrent query may have just
         # finished the identical build.
@@ -1790,6 +1838,7 @@ class Engine:
             self._ivf is not None
             and self._ivf_version == store.version
             and self._ivf_cfg == cfg
+            and self._ivf_gen == self._ivf_centroid_gen
         ):
             return self._ivf
         rows = store._host_rows[: store.n]
@@ -1797,21 +1846,12 @@ class Engine:
         n_live = int(valid.sum())
         if n_live == 0:
             return None
-        if self._ivf_centroids is None:
-            self._load_ivf_sidecar(store.dim)
-        want = (
-            min(int(self.ivf_clusters), n_live) if self.ivf_clusters else None
-        )
-        retrain = (
-            self._ivf_centroids is None
-            or self._ivf_centroids.shape[1] != store.dim
-            or (want is not None and self._ivf_centroids.shape[0] != want)
-            or n_live > 2 * max(1, self._ivf_trained_n)
-        )
+        retrained = self._ensure_ivf_centroids(ivf_ops, rows, valid, n_live)
         if (
-            not retrain
+            not retrained
             and self._ivf is not None
             and self._ivf_cfg == cfg
+            and self._ivf_gen == self._ivf_centroid_gen
             and self._ivf_structural == store.structural_version
             and store.n >= self._ivf_packed_n
         ):
@@ -1835,21 +1875,95 @@ class Engine:
                     )
                 self._ivf_version = store.version
                 return self._ivf
-        if retrain:
-            c = want or ivf_ops.default_n_clusters(n_live)
-            with timed("engine.ivf_train"):
-                self._ivf_centroids = ivf_ops.spherical_kmeans(
-                    rows, valid, c, iters=10, seed=0
-                )
-            self._ivf_trained_n = n_live
-            self._save_ivf_sidecar()
         with timed("engine.ivf_build"):
             self._ivf = ivf_ops.build_ivf(rows, valid, self._ivf_centroids)
         self._ivf_version = store.version
         self._ivf_structural = store.structural_version
         self._ivf_packed_n = store.n
         self._ivf_cfg = cfg
+        self._ivf_gen = self._ivf_centroid_gen
         return self._ivf
+
+    def _get_ivf_sharded(self):
+        """Row-sharded IVF mirror (serve_on_mesh + scan_mode == 'ivf').
+
+        Shares the single-chip path's centroids/sidecar/retrain policy;
+        each shard packs its contiguous store range into per-shard
+        buckets with global row ids (parallel/sharded_ivf).  Pure appends
+        extend the per-shard exact spills incrementally; structural
+        changes full-rebuild.
+        """
+        from pixelbox_tpu.ops import ivf as ivf_ops
+        from pixelbox_tpu.parallel import sharded_ivf as sivf_mod
+
+        store = self._sem_store
+        if (
+            self._ivf_sharded is not None
+            and self._ivf_sharded_at_ver == store.version
+            and self._ivf_sharded_cfg == self._ivf_cfg_key()
+            and self._ivf_sharded_gen == self._ivf_centroid_gen
+        ):
+            return self._ivf_sharded
+        with self._ivf_build_lock:
+            return self._build_ivf_sharded_locked(ivf_ops, sivf_mod, store)
+
+    def _build_ivf_sharded_locked(self, ivf_ops, sivf_mod, store):
+        cfg = self._ivf_cfg_key()
+        if (
+            self._ivf_sharded is not None
+            and self._ivf_sharded_at_ver == store.version
+            and self._ivf_sharded_cfg == cfg
+            and self._ivf_sharded_gen == self._ivf_centroid_gen
+        ):
+            return self._ivf_sharded
+        rows = store._host_rows
+        valid = store._host_valid
+        n_live = int(valid[: store.n].sum())
+        if n_live == 0:
+            return None
+        retrained = self._ensure_ivf_centroids(
+            ivf_ops, rows[: store.n], valid[: store.n], n_live
+        )
+        if (
+            not retrained
+            and self._ivf_sharded is not None
+            and self._ivf_sharded_cfg == cfg
+            and self._ivf_sharded_gen == self._ivf_centroid_gen
+            and self._ivf_sharded_struct == store.structural_version
+            and store.n >= self._ivf_sharded_packed_n
+        ):
+            packed_n = self._ivf_sharded_packed_n
+            local_rows = rows.shape[0] // self.scan_mesh.shape["data"]
+            delta = np.flatnonzero(
+                valid[packed_n : store.n]
+            ).astype(np.int64) + packed_n
+            bases = [
+                b[b < packed_n] for b in self._ivf_sharded_spill_ids
+            ]
+            total_spill = sum(len(b) for b in bases) + len(delta)
+            if total_spill <= max(8192, packed_n // 16):
+                per_shard = [
+                    np.concatenate([b, delta[(delta // local_rows) == s]])
+                    for s, b in enumerate(bases)
+                ]
+                with timed("engine.ivf_extend"):
+                    self._ivf_sharded = sivf_mod.rebuild_sharded_spill(
+                        self._ivf_sharded, rows, per_shard, self.scan_mesh
+                    )
+                self._ivf_sharded_spill_ids = per_shard
+                self._ivf_sharded_at_ver = store.version
+                return self._ivf_sharded
+        with timed("engine.ivf_build"):
+            self._ivf_sharded, spill_ids = sivf_mod.build_sharded_ivf(
+                rows, valid, self._ivf_centroids, self.scan_mesh
+            )
+        self._ivf_sharded_spill_ids = spill_ids
+        self._ivf_sharded_at_ver = store.version
+        self._ivf_sharded_struct = store.structural_version
+        self._ivf_sharded_packed_n = store.n
+        self._ivf_sharded_cfg = cfg
+        self._ivf_sharded_gen = self._ivf_centroid_gen
+        return self._ivf_sharded
 
     def _ivf_sidecar_path(self) -> Optional[str]:
         if not self.db_path or self.db_path == ":memory:":
@@ -2046,18 +2160,33 @@ class Engine:
                 # clusters; candidate selection is approximate, returned
                 # distances are exact u8 reciprocal-cosine (ops/ivf.py).
                 # Built from the always-u8 host mirror, so it works under
-                # any device precision; single-chip by design (multi-chip
-                # deployments shard the flat guaranteed-exact scan).
-                from pixelbox_tpu.ops.ivf import ivf_scan_topk
+                # any device precision.  Under serve_on_mesh the probe
+                # runs row-sharded over the mesh (parallel/sharded_ivf):
+                # N chips ≈ N× the ANN query rate at the same recall.
+                q_u8 = np.asarray(record.visual_hash, dtype=np.uint8)
+                if self.scan_mesh is not None:
+                    from pixelbox_tpu.parallel.sharded_ivf import (
+                        sharded_ivf_scan_topk,
+                    )
 
-                ivf = self._get_ivf()
-                dist, idx = ivf_scan_topk(
-                    np.asarray(record.visual_hash, dtype=np.uint8),
-                    ivf,
-                    k=k,
-                    nprobe=self.ivf_nprobe,
-                    max_distance=float(self.max_distance_from_query),
-                )
+                    dist, idx = sharded_ivf_scan_topk(
+                        q_u8,
+                        self._get_ivf_sharded(),
+                        self.scan_mesh,
+                        k=k,
+                        nprobe=self.ivf_nprobe,
+                        max_distance=float(self.max_distance_from_query),
+                    )
+                else:
+                    from pixelbox_tpu.ops.ivf import ivf_scan_topk
+
+                    dist, idx = ivf_scan_topk(
+                        q_u8,
+                        self._get_ivf(),
+                        k=k,
+                        nprobe=self.ivf_nprobe,
+                        max_distance=float(self.max_distance_from_query),
+                    )
             elif self.semantic_precision == "int4":
                 # With rerank on (default): candidates-then-exact-u8-
                 # rescore via the shared orchestration (ops.int4.

@@ -23,8 +23,10 @@ TPU-first design notes:
 - reciprocal-cosine (engine.rs:587) is monotone-decreasing in cosine, so
   "nearest clusters by centroid cosine" is the correct probe order.
 
-Not sharded: IVF exists for single-chip latency/capacity; multi-chip
-deployments shard the flat guaranteed-exact scan (parallel/sharded_scan).
+Multi-chip: parallel/sharded_ivf rides this exact index shape over a
+``jax.sharding.Mesh`` — shared centroids, per-shard buckets with global
+row ids, per-chip probe + local exact spill, k·n_chips candidates merged
+over ICI.  The engine picks it automatically under ``serve_on_mesh``.
 """
 
 from __future__ import annotations
@@ -279,31 +281,25 @@ def _empty_spill(d: int) -> PackedSemanticIndex:
     )
 
 
-def build_ivf(
+def pack_buckets_host(
     rows_u8: np.ndarray,
     valid: np.ndarray,
     centroids: np.ndarray,
-    bucket_cap: Optional[int] = None,
-    row_ids: Optional[np.ndarray] = None,
-) -> IVFIndex:
-    """Pack valid rows into fixed-capacity buckets (host), ship to device.
-
-    ``row_ids`` default to positions in ``rows_u8`` (the store's row ids).
-    Overflow past ``bucket_cap`` goes to the exact-scanned spill index.
-    """
+    bucket_cap: int,
+    row_ids: np.ndarray,
+):
+    """Host-side bucket packing shared by the single-chip and sharded
+    builders.  Returns numpy (bucket_data_i8 [C,cap,D], bucket_sum,
+    bucket_mag2, bucket_rows, bucket_valid, spill_pos) — ``spill_pos``
+    are positions into ``rows_u8``, ascending."""
     rows_u8 = np.asarray(rows_u8, dtype=np.uint8)
     valid = np.asarray(valid, dtype=bool)
     n, d = rows_u8.shape
-    if row_ids is None:
-        row_ids = np.arange(n, dtype=np.int32)
     live = np.flatnonzero(valid)
     c = centroids.shape[0]
     assign = np.full(n, -1, dtype=np.int32)
     if live.size:
         assign[live] = assign_rows_u8(rows_u8[live], centroids)
-    if bucket_cap is None:
-        bucket_cap = default_bucket_cap(live.size, c)
-    bucket_cap = int(max(8, bucket_cap))
 
     bdata = np.zeros((c, bucket_cap, d), dtype=np.uint8)
     brows = np.full((c, bucket_cap), -1, dtype=np.int32)
@@ -329,15 +325,48 @@ def build_ivf(
 
     flat = bdata.reshape(c * bucket_cap, d)
     data_i8, bsum, bmag2 = semantic_rows_from_u8(flat)
+    return (
+        data_i8.reshape(c, bucket_cap, d),
+        bsum.reshape(c, bucket_cap),
+        bmag2.reshape(c, bucket_cap),
+        brows,
+        bvalid & (brows >= 0),
+        spill_pos,
+    )
+
+
+def build_ivf(
+    rows_u8: np.ndarray,
+    valid: np.ndarray,
+    centroids: np.ndarray,
+    bucket_cap: Optional[int] = None,
+    row_ids: Optional[np.ndarray] = None,
+) -> IVFIndex:
+    """Pack valid rows into fixed-capacity buckets (host), ship to device.
+
+    ``row_ids`` default to positions in ``rows_u8`` (the store's row ids).
+    Overflow past ``bucket_cap`` goes to the exact-scanned spill index.
+    """
+    rows_u8 = np.asarray(rows_u8, dtype=np.uint8)
+    valid = np.asarray(valid, dtype=bool)
+    n, d = rows_u8.shape
+    if row_ids is None:
+        row_ids = np.arange(n, dtype=np.int32)
+    if bucket_cap is None:
+        bucket_cap = default_bucket_cap(int(valid.sum()), centroids.shape[0])
+    bucket_cap = int(max(8, bucket_cap))
+    bdata, bsum, bmag2, brows, bvalid, spill_pos = pack_buckets_host(
+        rows_u8, valid, centroids, bucket_cap, row_ids
+    )
     spill, spill_rows = _pack_spill(rows_u8[spill_pos], row_ids[spill_pos], d)
 
     return IVFIndex(
         centroids=jnp.asarray(centroids, dtype=jnp.float32),
-        bucket_data=jnp.asarray(data_i8.reshape(c, bucket_cap, d)),
-        bucket_sum=jnp.asarray(bsum.reshape(c, bucket_cap)),
-        bucket_mag2=jnp.asarray(bmag2.reshape(c, bucket_cap)),
+        bucket_data=jnp.asarray(bdata),
+        bucket_sum=jnp.asarray(bsum),
+        bucket_mag2=jnp.asarray(bmag2),
         bucket_rows=jnp.asarray(brows),
-        bucket_valid=jnp.asarray(bvalid) & (jnp.asarray(brows) >= 0),
+        bucket_valid=jnp.asarray(bvalid),
         spill=spill,
         spill_rows=spill_rows,
     )
@@ -386,6 +415,25 @@ def _ivf_probe_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int,
     return topk_ops.lex_topk(flat_d, flat_i, k)
 
 
+def ivf_local_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int, md):
+    """Probe + exact spill scan + merge: [Q, k] sorted ascending by
+    (dist, row_id), +inf/2^31-1 sentinels (no finalize — the sharded
+    scan merges shards first).  Traceable inside shard_map."""
+    best_d, best_i = _ivf_probe_topk(query_u8, ivf, k, nprobe, md)
+
+    if ivf.spill_count:
+        from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+        sd, si = cosine_scan_topk(
+            query_u8, ivf.spill, k=k, max_distance=md,
+            block_rows=ivf.spill.capacity, mode="exact", gate=False,
+        )
+        si = jnp.where(si >= 0, ivf.spill_rows[jnp.maximum(si, 0)], -1)
+        sd = jnp.where(si >= 0, sd, jnp.inf)
+        best_d, best_i = topk_ops.merge_sorted_topk(best_d, best_i, sd, si, k)
+    return best_d, best_i
+
+
 def ivf_scan_topk(
     query_u8,
     ivf: IVFIndex,
@@ -407,18 +455,7 @@ def ivf_scan_topk(
     nprobe = int(max(1, min(nprobe, ivf.n_clusters)))
     md = jnp.asarray(max_distance, dtype=jnp.float32)
 
-    best_d, best_i = _ivf_probe_topk(query_u8, ivf, k, nprobe, md)
-
-    if ivf.spill_count:
-        from pixelbox_tpu.ops.scan import cosine_scan_topk
-
-        sd, si = cosine_scan_topk(
-            query_u8, ivf.spill, k=k, max_distance=md,
-            block_rows=ivf.spill.capacity, mode="exact", gate=False,
-        )
-        si = jnp.where(si >= 0, ivf.spill_rows[jnp.maximum(si, 0)], -1)
-        sd = jnp.where(si >= 0, sd, jnp.inf)
-        best_d, best_i = topk_ops.merge_sorted_topk(best_d, best_i, sd, si, k)
+    best_d, best_i = ivf_local_topk(query_u8, ivf, k, nprobe, md)
 
     best_d, best_i = topk_ops.finalize_topk(best_d, best_i)
     if squeeze:
