@@ -2679,6 +2679,35 @@ class Engine:
                 "face",
                 lambda q, k, md: self.face_scan_batched(q, k, md),
             )
+        # IVF coalesces too (used when scan_mode == "ivf"): the clustered
+        # index builds lazily on first use, so registration is free.
+        service.register_kind(
+            "ivf",
+            lambda q, k, md: self.ivf_scan_batched(q, k, md),
+        )
+
+    def ivf_scan_batched(self, queries_u8, k: int, max_distance: float):
+        """Batched IVF scan for the serving layer: u8 [B, D] queries →
+        (dist [B, k], store row ids [B, k]).  Probes run row-sharded over
+        the mesh under ``serve_on_mesh``, single-chip otherwise — the
+        same dispatch as ``query_by_image_hash_from_image``'s ivf branch,
+        without the per-request engine lock."""
+        q = np.asarray(queries_u8, dtype=np.uint8)
+        if self.scan_mesh is not None:
+            from pixelbox_tpu.parallel.sharded_ivf import (
+                sharded_ivf_scan_topk,
+            )
+
+            return sharded_ivf_scan_topk(
+                q, self._get_ivf_sharded(), self.scan_mesh, k=int(k),
+                nprobe=self.ivf_nprobe, max_distance=float(max_distance),
+            )
+        from pixelbox_tpu.ops.ivf import ivf_scan_topk
+
+        return ivf_scan_topk(
+            q, self._get_ivf(), k=int(k), nprobe=self.ivf_nprobe,
+            max_distance=float(max_distance),
+        )
 
     def _phash_mixed_scan(
         self, ph: np.ndarray, wq: int, widths: np.ndarray, k: int,

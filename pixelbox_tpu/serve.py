@@ -267,9 +267,12 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
 
         # The batching service scans with the guaranteed-exact auto path:
         # result-identical to auto/exact/pallas, so those modes coalesce
-        # freely.  IVF intentionally returns a different (probed) result
-        # set, so it must go through the engine's own dispatch.
-        if scan_service is not None and engine.scan_mode != "ivf" \
+        # freely.  IVF returns a different (probed) result set, so it
+        # coalesces under its own kind (engine.ivf_scan_batched — both
+        # return store row ids, so assembly is shared).
+        ivf = engine.scan_mode == "ivf"
+        if scan_service is not None \
+                and (not ivf or "ivf" in getattr(scan_service, "kinds", ())) \
                 and engine._sem_store is not None \
                 and engine._sem_store.size > 0:
             scan_service.k = int(engine.max_search_results)
@@ -277,7 +280,9 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
             # Read lock across scan→assemble: a compaction renumbering
             # between them would map rows through the wrong id table.
             with engine.index_rwlock.read_locked():
-                dist, idx = scan_service.submit(rec.visual_hash)
+                dist, idx = scan_service.submit(
+                    rec.visual_hash, kind="ivf" if ivf else "semantic"
+                )
                 keep = idx >= 0
                 results = engine._build_results(idx[keep], dist[keep])
             with lock:
@@ -806,6 +811,14 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8333,
             engine._blip_store is not None and engine._blip_store.size > 0
         ):
             scan_service.warmup(engine._blip_store.dim, kinds=("blip",))
+        if (
+            engine.scan_mode == "ivf"
+            and engine._sem_store is not None
+            and engine._sem_store.size > 0
+        ):
+            # Serving in ivf mode: train/pack the clustered index (and
+            # compile its probe buckets) before traffic arrives.
+            scan_service.warmup(engine._sem_store.dim, kinds=("ivf",))
     server = ThreadingHTTPServer(
         (host, port), make_handler(engine, lock, scan_service)
     )

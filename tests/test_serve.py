@@ -199,8 +199,10 @@ def test_settings_scan_mode_and_ivf(server):
     assert code == 200
     assert eng.scan_mode == "ivf" and eng.ivf_nprobe == 2
 
-    # /api/similar must route through the engine's ivf dispatch (not the
-    # batching service) and still find the duplicate first.
+    # This server runs without a batching service, so /api/similar takes
+    # the engine's ivf dispatch directly and must find the duplicate
+    # first (the batched kind="ivf" path is covered in
+    # test_serve_batching.py).
     eng.max_distance_from_query = 1e7
     img = (photos / "img1.png").read_bytes()
     code, res = post(base, "/api/similar", img)

@@ -40,6 +40,7 @@ def batched_server(tmp_path_factory):
         max_distance=eng.max_distance_from_query,
         max_wait_ms=25.0,
     )
+    eng.attach_scan_service(service)  # modality kinds, like serve() does
     httpd = ThreadingHTTPServer(
         ("127.0.0.1", 0), make_handler(eng, threading.Lock(), service)
     )
@@ -98,28 +99,56 @@ def test_status_exposes_batching_stats(batched_server):
     assert "scan_batches" in status and "scan_queries" in status
 
 
-def test_ivf_mode_bypasses_batching(batched_server):
-    """scan_mode=ivf returns a PROBED result set, so /api/similar must
-    route through the engine dispatch, not the coalescing service."""
+def test_ivf_mode_coalesces_under_its_own_kind(batched_server):
+    """scan_mode=ivf returns a PROBED result set, so it must not mix
+    into the exact semantic batches — it coalesces under kind='ivf'
+    (engine.ivf_scan_batched) and still self-matches first."""
     base, eng, photos, service = batched_server
     req = urllib.request.Request(
         base + "/api/settings",
-        data=json.dumps({"scan_mode": "ivf", "ivf_nprobe": 1}).encode(),
+        data=json.dumps({"scan_mode": "ivf", "ivf_nprobe": 8}).encode(),
         method="POST",
     )
     with urllib.request.urlopen(req, timeout=30) as r:
         assert r.status == 200
     try:
+        assert "ivf" in service.kinds
+        # Warm once (k-means train + probe compile) so the concurrent
+        # burst below measures coalescing, not the cold build.
+        warm = service.submit(
+            eng._sem_store._host_rows[0].copy(), kind="ivf"
+        )
+        assert warm[1][0] == 0  # self-match on row 0
         batches_before = service.batches_run
         img = (photos / "img2.png").read_bytes()
-        req = urllib.request.Request(
-            base + "/api/similar", data=img, method="POST"
-        )
-        with urllib.request.urlopen(req, timeout=60) as r:
-            res = json.loads(r.read())
-        assert res[0]["path"].endswith("img2.png")
-        assert eng._ivf is not None
-        assert service.batches_run == batches_before
+
+        results, errs = [], []
+
+        def one_query():
+            try:
+                rq = urllib.request.Request(
+                    base + "/api/similar", data=img, method="POST"
+                )
+                with urllib.request.urlopen(rq, timeout=60) as r:
+                    results.append(json.loads(r.read()))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=one_query) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        assert len(results) == 8
+        for res in results:
+            assert res[0]["path"].endswith("img2.png")
+            assert res[0]["distance"] == 0.0
+        assert eng._ivf is not None  # the clustered index actually served
+        # Coalesced: 8 near-simultaneous queries ran in fewer batches
+        # (exact grouping is timing-dependent; all-singletons would be 8).
+        ran = service.batches_run - batches_before
+        assert 1 <= ran < 8, ran
     finally:
         req = urllib.request.Request(
             base + "/api/settings",
