@@ -1907,6 +1907,28 @@ class Engine:
         with self._ivf_build_lock:
             return self._build_ivf_sharded_locked(ivf_ops, sivf_mod, store)
 
+    def _mesh_padded_mirror(self, store):
+        """Host mirror padded to a mesh-divisible row count.  Compaction
+        shrinks ``_host_rows`` to exactly n rows (index/store.py), which
+        need not divide the mesh size — the flat sharded path is immune
+        because it shards the block-padded device index, but the IVF
+        builder packs from the host mirror.  Pad rows are invalid and
+        never pack into buckets or spill."""
+        rows = store._host_rows
+        valid = store._host_valid
+        n_shards = self.scan_mesh.shape["data"]
+        n_pad = -(-rows.shape[0] // n_shards) * n_shards
+        if n_pad != rows.shape[0]:
+            rows = np.concatenate([
+                rows,
+                np.zeros((n_pad - rows.shape[0], rows.shape[1]),
+                         dtype=rows.dtype),
+            ])
+            valid = np.concatenate([
+                valid, np.zeros(n_pad - valid.shape[0], dtype=bool)
+            ])
+        return rows, valid
+
     def _build_ivf_sharded_locked(self, ivf_ops, sivf_mod, store):
         cfg = self._ivf_cfg_key()
         if (
@@ -1916,8 +1938,7 @@ class Engine:
             and self._ivf_sharded_gen == self._ivf_centroid_gen
         ):
             return self._ivf_sharded
-        rows = store._host_rows
-        valid = store._host_valid
+        rows, valid = self._mesh_padded_mirror(store)
         n_live = int(valid[: store.n].sum())
         if n_live == 0:
             return None

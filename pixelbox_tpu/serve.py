@@ -817,8 +817,13 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8333,
             and engine._sem_store.size > 0
         ):
             # Serving in ivf mode: train/pack the clustered index (and
-            # compile its probe buckets) before traffic arrives.
-            scan_service.warmup(engine._sem_store.dim, kinds=("ivf",))
+            # compile its probe buckets) before traffic arrives.  The
+            # read lock matches the organic path (requests hold it across
+            # submit→assemble): without it, a watcher append landing
+            # mid-build would stamp a pack that's missing those rows as
+            # current-version.
+            with engine.index_rwlock.read_locked():
+                scan_service.warmup(engine._sem_store.dim, kinds=("ivf",))
     server = ThreadingHTTPServer(
         (host, port), make_handler(engine, lock, scan_service)
     )

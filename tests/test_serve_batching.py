@@ -145,10 +145,12 @@ def test_ivf_mode_coalesces_under_its_own_kind(batched_server):
             assert res[0]["path"].endswith("img2.png")
             assert res[0]["distance"] == 0.0
         assert eng._ivf is not None  # the clustered index actually served
-        # Coalesced: 8 near-simultaneous queries ran in fewer batches
-        # (exact grouping is timing-dependent; all-singletons would be 8).
+        # Grouping of the concurrent burst is timing-dependent (a loaded
+        # runner can serialize all 8 past the 25 ms window), so only
+        # sanity-bound it here; test_ivf_requests_group_into_one_batch
+        # asserts the actual coalescing deterministically.
         ran = service.batches_run - batches_before
-        assert 1 <= ran < 8, ran
+        assert 1 <= ran <= 8, ran
     finally:
         req = urllib.request.Request(
             base + "/api/settings",
@@ -156,3 +158,28 @@ def test_ivf_mode_coalesces_under_its_own_kind(batched_server):
             method="POST",
         )
         urllib.request.urlopen(req, timeout=30).read()
+
+
+def test_ivf_requests_group_into_one_batch(batched_server):
+    """Deterministic coalescing check: a pre-assembled group of 4 ivf
+    requests runs as exactly ONE device batch and every request gets its
+    own correct result (white-box on _run_group, no thread timing)."""
+    from pixelbox_tpu.serving import _Request
+
+    base, eng, photos, service = batched_server
+    eng.scan_mode = "ivf"
+    try:
+        rows = eng._sem_store._host_rows
+        reqs = [
+            _Request(query=rows[i].copy(), kind="ivf") for i in range(4)
+        ]
+        before = service.batches_run
+        service._run_group("ivf", reqs)
+        assert service.batches_run == before + 1
+        for i, r in enumerate(reqs):
+            assert r.error is None
+            assert r.event.is_set()
+            assert int(r.idx[0]) == i  # each query self-matches its row
+            assert float(r.dist[0]) == 0.0
+    finally:
+        eng.scan_mode = "auto"

@@ -227,6 +227,40 @@ def test_engine_mesh_ivf_appends_extend_spill(mesh_ivf_engine, tmp_path):
         eng.scan_mesh = None
 
 
+def test_engine_mesh_ivf_survives_compaction(mesh_ivf_engine):
+    """Regression: compact() shrinks the host mirror to exactly n rows,
+    which need not divide the mesh size — the sharded IVF builder must
+    pad instead of asserting (every ivf query crashed after a compact)."""
+    eng, d = mesh_ivf_engine
+    eng.serve_on_mesh(make_mesh(8))
+    try:
+        rec = eng.load_image(str(d / "s3.png"))
+        eng.query_by_image_hash_from_image(rec)
+        victim = [
+            r.id for r in eng.get_query_results()
+            if not r.path.endswith("s3.png")
+        ][0]
+        eng.remove_image(victim)
+        eng.compact()  # host mirror now exactly n rows (11, not %8)
+
+        eng.query_by_image_hash_from_image(rec)  # used to AssertionError
+        res = eng.get_query_results()
+        assert res and res[0].path.endswith("s3.png")
+        assert all(r.id != victim for r in res)
+
+        eng.scan_mode = "exact"
+        eng.query_by_image_hash_from_image(rec)
+        want = [(r.id, round(float(r.distance_from_query), 6))
+                for r in eng.get_query_results()]
+        eng.scan_mode = "ivf"
+        eng.query_by_image_hash_from_image(rec)
+        got = [(r.id, round(float(r.distance_from_query), 6))
+               for r in eng.get_query_results()]
+        assert got == want
+    finally:
+        eng.scan_mesh = None
+
+
 def test_engine_mesh_ivf_matches_single_chip_full_probe(mesh_ivf_engine):
     """Full-probe results are identical between the sharded and
     single-chip IVF paths (both equal the exact scan)."""
