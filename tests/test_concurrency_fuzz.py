@@ -115,9 +115,28 @@ def test_engine_mutation_fuzz(tmp_path):
             assert res and res[0].id == 1, res
             i += 1
 
+    @guard
+    def ivf_querier():
+        # Clustered-ANN queries against the same churn: hammers the IVF
+        # cache machinery (k-means train, bucket pack, incremental spill
+        # extend, invalidation on remove/compact) under concurrent
+        # mutation.  scan_mode flips under qlock, which serializes
+        # query→read pairs across all querier threads.
+        while not stop.is_set():
+            with qlock:
+                eng.scan_mode = "ivf"
+                try:
+                    eng.query_by_image_hash_from_image(probe)
+                    res = eng.get_query_results()
+                finally:
+                    eng.scan_mode = "auto"
+            assert res and res[0].path.endswith("static3.png"), res
+            assert float(res[0].distance_from_query) == 0.0
+            assert all(r.id > 0 and r.filename for r in res)
+
     threads = [
         threading.Thread(target=f)
-        for f in (querier, ph_querier, face_querier, tagger)
+        for f in (querier, ph_querier, face_querier, tagger, ivf_querier)
     ]
     for t in threads:
         t.start()

@@ -137,6 +137,24 @@ def test_int4_faces_mesh_lifecycle(tmp_path):
         if new_faces:  # detector found the synthetic face again
             eng.query_by_face_hash(new_faces[0][1])
             assert _results(eng)[0][0] == "f_new.png"
+
+        # IVF on the same battle-worn library: int4 precision + mesh +
+        # post-compaction state + fresh appends, full-probe must equal
+        # the current exact scan (the sharded clustered index packs the
+        # padded post-compact mirror; note `kept` predates the appends).
+        eng.query_by_image_hash_from_file(probe)
+        exact_now = _results(eng)
+        eng.scan_mode = "ivf"
+        eng.ivf_clusters = 2
+        eng.ivf_nprobe = 2
+        try:
+            eng.query_by_image_hash_from_file(probe)
+            assert eng._ivf_sharded is not None
+            assert _results(eng) == exact_now
+            eng.query_by_image_hash_from_file(str(d / "t_new.png"))
+            assert _results(eng)[0] == ("t_new.png", 0.0)
+        finally:
+            eng.scan_mode = "auto"
     finally:
         eng.scan_mesh = None
         eng.close()
