@@ -142,7 +142,8 @@ def main(argv=None) -> int:
             choices=("auto", "exact", "fast", "pallas", "ivf"),
             help="similarity scan mode (default auto: verified-exact; "
             "ivf = clustered ANN — approximate selection over the "
-            "--nprobe nearest clusters, exact distances)",
+            "--nprobe nearest clusters, exact distances; composes with "
+            "--precision int4: half-byte buckets + exact-u8 rerank)",
         )
         sp.add_argument(
             "--nprobe", type=int, default=None,

@@ -1876,7 +1876,10 @@ class Engine:
                 self._ivf_version = store.version
                 return self._ivf
         with timed("engine.ivf_build"):
-            self._ivf = ivf_ops.build_ivf(rows, valid, self._ivf_centroids)
+            self._ivf = ivf_ops.build_ivf(
+                rows, valid, self._ivf_centroids,
+                precision=self.semantic_precision,
+            )
         self._ivf_version = store.version
         self._ivf_structural = store.structural_version
         self._ivf_packed_n = store.n
@@ -1976,7 +1979,8 @@ class Engine:
                 return self._ivf_sharded
         with timed("engine.ivf_build"):
             self._ivf_sharded, spill_ids = sivf_mod.build_sharded_ivf(
-                rows, valid, self._ivf_centroids, self.scan_mesh
+                rows, valid, self._ivf_centroids, self.scan_mesh,
+                precision=self.semantic_precision,
             )
         self._ivf_sharded_spill_ids = spill_ids
         self._ivf_sharded_at_ver = store.version
@@ -2179,35 +2183,16 @@ class Engine:
             if self.scan_mode == "ivf":
                 # Clustered ANN (opt-in): probe the nprobe nearest
                 # clusters; candidate selection is approximate, returned
-                # distances are exact u8 reciprocal-cosine (ops/ivf.py).
-                # Built from the always-u8 host mirror, so it works under
-                # any device precision.  Under serve_on_mesh the probe
-                # runs row-sharded over the mesh (parallel/sharded_ivf):
-                # N chips ≈ N× the ANN query rate at the same recall.
-                q_u8 = np.asarray(record.visual_hash, dtype=np.uint8)
-                if self.scan_mesh is not None:
-                    from pixelbox_tpu.parallel.sharded_ivf import (
-                        sharded_ivf_scan_topk,
-                    )
-
-                    dist, idx = sharded_ivf_scan_topk(
-                        q_u8,
-                        self._get_ivf_sharded(),
-                        self.scan_mesh,
-                        k=k,
-                        nprobe=self.ivf_nprobe,
-                        max_distance=float(self.max_distance_from_query),
-                    )
-                else:
-                    from pixelbox_tpu.ops.ivf import ivf_scan_topk
-
-                    dist, idx = ivf_scan_topk(
-                        q_u8,
-                        self._get_ivf(),
-                        k=k,
-                        nprobe=self.ivf_nprobe,
-                        max_distance=float(self.max_distance_from_query),
-                    )
+                # distances are exact (ops/ivf.py).  Buckets pack at the
+                # library's precision: u8 (exact u8 reciprocal-cosine),
+                # or int4 at half the bucket HBM (asymmetric cosine4a
+                # candidates + the standard exact-u8 rerank, exactly
+                # like the flat int4 flow).  Under serve_on_mesh the
+                # probe runs row-sharded over the mesh
+                # (parallel/sharded_ivf): N chips ≈ N× the ANN rate.
+                dist, idx = self._ivf_query(
+                    np.asarray(record.visual_hash, dtype=np.uint8), k
+                )
             elif self.semantic_precision == "int4":
                 # With rerank on (default): candidates-then-exact-u8-
                 # rescore via the shared orchestration (ops.int4.
@@ -2711,24 +2696,60 @@ class Engine:
         """Batched IVF scan for the serving layer: u8 [B, D] queries →
         (dist [B, k], store row ids [B, k]).  Probes run row-sharded over
         the mesh under ``serve_on_mesh``, single-chip otherwise — the
-        same dispatch as ``query_by_image_hash_from_image``'s ivf branch,
-        without the per-request engine lock."""
-        q = np.asarray(queries_u8, dtype=np.uint8)
+        same dispatch (incl. the int4 exact-u8 rerank) as
+        ``query_by_image_hash_from_image``'s ivf branch, without the
+        per-request engine lock."""
+        return self._ivf_query(
+            np.asarray(queries_u8, dtype=np.uint8), int(k),
+            max_distance=float(max_distance),
+        )
+
+    def _ivf_query(self, q_u8: np.ndarray, k: int,
+                   max_distance: Optional[float] = None):
+        """Clustered-ANN scan at the library's precision.
+
+        u8 libraries return exact u8 reciprocal-cosine distances over the
+        probed set.  int4 libraries pack nibble buckets (half the bucket
+        HBM); candidates retrieve in the asymmetric cosine4a metric and —
+        with ``int4_rerank`` on (default) — rescore against the u8 host
+        mirror via the shared ops.int4.scan_with_u8_rerank orchestration,
+        so reported distances are true u8 values exactly like the flat
+        int4 flow."""
+        md = float(
+            self.max_distance_from_query if max_distance is None
+            else max_distance
+        )
         if self.scan_mesh is not None:
             from pixelbox_tpu.parallel.sharded_ivf import (
                 sharded_ivf_scan_topk,
             )
 
-            return sharded_ivf_scan_topk(
-                q, self._get_ivf_sharded(), self.scan_mesh, k=int(k),
-                nprobe=self.ivf_nprobe, max_distance=float(max_distance),
-            )
-        from pixelbox_tpu.ops.ivf import ivf_scan_topk
+            sivf = self._get_ivf_sharded()
 
-        return ivf_scan_topk(
-            q, self._get_ivf(), k=int(k), nprobe=self.ivf_nprobe,
-            max_distance=float(max_distance),
-        )
+            def _scan(c, md_):
+                return sharded_ivf_scan_topk(
+                    q_u8, sivf, self.scan_mesh, k=c,
+                    nprobe=self.ivf_nprobe, max_distance=md_,
+                )
+        else:
+            from pixelbox_tpu.ops.ivf import ivf_scan_topk
+
+            ivf = self._get_ivf()
+
+            def _scan(c, md_):
+                return ivf_scan_topk(
+                    q_u8, ivf, k=c, nprobe=self.ivf_nprobe,
+                    max_distance=md_,
+                )
+
+        if self.semantic_precision == "int4" and self.int4_rerank:
+            from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
+
+            return scan_with_u8_rerank(
+                _scan, q_u8, self._sem_store._host_rows,
+                k=k, max_distance=md,
+            )
+        return _scan(k, md)
 
     def _phash_mixed_scan(
         self, ph: np.ndarray, wq: int, widths: np.ndarray, k: int,

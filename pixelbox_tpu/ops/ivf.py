@@ -49,20 +49,30 @@ from pixelbox_tpu.ops.packed import (
 
 
 class IVFIndex(NamedTuple):
-    """Device arrays for a clustered u8 index.
+    """Device arrays for a clustered index.
 
     ``bucket_rows`` maps bucket slots back to store row ids (-1 = pad).
     ``spill``/``spill_rows`` hold overflow rows scanned exactly by every
     query (empty spill ⇒ capacity 0 arrays, still static).
+
+    Two packings share this shape (``precision`` at build time):
+    - "u8": bucket_data int8 [C, cap, D] centered codes (u8 − 128),
+      distances are the exact u8 reciprocal-cosine spec;
+    - "int4": bucket_data uint8 [C, cap, D/2] packed nibbles (HALF the
+      bucket HBM — the >10M-row capacity mode), distances are the exact
+      ASYMMETRIC int4 spec (ops/int4 ``cosine4a``: full-u8 query against
+      int4 rows), and callers rerank candidates with the exact u8 metric
+      exactly like the flat int4 flow.  The packing is recovered from
+      the dtype (int8 = centered u8, uint8 = packed nibbles).
     """
 
     centroids: jnp.ndarray     # f32 [C, D] unit vectors (spec scale)
-    bucket_data: jnp.ndarray   # int8 [C, cap, D] (u8 - 128)
-    bucket_sum: jnp.ndarray    # int32 [C, cap]
-    bucket_mag2: jnp.ndarray   # int32 [C, cap]
+    bucket_data: jnp.ndarray   # int8 [C, cap, D] | uint8 [C, cap, D/2]
+    bucket_sum: jnp.ndarray    # int32 [C, cap] (Σ centered u8 | Σ v4)
+    bucket_mag2: jnp.ndarray   # int32 [C, cap] (spec magnitudes)
     bucket_rows: jnp.ndarray   # int32 [C, cap]
     bucket_valid: jnp.ndarray  # bool [C, cap]
-    spill: PackedSemanticIndex
+    spill: "PackedSemanticIndex"  # or ops.int4.PackedSemantic4Index
     spill_rows: jnp.ndarray    # int32 [S_pad]
 
     @property
@@ -75,7 +85,17 @@ class IVFIndex(NamedTuple):
 
     @property
     def dim(self) -> int:
-        return self.bucket_data.shape[2]
+        # True embedding width — bucket_data's last axis is D/2 when the
+        # buckets pack int4 nibbles.
+        return self.centroids.shape[1]
+
+    @property
+    def kind(self) -> str:
+        """Distance kind implied by the bucket packing (trace-time
+        constant: depends on dtype only)."""
+        return (
+            "cosine4a" if self.bucket_data.dtype == jnp.uint8 else "cosine"
+        )
 
     @property
     def spill_count(self) -> int:
@@ -225,12 +245,26 @@ def default_bucket_cap(n_live: int, n_clusters: int) -> int:
     return -(-2 * mean // 8) * 8
 
 
-def _pack_spill(rows_u8: np.ndarray, row_ids: np.ndarray, d: int):
+def _spill_rows_fn(precision: str):
+    """(row-moments fn, index type) for a spill packing."""
+    if precision == "int4":
+        from pixelbox_tpu.ops.int4 import (
+            PackedSemantic4Index,
+            semantic4_rows_from_u8,
+        )
+
+        return semantic4_rows_from_u8, PackedSemantic4Index
+    return semantic_rows_from_u8, PackedSemanticIndex
+
+
+def _pack_spill(rows_u8: np.ndarray, row_ids: np.ndarray, d: int,
+                precision: str = "u8"):
     """Pack spill rows (host, already in ascending-row-id order) into a
-    lane-padded PackedSemanticIndex + its row-id map."""
+    lane-padded packed index (u8 or int4 layout) + its row-id map."""
+    rows_fn, index_cls = _spill_rows_fn(precision)
     n = len(rows_u8)
     if n == 0:
-        return _empty_spill(d), jnp.zeros((0,), dtype=jnp.int32)
+        return _empty_spill(d, precision), jnp.zeros((0,), dtype=jnp.int32)
     s_pad = -(-n // 8) * 8
     s_mat = np.zeros((s_pad, d), dtype=np.uint8)
     s_mat[:n] = rows_u8
@@ -238,8 +272,8 @@ def _pack_spill(rows_u8: np.ndarray, row_ids: np.ndarray, d: int):
     s_valid[:n] = True
     s_ids = np.full(s_pad, -1, dtype=np.int32)
     s_ids[:n] = row_ids
-    sd, ss, sm = semantic_rows_from_u8(s_mat)
-    spill = PackedSemanticIndex(
+    sd, ss, sm = rows_fn(s_mat)
+    spill = index_cls(
         jnp.asarray(sd), jnp.asarray(ss), jnp.asarray(sm),
         jnp.asarray(s_valid),
     )
@@ -266,16 +300,19 @@ def rebuild_spill(
     order) to preserve the scan's row-id tie contract.
     """
     spill_ids = np.asarray(spill_ids, dtype=np.int64)
+    precision = "int4" if ivf.kind == "cosine4a" else "u8"
     spill, spill_rows = _pack_spill(
-        rows_u8[spill_ids], spill_ids.astype(np.int32), ivf.dim
+        rows_u8[spill_ids], spill_ids.astype(np.int32), ivf.dim,
+        precision=precision,
     )
     return ivf._replace(spill=spill, spill_rows=spill_rows)
 
 
-def _empty_spill(d: int) -> PackedSemanticIndex:
+def _empty_spill(d: int, precision: str = "u8"):
+    rows_fn, index_cls = _spill_rows_fn(precision)
     z = np.zeros((0, d), dtype=np.uint8)
-    data, s, m = semantic_rows_from_u8(z)
-    return PackedSemanticIndex(
+    data, s, m = rows_fn(z)
+    return index_cls(
         jnp.asarray(data), jnp.asarray(s), jnp.asarray(m),
         jnp.zeros((0,), dtype=bool),
     )
@@ -287,11 +324,14 @@ def pack_buckets_host(
     centroids: np.ndarray,
     bucket_cap: int,
     row_ids: np.ndarray,
+    precision: str = "u8",
 ):
     """Host-side bucket packing shared by the single-chip and sharded
-    builders.  Returns numpy (bucket_data_i8 [C,cap,D], bucket_sum,
-    bucket_mag2, bucket_rows, bucket_valid, spill_pos) — ``spill_pos``
-    are positions into ``rows_u8``, ascending."""
+    builders.  Returns numpy (bucket_data [C,cap,D] int8 | [C,cap,D/2]
+    uint8 for int4, bucket_sum, bucket_mag2, bucket_rows, bucket_valid,
+    spill_pos) — ``spill_pos`` are positions into ``rows_u8``,
+    ascending.  Assignment always runs on the full-u8 rows (centroids
+    live in u8 space); only the stored codes quantize."""
     rows_u8 = np.asarray(rows_u8, dtype=np.uint8)
     valid = np.asarray(valid, dtype=bool)
     n, d = rows_u8.shape
@@ -324,9 +364,10 @@ def pack_buckets_host(
     spill_pos = np.sort(sl[~in_bucket])
 
     flat = bdata.reshape(c * bucket_cap, d)
-    data_i8, bsum, bmag2 = semantic_rows_from_u8(flat)
+    rows_fn, _ = _spill_rows_fn(precision)
+    data, bsum, bmag2 = rows_fn(flat)
     return (
-        data_i8.reshape(c, bucket_cap, d),
+        data.reshape(c, bucket_cap, -1),
         bsum.reshape(c, bucket_cap),
         bmag2.reshape(c, bucket_cap),
         brows,
@@ -341,11 +382,14 @@ def build_ivf(
     centroids: np.ndarray,
     bucket_cap: Optional[int] = None,
     row_ids: Optional[np.ndarray] = None,
+    precision: str = "u8",
 ) -> IVFIndex:
     """Pack valid rows into fixed-capacity buckets (host), ship to device.
 
     ``row_ids`` default to positions in ``rows_u8`` (the store's row ids).
     Overflow past ``bucket_cap`` goes to the exact-scanned spill index.
+    ``precision="int4"`` packs nibble buckets at half the HBM (asymmetric
+    cosine4a distances — see IVFIndex).
     """
     rows_u8 = np.asarray(rows_u8, dtype=np.uint8)
     valid = np.asarray(valid, dtype=bool)
@@ -356,9 +400,11 @@ def build_ivf(
         bucket_cap = default_bucket_cap(int(valid.sum()), centroids.shape[0])
     bucket_cap = int(max(8, bucket_cap))
     bdata, bsum, bmag2, brows, bvalid, spill_pos = pack_buckets_host(
-        rows_u8, valid, centroids, bucket_cap, row_ids
+        rows_u8, valid, centroids, bucket_cap, row_ids, precision=precision
     )
-    spill, spill_rows = _pack_spill(rows_u8[spill_pos], row_ids[spill_pos], d)
+    spill, spill_rows = _pack_spill(
+        rows_u8[spill_pos], row_ids[spill_pos], d, precision=precision
+    )
 
     return IVFIndex(
         centroids=jnp.asarray(centroids, dtype=jnp.float32),
@@ -375,29 +421,47 @@ def build_ivf(
 @partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivf_probe_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int,
                     max_distance):
-    """Probe ``nprobe`` buckets per query; exact distances within them."""
+    """Probe ``nprobe`` buckets per query; exact distances within them
+    (u8 reciprocal-cosine, or asymmetric cosine4a for int4 buckets —
+    the branch is trace-time static on the bucket dtype)."""
     qn, d = query_u8.shape
     q_i8, q_sum, q_mag2 = query_moments_from_u8(query_u8)
     q_mag2_f = q_mag2.astype(jnp.float32)[:, None, None]
 
     # Probe order: centroid cosine, descending (reciprocal distance is
-    # monotone-decreasing in cosine).  Row norm is probe-invariant.
+    # monotone-decreasing in cosine).  Row norm is probe-invariant, and
+    # centroids live in full-u8 space for BOTH bucket packings.
     xq = 2.0 * query_u8.astype(jnp.float32) - 255.0
     scores = lax.dot_general(
         xq, ivf.centroids, dimension_numbers=(((1,), (1,)), ((), ())),
     )  # [Q, C]
     _, bids = lax.top_k(scores, nprobe)  # [Q, P]
 
-    data = ivf.bucket_data[bids]      # [Q, P, cap, D] int8
+    data = ivf.bucket_data[bids]      # [Q,P,cap,D] i8 | [Q,P,cap,D/2] u8
     bsum = ivf.bucket_sum[bids]       # [Q, P, cap]
     bmag2 = ivf.bucket_mag2[bids]
     brows = ivf.bucket_rows[bids]
     bval = ivf.bucket_valid[bids]
 
-    dot8 = jnp.einsum(
-        "qpcd,qd->qpc", data, q_i8, preferred_element_type=jnp.int32
-    )
-    dot_c = 4 * dot8 + 2 * (q_sum[:, None, None] + bsum) + jnp.int32(d)
+    if ivf.kind == "cosine4a":
+        # Unpack nibbles and apply the asymmetric affine fix (same exact
+        # integer spec as ops.int4._cosine4a_block_dist): centered query
+        # 2q−255 against centered rows 34·v4 − 255.
+        codes = jnp.concatenate(
+            [data & jnp.uint8(0xF), data >> 4], axis=-1
+        ).astype(jnp.int8)
+        dot8 = jnp.einsum(
+            "qpcd,qd->qpc", codes, q_i8, preferred_element_type=jnp.int32
+        )
+        dot_c = (
+            68 * dot8 + 34 * bsum - 510 * q_sum[:, None, None]
+            - jnp.int32(255 * d)
+        )
+    else:
+        dot8 = jnp.einsum(
+            "qpcd,qd->qpc", data, q_i8, preferred_element_type=jnp.int32
+        )
+        dot_c = 4 * dot8 + 2 * (q_sum[:, None, None] + bsum) + jnp.int32(d)
     dist = _cosine_distance_from_moments(
         dot_c.astype(jnp.float32), q_mag2_f, bmag2.astype(jnp.float32)
     )
@@ -422,12 +486,20 @@ def ivf_local_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int, md):
     best_d, best_i = _ivf_probe_topk(query_u8, ivf, k, nprobe, md)
 
     if ivf.spill_count:
-        from pixelbox_tpu.ops.scan import cosine_scan_topk
+        if ivf.kind == "cosine4a":
+            from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
 
-        sd, si = cosine_scan_topk(
-            query_u8, ivf.spill, k=k, max_distance=md,
-            block_rows=ivf.spill.capacity, mode="exact", gate=False,
-        )
+            sd, si = cosine4a_scan_topk(
+                query_u8, ivf.spill, k=k, max_distance=md,
+                block_rows=ivf.spill.capacity,
+            )
+        else:
+            from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+            sd, si = cosine_scan_topk(
+                query_u8, ivf.spill, k=k, max_distance=md,
+                block_rows=ivf.spill.capacity, mode="exact", gate=False,
+            )
         si = jnp.where(si >= 0, ivf.spill_rows[jnp.maximum(si, 0)], -1)
         sd = jnp.where(si >= 0, sd, jnp.inf)
         best_d, best_i = topk_ops.merge_sorted_topk(best_d, best_i, sd, si, k)
@@ -441,12 +513,16 @@ def ivf_scan_topk(
     nprobe: int = 8,
     max_distance: float = 1e3,
 ):
-    """Top-k by exact u8 reciprocal-cosine over the probed candidate set.
+    """Top-k by the index's exact distance spec over the probed
+    candidate set (u8 reciprocal-cosine, or asymmetric cosine4a when the
+    buckets pack int4 — callers rerank those with the exact u8 metric
+    like the flat int4 flow).
 
     Same return contract as ``cosine_scan_topk``: (dist [Q, k] f32,
     row_ids [Q, k] int32, -1 where excluded).  With ``nprobe ==
     n_clusters`` the probed set covers every bucket, and together with
-    the always-exact spill scan the result equals the flat exact scan.
+    the always-exact spill scan the result equals the flat exact scan
+    in the same metric.
     """
     query_u8 = jnp.asarray(query_u8, dtype=jnp.uint8)
     squeeze = query_u8.ndim == 1

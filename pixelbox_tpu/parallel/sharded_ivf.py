@@ -72,7 +72,9 @@ class ShardedIVFIndex(NamedTuple):
 
     @property
     def dim(self) -> int:
-        return self.bucket_data.shape[2]
+        # True embedding width (bucket_data's last axis is D/2 when the
+        # buckets pack int4 nibbles).
+        return self.centroids.shape[1]
 
     @property
     def n_shards(self) -> int:
@@ -97,10 +99,12 @@ def _spill_pad(maxlen: int) -> int:
 
 
 def _stack_spills(
-    rows_u8: np.ndarray, ids_per_shard: List[np.ndarray], d: int
+    rows_u8: np.ndarray, ids_per_shard: List[np.ndarray], d: int,
+    precision: str = "u8",
 ):
     """Pack per-shard spill id lists (each ascending, global ids) into
-    equal-capacity stacked arrays (numpy)."""
+    equal-capacity stacked arrays (numpy; u8 or int4 row layout)."""
+    rows_fn, _ = ivf_ops._spill_rows_fn(precision)
     n_shards = len(ids_per_shard)
     s_cap = _spill_pad(max((len(i) for i in ids_per_shard), default=0))
     data = np.zeros((n_shards * s_cap, d), dtype=np.uint8)
@@ -112,7 +116,7 @@ def _stack_spills(
         data[base : base + len(ids)] = rows_u8[ids]
         valid[base : base + len(ids)] = True
         rid[base : base + len(ids)] = ids.astype(np.int32)
-    sd, ss, sm = semantic_rows_from_u8(data)
+    sd, ss, sm = rows_fn(data)
     return sd, ss, sm, valid, rid
 
 
@@ -143,6 +147,7 @@ def build_sharded_ivf(
     mesh: Mesh,
     axis: str = "data",
     bucket_cap: Optional[int] = None,
+    precision: str = "u8",
 ) -> Tuple[ShardedIVFIndex, List[np.ndarray]]:
     """Pack each shard's row range into buckets under the shared
     centroids and lay the stacked index out over the mesh.
@@ -151,7 +156,9 @@ def build_sharded_ivf(
     lists let callers extend spills incrementally on appends
     (:func:`rebuild_sharded_spill`) without re-deriving them from device
     arrays.  ``len(rows_u8)`` must divide evenly by the mesh axis size
-    (stores pad capacity in block multiples).
+    (stores pad capacity in block multiples).  ``precision="int4"``
+    packs nibble buckets/spills at half the per-chip HBM (asymmetric
+    cosine4a distances — ops/ivf.IVFIndex).
     """
     rows_u8 = np.asarray(rows_u8, dtype=np.uint8)
     valid = np.asarray(valid, dtype=bool)
@@ -175,6 +182,7 @@ def build_sharded_ivf(
         bd, bs, bm, br, bv, spill_pos = ivf_ops.pack_buckets_host(
             rows_u8[lo:hi], valid[lo:hi], centroids, bucket_cap,
             row_ids=np.arange(lo, hi, dtype=np.int32),
+            precision=precision,
         )
         bdatas.append(bd)
         bsums.append(bs)
@@ -183,7 +191,9 @@ def build_sharded_ivf(
         bvalids.append(bv)
         spill_ids_per_shard.append(spill_pos.astype(np.int64) + lo)
 
-    sd, ss, sm, sv, srid = _stack_spills(rows_u8, spill_ids_per_shard, d)
+    sd, ss, sm, sv, srid = _stack_spills(
+        rows_u8, spill_ids_per_shard, d, precision=precision
+    )
     sivf_np = ShardedIVFIndex(
         centroids=np.asarray(centroids, dtype=np.float32),
         bucket_data=np.concatenate(bdatas, axis=0),
@@ -212,8 +222,10 @@ def rebuild_sharded_spill(
     the append path: O(spill+delta) host work and transfer, no bucket
     repack.  Spill capacity pads to powers of two, so repeated appends
     re-compile the scan O(log n) times."""
+    precision = "int4" if sivf.bucket_data.dtype == jnp.uint8 else "u8"
     sd, ss, sm, sv, srid = _stack_spills(
-        np.asarray(rows_u8, dtype=np.uint8), ids_per_shard, sivf.dim
+        np.asarray(rows_u8, dtype=np.uint8), ids_per_shard, sivf.dim,
+        precision=precision,
     )
     r1 = NamedSharding(mesh, P(axis))
     r2 = NamedSharding(mesh, P(axis, None))
@@ -271,6 +283,16 @@ def sharded_ivf_scan_topk(
         check_vma=False,
     )
     def scan_shard(q, s):
+        if s.bucket_data.dtype == jnp.uint8:  # int4 nibble packing
+            from pixelbox_tpu.ops.int4 import PackedSemantic4Index
+
+            spill = PackedSemantic4Index(
+                s.spill_data, s.spill_sum, s.spill_mag2, s.spill_valid
+            )
+        else:
+            spill = PackedSemanticIndex(
+                s.spill_data, s.spill_sum, s.spill_mag2, s.spill_valid
+            )
         local = ivf_ops.IVFIndex(
             centroids=s.centroids,
             bucket_data=s.bucket_data,
@@ -278,9 +300,7 @@ def sharded_ivf_scan_topk(
             bucket_mag2=s.bucket_mag2,
             bucket_rows=s.bucket_rows,
             bucket_valid=s.bucket_valid,
-            spill=PackedSemanticIndex(
-                s.spill_data, s.spill_sum, s.spill_mag2, s.spill_valid
-            ),
+            spill=spill,
             spill_rows=s.spill_rows,
         )
         local_d, local_i = ivf_ops.ivf_local_topk(q, local, k, nprobe, md)

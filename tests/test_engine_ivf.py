@@ -209,6 +209,50 @@ def test_sidecar_from_other_library_rejected(tmp_path):
     eng2.close()
 
 
+def test_int4_library_ivf_matches_exact_with_rerank(tmp_path):
+    """On an int4 library, ivf packs nibble buckets (half the bucket
+    HBM) and — with the default exact-u8 rerank — full-probe results
+    match scan_mode='exact' identically (true u8 distances)."""
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in range(10):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    eng = Engine.new(
+        str(tmp_path / "i4.db"), embedder="stub",
+        embedder_kwargs={"dim": 32}, semantic_precision="int4",
+    )
+    eng.max_distance_from_query = 1e7
+    try:
+        for s in range(10):
+            eng.insert_image_from_path(str(d / f"s{s}.png"))
+        rec = eng.load_image(str(d / "s2.png"))
+
+        eng.scan_mode = "exact"
+        eng.query_by_image_hash_from_image(rec)
+        want = _results(eng)
+        assert want[0][1] == 0.0  # rerank restores the exact-0 self-match
+
+        eng.scan_mode = "ivf"
+        eng.ivf_clusters = 3
+        eng.ivf_nprobe = 3
+        eng.query_by_image_hash_from_image(rec)
+        assert eng._ivf is not None
+        assert eng._ivf.kind == "cosine4a"  # nibble buckets, not u8
+        assert _results(eng) == want
+
+        # Raw int4-metric results when rerank is off (flat parity).
+        eng.int4_rerank = False
+        eng.query_by_image_hash_from_image(rec)
+        got_raw = _results(eng)
+        eng.scan_mode = "exact"
+        eng.query_by_image_hash_from_image(rec)
+        assert got_raw == _results(eng)
+    finally:
+        eng.close()
+
+
 def test_cli_ivf_flags(tmp_path):
     from pixelbox_tpu import cli
 

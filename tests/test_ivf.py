@@ -145,6 +145,74 @@ def test_rebuild_spill_incremental_matches_exact(rng):
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ex))
 
 
+def test_int4_buckets_full_probe_equals_flat_int4_exact(rng):
+    """precision='int4': nibble buckets at half the HBM; full-probe IVF
+    (spill forced) equals the flat asymmetric int4 exact scan and its
+    numpy oracle bit-for-bit."""
+    from pixelbox_tpu.ops.int4 import (
+        build_semantic4_index,
+        cosine4a_scan_topk,
+        cosine4a_scan_topk_np,
+    )
+
+    rows, _ = _clustered_rows(rng, 400, 32)
+    valid = np.ones(len(rows), dtype=bool)
+    valid[::9] = False
+    cents = ivf_ops.spherical_kmeans(rows, valid, 6, iters=5, seed=11)
+    index = ivf_ops.build_ivf(rows, valid, cents, bucket_cap=24,
+                              precision="int4")
+    assert index.kind == "cosine4a"
+    assert index.spill_count > 0
+    # Half the bucket bytes of the u8 packing.
+    assert index.bucket_data.shape[2] == 16 and index.dim == 32
+
+    q = rows[rng.integers(0, len(rows), size=5)]
+    d_ivf, i_ivf = ivf_ops.ivf_scan_topk(q, index, k=12,
+                                         nprobe=index.n_clusters)
+    d_ivf, i_ivf = np.asarray(d_ivf), np.asarray(i_ivf)
+
+    flat4 = build_semantic4_index(rows, block_rows=len(rows))
+    flat4 = flat4._replace(valid=jnp.asarray(valid))
+    d_fl, i_fl = cosine4a_scan_topk(jnp.asarray(q), flat4, k=12,
+                                    block_rows=len(rows))
+    np.testing.assert_array_equal(i_ivf, np.asarray(i_fl))
+    np.testing.assert_array_equal(d_ivf, np.asarray(d_fl))
+
+    # And the numpy oracle agrees (restricted to valid rows).
+    d_np, i_np = cosine4a_scan_topk_np(q, rows[valid], k=12)
+    live_map = np.flatnonzero(valid)
+    i_np = np.where(np.asarray(i_np) >= 0, live_map[np.asarray(i_np)], -1)
+    np.testing.assert_array_equal(i_ivf, i_np)
+
+
+def test_int4_buckets_rebuild_spill_keeps_packing(rng):
+    """rebuild_spill on an int4 index packs the new spill in the int4
+    layout (the incremental-append path must not silently widen)."""
+    rows, _ = _clustered_rows(rng, 200, 32)
+    valid = np.ones(200, dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows[:160], valid[:160], 4, iters=4,
+                                     seed=12)
+    base = ivf_ops.build_ivf(rows[:160], valid[:160], cents,
+                             precision="int4")
+    spill_base = ivf_ops.live_spill_ids(base).astype(np.int64)
+    ext = ivf_ops.rebuild_spill(
+        base, rows,
+        np.concatenate([spill_base, np.arange(160, 200, dtype=np.int64)]),
+    )
+    assert ext.bucket_data is base.bucket_data
+    assert ext.spill.data.dtype == jnp.uint8  # packed nibbles
+    assert ext.spill.data.shape[1] == 16      # D/2
+
+    from pixelbox_tpu.ops.int4 import cosine4a_scan_topk_np
+
+    q = rows[rng.integers(0, 200, size=3)]
+    d, i = ivf_ops.ivf_scan_topk(q, ext, k=10, nprobe=4)
+    d_np, i_np = cosine4a_scan_topk_np(q, rows, k=10)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_np))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_np),
+                               rtol=0, atol=0)
+
+
 def test_max_distance_filter_and_padding(rng):
     rows, _ = _clustered_rows(rng, 200, 32)
     valid = np.ones(len(rows), dtype=bool)

@@ -120,6 +120,32 @@ def test_rebuild_sharded_spill_extends_incrementally(mesh, rng):
     np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_e))
 
 
+def test_int4_sharded_full_probe_equals_flat_int4_exact(mesh, rng):
+    """precision='int4' shards nibble buckets (half the per-chip HBM);
+    full-probe equals the flat asymmetric int4 oracle, ties included."""
+    from pixelbox_tpu.ops.int4 import cosine4a_scan_topk_np
+
+    rows = np.clip(
+        rng.normal(size=(2048, 32)) * 40 + 128, 0, 255
+    ).astype(np.uint8)
+    valid = np.ones(2048, dtype=bool)
+    valid[::6] = False
+    cents = ivf_ops.spherical_kmeans(rows, valid, 8, iters=5, seed=21)
+    sivf, spill_ids = build_sharded_ivf(rows, valid, cents, mesh,
+                                        bucket_cap=24, precision="int4")
+    assert sivf.bucket_data.dtype == jnp.uint8
+    assert sivf.bucket_data.shape[2] == 16  # D/2 — half the bucket HBM
+    assert sum(len(s) for s in spill_ids) > 0
+
+    q = rows[rng.integers(0, 2048, size=5)]
+    d_s, i_s = sharded_ivf_scan_topk(q, sivf, mesh, k=15, nprobe=8)
+    db = rows.copy()
+    d_np, i_np = cosine4a_scan_topk_np(q, db[valid], k=15)
+    live_map = np.flatnonzero(valid)
+    i_np = np.where(np.asarray(i_np) >= 0, live_map[np.asarray(i_np)], -1)
+    np.testing.assert_array_equal(np.asarray(i_s), i_np)
+
+
 def test_partial_nprobe_recall(mesh, rng):
     """Low-nprobe sharded IVF keeps useful recall (same clustering as
     single-chip; spills only add exact-scanned rows)."""
