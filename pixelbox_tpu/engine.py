@@ -2689,23 +2689,29 @@ class Engine:
         # index builds lazily on first use, so registration is free.
         service.register_kind(
             "ivf",
-            lambda q, k, md: self.ivf_scan_batched(q, k, md),
+            lambda q, k, md, n_real=None: self.ivf_scan_batched(
+                q, k, md, n_real=n_real
+            ),
         )
 
-    def ivf_scan_batched(self, queries_u8, k: int, max_distance: float):
+    def ivf_scan_batched(self, queries_u8, k: int, max_distance: float,
+                         n_real: Optional[int] = None):
         """Batched IVF scan for the serving layer: u8 [B, D] queries →
         (dist [B, k], store row ids [B, k]).  Probes run row-sharded over
         the mesh under ``serve_on_mesh``, single-chip otherwise — the
         same dispatch (incl. the int4 exact-u8 rerank) as
         ``query_by_image_hash_from_image``'s ivf branch, without the
-        per-request engine lock."""
+        per-request engine lock.  ``n_real`` (from the batching service)
+        limits the int4 host rescore to the batch's real rows, not its
+        zero-padded compile bucket."""
         return self._ivf_query(
             np.asarray(queries_u8, dtype=np.uint8), int(k),
-            max_distance=float(max_distance),
+            max_distance=float(max_distance), n_real=n_real,
         )
 
     def _ivf_query(self, q_u8: np.ndarray, k: int,
-                   max_distance: Optional[float] = None):
+                   max_distance: Optional[float] = None,
+                   n_real: Optional[int] = None):
         """Clustered-ANN scan at the library's precision.
 
         u8 libraries return exact u8 reciprocal-cosine distances over the
@@ -2747,7 +2753,7 @@ class Engine:
 
             return scan_with_u8_rerank(
                 _scan, q_u8, self._sem_store._host_rows,
-                k=k, max_distance=md,
+                k=k, max_distance=md, n_real=n_real,
             )
         return _scan(k, md)
 

@@ -123,8 +123,22 @@ class BatchingScanService:
 
     def register_kind(self, kind: str, fn: Callable) -> None:
         """Register a batched scan callable for a modality:
-        ``fn(queries_u8 [B, D], k, max_distance) -> (dist, idx)``."""
+        ``fn(queries_u8 [B, D], k, max_distance) -> (dist, idx)``.
+
+        Callables that also accept an ``n_real`` keyword get the real
+        request count of the zero-padded compile bucket — scans with a
+        host rescore stage (ivf on an int4 library) use it to skip
+        rescoring the padding, like the built-in semantic int4 path.
+        """
+        import inspect
+
+        try:
+            takes_n_real = "n_real" in inspect.signature(fn).parameters
+        except (TypeError, ValueError):  # builtins/partials w/o signature
+            takes_n_real = False
         self._scan_fns[kind] = fn
+        self._scan_n_real = getattr(self, "_scan_n_real", {})
+        self._scan_n_real[kind] = takes_n_real
 
     @property
     def kinds(self) -> Tuple[str, ...]:
@@ -213,6 +227,10 @@ class BatchingScanService:
             with timed(f"serving.batched_scan.{kind}"):
                 if kind == "semantic":
                     dist, idx = self._semantic_scan(queries, n_real=m)
+                elif getattr(self, "_scan_n_real", {}).get(kind):
+                    dist, idx = self._scan_fns[kind](
+                        queries, self.k, self.max_distance, n_real=m
+                    )
                 else:
                     dist, idx = self._scan_fns[kind](
                         queries, self.k, self.max_distance

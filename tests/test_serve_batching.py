@@ -183,3 +183,49 @@ def test_ivf_requests_group_into_one_batch(batched_server):
             assert float(r.dist[0]) == 0.0
     finally:
         eng.scan_mode = "auto"
+
+
+def test_int4_ivf_batched_rescores_only_real_rows(tmp_path):
+    """int4 library + ivf kind through the service: the host rerank runs
+    on the batch's real rows only (n_real plumbed through register_kind),
+    results are true u8 distances with exact-0 self-matches."""
+    from pixelbox_tpu.serving import BatchingScanService, _Request
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    for s in range(8):
+        Image.fromarray(textured_image(seed=s, size=(64, 64))).save(
+            photos / f"p{s}.png"
+        )
+    eng = Engine.new(
+        str(tmp_path / "i4b.db"), embedder="stub",
+        embedder_kwargs={"dim": 16}, semantic_precision="int4",
+    )
+    eng.max_distance_from_query = 1e7
+    service = None
+    try:
+        for s in range(8):
+            eng.insert_image_from_path(str(photos / f"p{s}.png"))
+        eng.scan_mode = "ivf"
+        eng.ivf_clusters = 2
+        eng.ivf_nprobe = 2
+        service = BatchingScanService(
+            lambda: eng._sem_store.device_index,
+            k=eng.max_search_results,
+            max_distance=eng.max_distance_from_query,
+        )
+        eng.attach_scan_service(service)
+        assert service._scan_n_real["ivf"]  # the kwarg was detected
+
+        rows = eng._sem_store._host_rows
+        reqs = [_Request(query=rows[i].copy(), kind="ivf")
+                for i in range(3)]
+        service._run_group("ivf", reqs)  # bucket pads 3 -> 8
+        for i, r in enumerate(reqs):
+            assert r.error is None, r.error
+            assert int(r.idx[0]) == i
+            assert float(r.dist[0]) == 0.0  # exact-u8 rerank self-match
+    finally:
+        if service is not None:
+            service.close()
+        eng.close()
