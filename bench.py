@@ -515,6 +515,28 @@ def bench_ivf_scan(n=1_000_000, d=128, q=64, k=100, nprobe=8, iters=50,
     )
     dt16, _ = _device_loop(one, q16, iters, index)
 
+    # int4 bucket variant (same centroids): half the bucket bytes,
+    # asymmetric cosine4a candidates + exact-u8 rerank (the engine's
+    # int4-library flow).  Recall measured against the same u8 oracle.
+    from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
+
+    index4 = ivf_ops.build_ivf(db_u8, valid, cents, precision="int4")
+    _, got4_i = scan_with_u8_rerank(
+        lambda c, md: ivf_ops.ivf_scan_topk(
+            q_u8, index4, k=c, nprobe=nprobe, max_distance=md
+        ),
+        q_u8, db_u8, k=k, max_distance=1e3,
+    )
+    got4_i = np.asarray(got4_i)
+    r10_4 = float(np.mean(
+        [len(set(got4_i[i][:10]) & set(exp_i[i][:10])) / 10
+         for i in range(q)]
+    ))
+    q1_4 = jnp.asarray(
+        rng.integers(0, 256, size=(iters, 1, d), dtype=np.uint8)
+    )
+    dt1_4, _ = _device_loop(one, q1_4, iters, index4)
+
     cap = index.bucket_cap
     return {
         "ivf_q1_ms": dt1 * 1e3,
@@ -529,6 +551,11 @@ def bench_ivf_scan(n=1_000_000, d=128, q=64, k=100, nprobe=8, iters=50,
         "train_s": train_s, "pack_s": build_s,
         "index_bytes": int(index.bucket_data.size
                            + index.spill.data.size),
+        # int4 buckets: capacity mode composed with the ANN mode.
+        "int4_index_bytes": int(index4.bucket_data.size
+                                + index4.spill.data.size),
+        "int4_recall_at_10_vs_exact_reranked": r10_4,
+        "int4_ivf_q1_ms_no_rerank": dt1_4 * 1e3,
     }
 
 

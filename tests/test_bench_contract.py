@@ -91,3 +91,7 @@ def test_bench_ivf_miniature(rng):
     assert 0.0 <= res["recall_at_10_vs_exact"] <= 1.0
     assert res["n_clusters"] >= 4
     assert res["rows_probed_frac"] <= 1.0
+    # int4 bucket variant: half-ish the bytes, rerank keeps recall.
+    assert res["int4_index_bytes"] < res["index_bytes"]
+    assert 0.0 <= res["int4_recall_at_10_vs_exact_reranked"] <= 1.0
+    assert res["int4_ivf_q1_ms_no_rerank"] > 0
