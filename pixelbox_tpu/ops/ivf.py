@@ -447,9 +447,9 @@ def _ivf_probe_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int,
         # Unpack nibbles and apply the asymmetric affine fix (same exact
         # integer spec as ops.int4._cosine4a_block_dist): centered query
         # 2q−255 against centered rows 34·v4 − 255.
-        codes = jnp.concatenate(
-            [data & jnp.uint8(0xF), data >> 4], axis=-1
-        ).astype(jnp.int8)
+        from pixelbox_tpu.ops.int4 import _unpack_u4
+
+        codes = _unpack_u4(data)
         dot8 = jnp.einsum(
             "qpcd,qd->qpc", codes, q_i8, preferred_element_type=jnp.int32
         )

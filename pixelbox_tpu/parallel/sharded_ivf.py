@@ -41,7 +41,7 @@ from jax.sharding import PartitionSpec as P
 
 from pixelbox_tpu.ops import topk as topk_ops
 from pixelbox_tpu.ops import ivf as ivf_ops
-from pixelbox_tpu.ops.packed import PackedSemanticIndex, semantic_rows_from_u8
+from pixelbox_tpu.ops.packed import PackedSemanticIndex
 from pixelbox_tpu.parallel.sharded_scan import _merge_gathered
 
 

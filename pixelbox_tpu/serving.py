@@ -88,6 +88,7 @@ class BatchingScanService:
         self.max_wait_s = max_wait_ms / 1e3
         self.mode = mode
         self._scan_fns: Dict[str, Callable] = dict(scan_fns or {})
+        self._scan_n_real: Dict[str, bool] = {}
         self._q: "queue.Queue[_Request]" = queue.Queue()
         # Derived scan inputs (θ sample, pallas row meta), cached per
         # index buffer identity — rebuilding them per batch would put a
@@ -137,7 +138,6 @@ class BatchingScanService:
         except (TypeError, ValueError):  # builtins/partials w/o signature
             takes_n_real = False
         self._scan_fns[kind] = fn
-        self._scan_n_real = getattr(self, "_scan_n_real", {})
         self._scan_n_real[kind] = takes_n_real
 
     @property
@@ -227,7 +227,7 @@ class BatchingScanService:
             with timed(f"serving.batched_scan.{kind}"):
                 if kind == "semantic":
                     dist, idx = self._semantic_scan(queries, n_real=m)
-                elif getattr(self, "_scan_n_real", {}).get(kind):
+                elif self._scan_n_real.get(kind):
                     dist, idx = self._scan_fns[kind](
                         queries, self.k, self.max_distance, n_real=m
                     )
