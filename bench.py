@@ -28,8 +28,6 @@ subtracted.
 import json
 import sys
 import time
-from functools import partial
-
 import numpy as np
 
 NORTH_STAR_DOTS_PER_SEC = 1e9

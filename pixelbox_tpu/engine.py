@@ -39,7 +39,6 @@ import threading
 import time
 from typing import List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

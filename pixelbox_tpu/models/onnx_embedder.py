@@ -19,11 +19,8 @@ flatten is applied if the graph leaves [B, latent, 1, 1]).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pixelbox_tpu.models.base import Embedder
 from pixelbox_tpu.models.registry import register_embedder

@@ -12,7 +12,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from pixelbox_tpu.ocr.glyphs import PATCH, glyph_atlas, normalize_patch
+from pixelbox_tpu.ocr.glyphs import glyph_atlas, normalize_patch
 
 #: Minimum normalized cross-correlation for a character to be emitted.
 MIN_CONFIDENCE = 0.42

@@ -23,7 +23,6 @@ from typing import Callable, Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from pixelbox_tpu.ops.packed import PackedSemanticIndex
 from pixelbox_tpu.ops.scan import cosine_scan_topk, cosine_scan_topk_auto
 from pixelbox_tpu.utils.timing import timed
 
