@@ -19,7 +19,8 @@ from pixelbox_tpu.engine import Engine
 from fixtures import face_image, textured_image
 
 
-def test_engine_mutation_fuzz(tmp_path):
+@pytest.mark.parametrize("on_mesh", [False, True], ids=["single", "mesh8"])
+def test_engine_mutation_fuzz(tmp_path, on_mesh):
     d = tmp_path / "photos"
     d.mkdir()
     n_static = 8
@@ -45,6 +46,16 @@ def test_engine_mutation_fuzz(tmp_path):
     for s in range(n_static):
         eng.insert_image_from_path(str(d / f"static{s}.png"))
     eng.insert_image_from_path(str(d / "face_static.png"))
+    if on_mesh:
+        # The same churn, served row-sharded: hammers the sharded-mirror
+        # delta sync, sharded ivf/phash/face caches, and full reshards
+        # on removal/compaction — the reader-writer seams multiplied by
+        # the mesh state.  Single-chip/mesh results must stay identical
+        # (checked by the fresh-engine comparison at the end, which runs
+        # single-chip).
+        from pixelbox_tpu.parallel.mesh import make_mesh
+
+        eng.serve_on_mesh(make_mesh(8))
 
     probe = eng.load_image(str(d / "static3.png"))
     ph_probe = eng.load_image(str(d / "static4.png"))
@@ -57,7 +68,7 @@ def test_engine_mutation_fuzz(tmp_path):
 
     errors = []
     stop = threading.Event()
-    ROUNDS = 40
+    ROUNDS = 16 if on_mesh else 40  # mesh pays more compiles per shape
     # The engine keeps ONE result set (reference semantics: a single
     # cached_search_results the UI pages through) — concurrent CALLERS
     # serialize query→read pairs at the app level, exactly like
