@@ -766,64 +766,69 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
     return Handler
 
 
+def build_scan_service(engine):
+    """Create, register, and warm the batching service for an engine —
+    serve()'s startup path, factored out so tests can drive it."""
+    from pixelbox_tpu.serving import BatchingScanService
+
+    scan_service = BatchingScanService(
+        lambda: engine._sem_store.device_index,
+        k=engine.max_search_results,
+        max_distance=engine.max_distance_from_query,
+        # int4 libraries rescore candidates with the exact u8 metric
+        # from the store's host mirror (engine.int4_rerank).
+        rerank_rows_provider=(
+            (lambda: engine._sem_store._host_rows)
+            if engine.semantic_precision == "int4" and engine.int4_rerank
+            else None
+        ),
+    )
+    # Concurrent phash and unfiltered text: queries coalesce too.
+    engine.attach_scan_service(scan_service)
+    if engine._sem_store is not None and engine._sem_store.size > 0:
+        # Pre-compile the common batch buckets so early traffic never
+        # pays a cold XLA compile mid-request.
+        scan_service.warmup(engine._sem_store.dim)
+    # Registered modality kinds warm with their own query widths
+    # (uniform phash / face stores; each bucket shape is a compile).
+    import numpy as np
+
+    if (
+        "phash" in scan_service.kinds
+        and engine._ph_store is not None
+        and engine._ph_store.size > 0
+        and bool(np.all(np.asarray(engine._ph_widths) == engine._ph_store.dim))
+    ):
+        scan_service.warmup(engine._ph_store.dim, kinds=("phash",))
+    if "face" in scan_service.kinds:
+        scan_service.warmup(engine._face_store.dim, kinds=("face",))
+    if "blip" in scan_service.kinds and (
+        engine._blip_store is not None and engine._blip_store.size > 0
+    ):
+        scan_service.warmup(engine._blip_store.dim, kinds=("blip",))
+    if (
+        engine.scan_mode == "ivf"
+        and engine._sem_store is not None
+        and engine._sem_store.size > 0
+    ):
+        # Serving in ivf mode: train/pack the clustered index (and
+        # compile its probe buckets) before traffic arrives.  The
+        # read lock matches the organic path (requests hold it across
+        # submit→assemble): without it, a watcher append landing
+        # mid-build would stamp a pack that's missing those rows as
+        # current-version.
+        with engine.index_rwlock.read_locked():
+            scan_service.warmup(engine._sem_store.dim, kinds=("ivf",))
+    return scan_service
+
+
 def serve(engine, host: str = "127.0.0.1", port: int = 8333,
           batching: bool = True):
     """Run the web UI / JSON API.  ``batching=True`` (default) coalesces
     concurrent similarity queries into single device scans via
     serving.BatchingScanService."""
     lock = threading.Lock()
-    scan_service = None
-    if batching:
-        from pixelbox_tpu.serving import BatchingScanService
-
-        scan_service = BatchingScanService(
-            lambda: engine._sem_store.device_index,
-            k=engine.max_search_results,
-            max_distance=engine.max_distance_from_query,
-            # int4 libraries rescore candidates with the exact u8 metric
-            # from the store's host mirror (engine.int4_rerank).
-            rerank_rows_provider=(
-                (lambda: engine._sem_store._host_rows)
-                if engine.semantic_precision == "int4" and engine.int4_rerank
-                else None
-            ),
-        )
-        # Concurrent phash and unfiltered text: queries coalesce too.
-        engine.attach_scan_service(scan_service)
-        if engine._sem_store is not None and engine._sem_store.size > 0:
-            # Pre-compile the common batch buckets so early traffic never
-            # pays a cold XLA compile mid-request.
-            scan_service.warmup(engine._sem_store.dim)
-        # Registered modality kinds warm with their own query widths
-        # (uniform phash / face stores; each bucket shape is a compile).
-        import numpy as np
-
-        if (
-            "phash" in scan_service.kinds
-            and engine._ph_store is not None
-            and engine._ph_store.size > 0
-            and bool(np.all(np.asarray(engine._ph_widths) == engine._ph_store.dim))
-        ):
-            scan_service.warmup(engine._ph_store.dim, kinds=("phash",))
-        if "face" in scan_service.kinds:
-            scan_service.warmup(engine._face_store.dim, kinds=("face",))
-        if "blip" in scan_service.kinds and (
-            engine._blip_store is not None and engine._blip_store.size > 0
-        ):
-            scan_service.warmup(engine._blip_store.dim, kinds=("blip",))
-        if (
-            engine.scan_mode == "ivf"
-            and engine._sem_store is not None
-            and engine._sem_store.size > 0
-        ):
-            # Serving in ivf mode: train/pack the clustered index (and
-            # compile its probe buckets) before traffic arrives.  The
-            # read lock matches the organic path (requests hold it across
-            # submit→assemble): without it, a watcher append landing
-            # mid-build would stamp a pack that's missing those rows as
-            # current-version.
-            with engine.index_rwlock.read_locked():
-                scan_service.warmup(engine._sem_store.dim, kinds=("ivf",))
+    scan_service = build_scan_service(engine) if batching else None
     server = ThreadingHTTPServer(
         (host, port), make_handler(engine, lock, scan_service)
     )

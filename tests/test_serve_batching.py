@@ -229,3 +229,40 @@ def test_int4_ivf_batched_rescores_only_real_rows(tmp_path):
         if service is not None:
             service.close()
         eng.close()
+
+
+def test_build_scan_service_warms_ivf_at_startup(tmp_path):
+    """serve()'s startup path (factored as build_scan_service): starting
+    in ivf mode trains/packs the clustered index and pre-compiles probe
+    buckets BEFORE traffic; all registered kinds appear."""
+    from pixelbox_tpu.serve import build_scan_service
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    for s in range(6):
+        Image.fromarray(textured_image(seed=s, size=(64, 64))).save(
+            photos / f"w{s}.png"
+        )
+    eng = Engine.new(str(tmp_path / "warm.db"), embedder="stub",
+                     embedder_kwargs={"dim": 16})
+    eng.max_distance_from_query = 1e7
+    service = None
+    try:
+        for s in range(6):
+            eng.insert_image_from_path(str(photos / f"w{s}.png"))
+        eng.scan_mode = "ivf"
+        eng.ivf_clusters = 2
+        eng.ivf_nprobe = 2
+        service = build_scan_service(eng)
+        assert "ivf" in service.kinds and "phash" in service.kinds
+        # The warmup already trained/packed the clustered index.
+        assert eng._ivf is not None
+        assert eng._ivf_centroids is not None
+        # And organic queries serve correctly through it.
+        rows = eng._sem_store._host_rows
+        dist, idx = service.submit(rows[2].copy(), kind="ivf")
+        assert int(idx[0]) == 2 and float(dist[0]) == 0.0
+    finally:
+        if service is not None:
+            service.close()
+        eng.close()
