@@ -1173,22 +1173,27 @@ def _probe_platform():
         # Explicit CPU pin — nothing to probe, CPU init can't hang.
         return {"platform": "cpu", "pinned": True}
     timeout_s = float(os.environ.get("PIXELBOX_BENCH_PROBE_TIMEOUT_S", "240"))
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        lines = r.stdout.strip().splitlines()
-        if r.returncode == 0 and lines:
-            return {"platform": lines[-1]}
-        if r.returncode == 0:
-            reason = "probe printed nothing to stdout"
-        else:
-            err = (r.stderr or "").strip().splitlines()
-            reason = err[-1] if err else f"rc={r.returncode}"
-    except subprocess.TimeoutExpired:
-        reason = f"device init hung >{timeout_s:.0f}s (tunnel down?)"
+    attempts = int(os.environ.get("PIXELBOX_BENCH_PROBE_ATTEMPTS", "2"))
+    reason = "unprobed"
+    for attempt in range(max(1, attempts)):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            lines = r.stdout.strip().splitlines()
+            if r.returncode == 0 and lines:
+                return {"platform": lines[-1]}
+            if r.returncode == 0:
+                reason = "probe printed nothing to stdout"
+            else:
+                err = (r.stderr or "").strip().splitlines()
+                reason = err[-1] if err else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            # A transient tunnel flap can heal between attempts; retry
+            # once before committing to the CPU fallback.
+            reason = f"device init hung >{timeout_s:.0f}s (tunnel down?)"
     os.environ["JAX_PLATFORMS"] = "cpu"
     return {
         "platform": "cpu",
