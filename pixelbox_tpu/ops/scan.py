@@ -355,10 +355,23 @@ class ScanSample(NamedTuple):
 
 
 def build_scan_sample(
-    index: PackedSemanticIndex, sample_rows: int = 65536
+    index: PackedSemanticIndex, sample_rows: int | None = None
 ) -> ScanSample:
     """Derive the strided sample (cache it alongside the index; engines
-    key it on the store's mutation counter)."""
+    key it on the store's mutation counter).
+
+    ``sample_rows`` defaults to 65536 (PIXELBOX_SCAN_SAMPLE_ROWS
+    overrides — an A/B knob for the θ-estimate stage: a smaller sample
+    cuts the estimate's GEMM+epilogue cost but loosens θ, trading
+    extraction rounds / proof rate; exactness is unaffected either way
+    because θ only gates candidate selection, never the proof).
+    """
+    if sample_rows is None:
+        import os
+
+        sample_rows = int(
+            os.environ.get("PIXELBOX_SCAN_SAMPLE_ROWS", "65536")
+        )
     cap = index.capacity
     stride = 1
     while stride * 2 <= max(1, cap // sample_rows) and cap % (stride * 2) == 0:
