@@ -59,3 +59,29 @@ def test_sharded_train_step_runs_and_descends():
         state, loss = step(state, left, right, labels)
     assert float(loss) <= float(loss0) + 1e-3
     assert int(state.step) == 4
+
+
+def test_bf16_backbone_train_step():
+    """bfloat16 backbone compute (CLI --bf16): the step runs, the loss
+    stays finite and descends, and PARAMS remain f32 (Flax param_dtype
+    is independent of compute dtype), so checkpoints and the deployable
+    export are f32 either way."""
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    cfg = TrainConfig(latent_dim=16, input_size=32, batch_size=8,
+                      dtype=jnp.bfloat16)
+    state = init_train_state(cfg, mesh, seed=0)
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(state.variables)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+
+    step = make_sharded_train_step(cfg, mesh)
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)), jnp.float32)
+    right = left + 0.01
+    labels = jnp.ones(8, jnp.float32)
+    state, loss0 = step(state, left, right, labels)
+    for _ in range(3):
+        state, loss = step(state, left, right, labels)
+    assert np.isfinite(float(loss))
+    assert float(loss) <= float(loss0) + 1e-3
