@@ -595,6 +595,7 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "max_distance": engine.max_distance_from_query,
                         "scan_mode": engine.scan_mode,
                         "ivf_nprobe": engine.ivf_nprobe,
+                        "ivf_clusters": engine.ivf_clusters,  # null = auto
                         "semantic_precision": engine.semantic_precision,
                         "embedder": engine._embedder_name,
                         "blip_enabled": engine._blip_enabled,
@@ -734,6 +735,14 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         if "ivf_nprobe" in data:
                             staged["ivf_nprobe"] = max(
                                 1, int(data["ivf_nprobe"]))
+                        if "ivf_clusters" in data:
+                            # null/0 = back to auto (~4·sqrt(N)); changing
+                            # the count retrains on the next ivf query.
+                            v = data["ivf_clusters"]
+                            staged["ivf_clusters"] = (
+                                None if v in (None, 0, "0", "") else
+                                max(1, int(v))
+                            )
                     except (TypeError, ValueError) as e:
                         return self._send(400, {"error": f"bad value: {e}"})
                     if "scan_mode" in data:
@@ -758,6 +767,8 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         engine.scan_mode = staged["scan_mode"]
                     if "ivf_nprobe" in staged:
                         engine.ivf_nprobe = staged["ivf_nprobe"]
+                    if "ivf_clusters" in staged:
+                        engine.ivf_clusters = staged["ivf_clusters"]
                     return self._send(200, {"ok": True})
                 return self._send(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001

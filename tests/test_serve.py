@@ -236,3 +236,27 @@ def test_settings_bad_values_are_400_and_atomic(server):
     )
     assert code == 400
     assert eng.max_search_results == before_k  # validate-then-apply
+
+
+def test_settings_ivf_clusters(server):
+    """ivf_clusters round-trips through /api/settings like the CLI flag:
+    explicit count, 0/null = back to auto, bad value = 400."""
+    base, eng, _ = server
+    code, _ = post(
+        base, "/api/settings", json.dumps({"ivf_clusters": 2}).encode()
+    )
+    assert code == 200
+    assert eng.ivf_clusters == 2
+    s = get_json(base, "/api/status")
+    assert s["ivf_clusters"] == 2
+
+    post(base, "/api/settings", json.dumps({"ivf_clusters": 0}).encode())
+    assert eng.ivf_clusters is None
+    s = get_json(base, "/api/status")
+    assert s["ivf_clusters"] is None
+
+    code, _ = post(
+        base, "/api/settings",
+        json.dumps({"ivf_clusters": "many"}).encode(), expect_error=True,
+    )
+    assert code == 400
