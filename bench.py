@@ -265,7 +265,7 @@ def bench_fast_scan(n=1_000_000, d=128, q=256, k=100, iters=50,
 
     lib = load_native()
     if lib is not None:
-        nq = 16
+        nq = min(16, q)  # the batch only holds q queries
         queries = np.asarray(qs[0][:nq])
         _, got_i = cosine_scan_topk(
             jnp.asarray(queries), index, k=k, block_rows=block_rows, mode="fast"

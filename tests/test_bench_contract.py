@@ -95,3 +95,50 @@ def test_bench_ivf_miniature(rng):
     assert res["int4_index_bytes"] < res["index_bytes"]
     assert 0.0 <= res["int4_recall_at_10_vs_exact_reranked"] <= 1.0
     assert res["int4_ivf_q1_ms_no_rerank"] > 0
+
+
+def test_bench_fast_scan_miniature(rng):
+    import bench
+
+    res = bench.bench_fast_scan(n=2048, d=32, q=8, k=10, iters=2,
+                                block_rows=1024, rng=rng)
+    assert res["dots_per_sec"] > 0
+
+
+def test_bench_int4_recall_miniature(rng):
+    import bench
+
+    res = bench.bench_int4_recall_vs_u8(n=2000, d=32, q=8, rng=rng)
+    vals = [v for k, v in res.items() if k.startswith("recall_at")]
+    assert vals and all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_bench_embedding_miniature(rng):
+    import bench
+
+    res = bench.bench_embedding(batch=2, iters=2, size=32, dim=8, rng=rng)
+    assert res["images_per_sec"] > 0
+
+
+def test_bench_e2e_dragdrop_miniature(rng):
+    import bench
+
+    res = bench.bench_e2e_dragdrop(n=2048, d=8, iters=2, rng=rng)
+    vals = [v for v in res.values() if isinstance(v, (int, float))]
+    assert any(v > 0 for v in vals)
+
+
+def test_bench_ingest_miniature(rng):
+    import bench
+
+    res = bench.bench_ingest(n_images=6, workers=2, rng=rng)
+    assert res["images_per_sec"] > 0
+
+
+def test_bench_serve_e2e_miniature(rng):
+    import bench
+
+    res = bench.bench_serve_e2e(n_images=6, clients=2, reqs_per_client=2,
+                                rng=rng)
+    vals = [v for v in res.values() if isinstance(v, (int, float))]
+    assert any(v > 0 for v in vals)
