@@ -1273,9 +1273,24 @@ def main():
                                        block_rows=2**15),
             "int4_scan_1Mx128": dict(n=100_000, q=32, iters=5),
             "ivf_scan_1Mx128": dict(n=50_000, q=16, iters=5),
+            # --full rows shrink too: each would otherwise stall the
+            # whole run for many minutes on one CPU core (the deadline
+            # is only checked BETWEEN rows).
+            "efficientnet_embedding": dict(batch=8, iters=2, size=96,
+                                           dim=32),
+            "ingest_pipeline": dict(n_images=40, workers=2),
+            "ingest_scaling": dict(n_images=24, workers=(1, 2)),
+            "serve_e2e": dict(n_images=40, clients=4, reqs_per_client=3),
+            "e2e_dragdrop_1M": dict(n=100_000, iters=2),
         }
         if emergency_cpu
         else {}
+    )
+    # Rows that are NOT meaningful on an emergency-CPU fallback at any
+    # size: a ViT-L text tower and B0 train steps on one core are stalls,
+    # not measurements.
+    cpu_skip = (
+        {"blip_text_search", "train_step"} if emergency_cpu else set()
     )
     for name, fn in [
         ("cosine_scan_direct_exact_1Mx128", bench_cosine_scan),
@@ -1297,6 +1312,12 @@ def main():
         if full
         else []
     ):
+        if name in cpu_skip:
+            detail[name] = {
+                "skipped": "emergency CPU fallback — not measurable on "
+                "one core (see last_tpu_full_bench / PERF.md)"
+            }
+            continue
         if time.monotonic() > deadline:
             detail[name] = {"skipped": "bench deadline reached (compile cache cold)"}
             continue

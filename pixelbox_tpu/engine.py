@@ -287,9 +287,12 @@ class Engine:
         self.scan_mode: str = "auto"
         #: IVF (clustered ANN) knobs — active when scan_mode == "ivf".
         #: Approximate candidate selection over the nprobe nearest
-        #: clusters; returned distances stay exact u8 reciprocal-cosine
-        #: (ops/ivf.py).  Built lazily from the u8 host mirror; k-means
-        #: retrains only when the library doubles since training.
+        #: clusters; returned distances stay exact (u8 reciprocal-cosine,
+        #: or asymmetric cosine4a + exact-u8 rerank on int4 libraries —
+        #: ops/ivf.py).  Built lazily from the u8 host mirror; k-means
+        #: retrains when the library doubles since training or
+        #: ivf_clusters changes.  Row-sharded over the mesh under
+        #: serve_on_mesh (parallel/sharded_ivf).
         self.ivf_nprobe: int = 8
         self.ivf_clusters: Optional[int] = None  # default ~4*sqrt(N)
         self._ivf = None
