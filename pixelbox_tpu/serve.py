@@ -65,6 +65,11 @@ max results <input id="maxres" type="number" min="1" max="10000">
 max distance <input id="maxdist" type="number" step="0.05" min="0">
 min search len <input id="minlen" type="number" min="0" max="255" title="auto-search after this many characters; 0 disables">
 thumb px <input id="thumbsz" type="number" min="60" max="512">
+scan <select id="scanmode" title="auto = guaranteed-exact; ivf = clustered ANN (approximate selection, exact distances)">
+<option>auto</option><option>exact</option><option>fast</option>
+<option>pallas</option><option>ivf</option></select>
+nprobe <input id="nprobe" type="number" min="1" style="width:3.5em"
+ title="ivf mode: clusters probed per query (higher = better recall)">
 <button onclick="saveSettings()">apply</button>
 </div>
 <div id="pager">
@@ -114,6 +119,9 @@ async function saveSettings(){
   if (ml !== '') { minSearchLen = +ml; body.search_min_length = minSearchLen; }
   const ts = +document.getElementById('thumbsz').value;
   if (ts >= 60) { applyThumbSize(ts); body.thumbnail_size = ts; }
+  body.scan_mode = document.getElementById('scanmode').value;
+  const np = +document.getElementById('nprobe').value;
+  if (np >= 1) body.ivf_nprobe = np;
   await fetch('/api/settings', {method:'POST', body:JSON.stringify(body)});
 }
 function applyThumbSize(px){
@@ -131,6 +139,11 @@ async function poll(){
   if (ml.value === '') { ml.value = r.search_min_length; minSearchLen = r.search_min_length; }
   const ts = document.getElementById('thumbsz');
   if (ts.value === '') ts.value = r.thumbnail_size;
+  const sm = document.getElementById('scanmode');
+  if (!sm.dataset.touched) sm.value = r.scan_mode;
+  sm.onchange = () => { sm.dataset.touched = 1; };
+  const np = document.getElementById('nprobe');
+  if (np.value === '') np.value = r.ivf_nprobe;
   if (r.indexing) setTimeout(poll, 1000);
 }
 function render(items){

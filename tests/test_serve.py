@@ -260,3 +260,15 @@ def test_settings_ivf_clusters(server):
         json.dumps({"ivf_clusters": "many"}).encode(), expect_error=True,
     )
     assert code == 400
+
+
+def test_index_page_has_scan_controls(server):
+    """The settings panel renders scan-mode + nprobe controls wired to
+    /api/settings (previously API-only)."""
+    base, _, _ = server
+    _, body = get(base, "/")
+    html = body.decode()
+    assert 'id="scanmode"' in html and 'id="nprobe"' in html
+    for mode in ("auto", "exact", "fast", "pallas", "ivf"):
+        assert f"<option>{mode}</option>" in html
+    assert "body.scan_mode" in html and "body.ivf_nprobe" in html
