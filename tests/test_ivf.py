@@ -290,3 +290,59 @@ def test_fewer_rows_than_clusters(rng):
                                   block_rows=flat.capacity)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ex))
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ex))
+
+
+def _dup_db(r, n, d):
+    """Random rows with a controlled duplicate rate (tie pressure)."""
+    base = r.integers(0, 256, size=(max(8, n // 8), d), dtype=np.uint8)
+    picks = r.integers(0, len(base), size=n)
+    noise = r.integers(0, 256, size=(n, d), dtype=np.uint8)
+    mask = r.uniform(size=(n, 1)) < r.uniform(0.2, 0.9)
+    return np.where(mask, base[picks], noise).astype(np.uint8)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_ivf_full_probe_randomized(trial):
+    """Property: full-probe IVF equals the flat exact scan for RANDOM
+    configurations — cluster counts, bucket caps (spill pressure),
+    duplicate rates (tie pressure), tombstones, u8 and int4 packings."""
+    r = np.random.default_rng(300 + trial)
+    n = int(r.integers(500, 3000))
+    d = int(r.choice([16, 32]))
+    c = int(r.integers(2, 12))
+    cap = int(r.choice([8, 16, 64]))
+    k = int(r.integers(3, 40))
+    md = float(r.choice([0.5, 1e3, 1e7]))
+    precision = str(r.choice(["u8", "int4"]))
+    db = _dup_db(r, n, d)
+    valid = r.uniform(size=n) > 0.1
+    if not valid.any():
+        valid[0] = True
+    q = np.concatenate([
+        db[r.integers(0, n, size=3)],
+        r.integers(0, 256, size=(2, d), dtype=np.uint8),
+    ])
+
+    cents = ivf_ops.spherical_kmeans(db, valid, c, iters=4, seed=trial)
+    index = ivf_ops.build_ivf(db, valid, cents, bucket_cap=cap,
+                              precision=precision)
+    got_d, got_i = ivf_ops.ivf_scan_topk(q, index, k=k,
+                                         nprobe=index.n_clusters,
+                                         max_distance=md)
+    got_d, got_i = np.asarray(got_d), np.asarray(got_i)
+
+    if precision == "int4":
+        from pixelbox_tpu.ops.int4 import cosine4a_scan_topk_np
+
+        exp_d, exp_i = cosine4a_scan_topk_np(q, db[valid], k=k,
+                                             max_distance=md)
+    else:
+        from pixelbox_tpu.ops import oracle
+
+        exp_d, exp_i = oracle.cosine_scan_topk_np(q, db[valid], k=k,
+                                                  max_distance=md)
+    live_map = np.flatnonzero(valid)
+    exp_i = np.where(np.asarray(exp_i) >= 0,
+                     live_map[np.maximum(np.asarray(exp_i), 0)], -1)
+    np.testing.assert_array_equal(got_i, exp_i)
+    np.testing.assert_array_equal(got_d, np.asarray(exp_d))
