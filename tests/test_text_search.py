@@ -96,5 +96,5 @@ def test_image_to_image_consistency(blip_engine, tmp_path):
         jnp.asarray(target), blip_engine._blip_store.device_index, k=1,
         block_rows=1024,
     )
-    assert int(np.asarray(i)) == 0
-    assert float(np.asarray(d)) < 1e-5
+    assert int(np.asarray(i)[0]) == 0
+    assert float(np.asarray(d)[0]) < 1e-5
