@@ -302,3 +302,54 @@ def test_engine_mesh_ivf_matches_single_chip_full_probe(mesh_ivf_engine):
         assert _results(eng) == single
     finally:
         eng.scan_mesh = None
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_sharded_full_probe_randomized(mesh, trial):
+    """Property: full-probe SHARDED ivf equals the flat exact scan for
+    random configs (caps/ties/tombstones, u8 + int4 packings), mirroring
+    the single-chip randomized trials in test_ivf.py."""
+    r = np.random.default_rng(400 + trial)
+    n = int(r.choice([1024, 2048]))  # divisible by the 8-shard mesh
+    d = int(r.choice([16, 32]))
+    c = int(r.integers(2, 10))
+    cap = int(r.choice([8, 16]))
+    k = int(r.integers(3, 30))
+    md = float(r.choice([0.5, 1e3, 1e7]))
+    precision = str(r.choice(["u8", "int4"]))
+    base = r.integers(0, 256, size=(max(8, n // 8), d), dtype=np.uint8)
+    picks = r.integers(0, len(base), size=n)
+    noise = r.integers(0, 256, size=(n, d), dtype=np.uint8)
+    dup = r.uniform(size=(n, 1)) < 0.5
+    rows = np.where(dup, base[picks], noise).astype(np.uint8)
+    valid = r.uniform(size=n) > 0.1
+    if not valid.any():
+        valid[0] = True
+    q = np.concatenate([
+        rows[r.integers(0, n, size=3)],
+        r.integers(0, 256, size=(2, d), dtype=np.uint8),
+    ])
+
+    cents = ivf_ops.spherical_kmeans(rows, valid, c, iters=4, seed=trial)
+    sivf, _ = build_sharded_ivf(rows, valid, cents, mesh, bucket_cap=cap,
+                                precision=precision)
+    got_d, got_i = sharded_ivf_scan_topk(q, sivf, mesh, k=k,
+                                         nprobe=sivf.n_clusters,
+                                         max_distance=md)
+    got_d, got_i = np.asarray(got_d), np.asarray(got_i)
+
+    if precision == "int4":
+        from pixelbox_tpu.ops.int4 import cosine4a_scan_topk_np
+
+        exp_d, exp_i = cosine4a_scan_topk_np(q, rows[valid], k=k,
+                                             max_distance=md)
+    else:
+        from pixelbox_tpu.ops import oracle
+
+        exp_d, exp_i = oracle.cosine_scan_topk_np(q, rows[valid], k=k,
+                                                  max_distance=md)
+    live_map = np.flatnonzero(valid)
+    exp_i = np.where(np.asarray(exp_i) >= 0,
+                     live_map[np.maximum(np.asarray(exp_i), 0)], -1)
+    np.testing.assert_array_equal(got_i, exp_i)
+    np.testing.assert_array_equal(got_d, np.asarray(exp_d))
