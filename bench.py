@@ -545,7 +545,7 @@ def bench_ivf_scan(n=1_000_000, d=128, q=64, k=100, nprobe=8, iters=50,
         "n": n, "d": d, "n_clusters": int(n_clusters), "nprobe": nprobe,
         "bucket_cap": int(cap),
         "rows_probed_frac": nprobe * cap / float(n),
-        "spill_rows": int(index.spill_count),
+        "spill_rows": int(len(ivf_ops.live_spill_ids(index))),
         "train_s": train_s, "pack_s": build_s,
         "index_bytes": int(index.bucket_data.size
                            + index.spill.data.size),

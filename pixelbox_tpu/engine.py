@@ -299,6 +299,7 @@ class Engine:
         self._ivf_version = -1
         self._ivf_centroids = None
         self._ivf_trained_n = 0
+        self._ivf_trained_want = 0  # requested knob at train (0 = auto)
         # Incremental-append bookkeeping: store state at the last full
         # bucket pack, and the knob values the cached index was built
         # with (changing ivf_clusters invalidates the cache).
@@ -1808,26 +1809,41 @@ class Engine:
     def _ensure_ivf_centroids(self, ivf_ops, rows, valid, n_live) -> bool:
         """Train or restore the shared k-means centroids (call under the
         build lock).  Returns True when a retrain happened — the
-        centroid generation bump invalidates BOTH packed caches."""
+        centroid generation bump invalidates BOTH packed caches.
+
+        Retrain keys on the REQUESTED ``ivf_clusters`` knob (0 = auto),
+        not on its n_live-clamped value: a knob larger than the current
+        live count would otherwise change its clamp on every append and
+        force a full k-means + repack per query during interleaved
+        indexing.  Growth toward a large knob is handled by the doubling
+        rule (each doubling retrain uses the current clamp).
+        """
         dim = rows.shape[1]
         if self._ivf_centroids is None:
             self._load_ivf_sidecar(dim)
-        want = (
-            min(int(self.ivf_clusters), n_live) if self.ivf_clusters else None
+        want_knob = int(self.ivf_clusters or 0)
+        # Auto (knob 0) accepts whatever was trained — a flag-less
+        # reopen of an explicitly-clustered library must not retrain.
+        knob_mismatch = (
+            want_knob != 0 and want_knob != self._ivf_trained_want
         )
         retrain = (
             self._ivf_centroids is None
             or self._ivf_centroids.shape[1] != dim
-            or (want is not None and self._ivf_centroids.shape[0] != want)
+            or knob_mismatch
             or n_live > 2 * max(1, self._ivf_trained_n)
         )
         if retrain:
-            c = want or ivf_ops.default_n_clusters(n_live)
+            c = (
+                min(want_knob, n_live) if want_knob
+                else ivf_ops.default_n_clusters(n_live)
+            )
             with timed("engine.ivf_train"):
                 self._ivf_centroids = ivf_ops.spherical_kmeans(
                     rows, valid, c, iters=10, seed=0
                 )
             self._ivf_trained_n = n_live
+            self._ivf_trained_want = want_knob
             self._ivf_centroid_gen += 1
             self._save_ivf_sidecar()
         return retrain
@@ -1843,8 +1859,16 @@ class Engine:
             and self._ivf_gen == self._ivf_centroid_gen
         ):
             return self._ivf
-        rows = store._host_rows[: store.n]
-        valid = store._host_valid[: store.n]
+        # Capture the store state BEFORE reading rows: stamping
+        # store.version after a long build would mark a pack that missed
+        # a mid-build append as current (the read lock normally prevents
+        # concurrent mutation, but a submitter timing out of the batching
+        # service can drop the lock while the collector still builds).
+        ver = store.version
+        struct = store.structural_version
+        n_now = store.n
+        rows = store._host_rows[:n_now]
+        valid = store._host_valid[:n_now]
         n_live = int(valid.sum())
         if n_live == 0:
             return None
@@ -1854,8 +1878,8 @@ class Engine:
             and self._ivf is not None
             and self._ivf_cfg == cfg
             and self._ivf_gen == self._ivf_centroid_gen
-            and self._ivf_structural == store.structural_version
-            and store.n >= self._ivf_packed_n
+            and self._ivf_structural == struct
+            and n_now >= self._ivf_packed_n
         ):
             # Pure appends since the last pack: extend the spill only.
             # The current spill may already hold earlier deltas, so the
@@ -1875,16 +1899,16 @@ class Engine:
                         self._ivf, rows,
                         np.concatenate([base_spill, delta]),
                     )
-                self._ivf_version = store.version
+                self._ivf_version = ver
                 return self._ivf
         with timed("engine.ivf_build"):
             self._ivf = ivf_ops.build_ivf(
                 rows, valid, self._ivf_centroids,
                 precision=self.semantic_precision,
             )
-        self._ivf_version = store.version
-        self._ivf_structural = store.structural_version
-        self._ivf_packed_n = store.n
+        self._ivf_version = ver
+        self._ivf_structural = struct
+        self._ivf_packed_n = n_now
         self._ivf_cfg = cfg
         self._ivf_gen = self._ivf_centroid_gen
         return self._ivf
@@ -1943,25 +1967,29 @@ class Engine:
             and self._ivf_sharded_gen == self._ivf_centroid_gen
         ):
             return self._ivf_sharded
+        # Capture BEFORE reading the mirror (see _build_ivf_locked).
+        ver = store.version
+        struct = store.structural_version
+        n_now = store.n
         rows, valid = self._mesh_padded_mirror(store)
-        n_live = int(valid[: store.n].sum())
+        n_live = int(valid[:n_now].sum())
         if n_live == 0:
             return None
         retrained = self._ensure_ivf_centroids(
-            ivf_ops, rows[: store.n], valid[: store.n], n_live
+            ivf_ops, rows[:n_now], valid[:n_now], n_live
         )
         if (
             not retrained
             and self._ivf_sharded is not None
             and self._ivf_sharded_cfg == cfg
             and self._ivf_sharded_gen == self._ivf_centroid_gen
-            and self._ivf_sharded_struct == store.structural_version
-            and store.n >= self._ivf_sharded_packed_n
+            and self._ivf_sharded_struct == struct
+            and n_now >= self._ivf_sharded_packed_n
         ):
             packed_n = self._ivf_sharded_packed_n
             local_rows = rows.shape[0] // self.scan_mesh.shape["data"]
             delta = np.flatnonzero(
-                valid[packed_n : store.n]
+                valid[packed_n:n_now]
             ).astype(np.int64) + packed_n
             bases = [
                 b[b < packed_n] for b in self._ivf_sharded_spill_ids
@@ -1977,7 +2005,7 @@ class Engine:
                         self._ivf_sharded, rows, per_shard, self.scan_mesh
                     )
                 self._ivf_sharded_spill_ids = per_shard
-                self._ivf_sharded_at_ver = store.version
+                self._ivf_sharded_at_ver = ver
                 return self._ivf_sharded
         with timed("engine.ivf_build"):
             self._ivf_sharded, spill_ids = sivf_mod.build_sharded_ivf(
@@ -1985,9 +2013,9 @@ class Engine:
                 precision=self.semantic_precision,
             )
         self._ivf_sharded_spill_ids = spill_ids
-        self._ivf_sharded_at_ver = store.version
-        self._ivf_sharded_struct = store.structural_version
-        self._ivf_sharded_packed_n = store.n
+        self._ivf_sharded_at_ver = ver
+        self._ivf_sharded_struct = struct
+        self._ivf_sharded_packed_n = n_now
         self._ivf_sharded_cfg = cfg
         self._ivf_sharded_gen = self._ivf_centroid_gen
         return self._ivf_sharded
@@ -2022,6 +2050,9 @@ class Engine:
             with np.load(path) as z:
                 cents = np.asarray(z["centroids"], dtype=np.float32)
                 trained_n = int(z["trained_n"])
+                trained_want = (
+                    int(z["trained_want"]) if "trained_want" in z else 0
+                )
                 lib_uuid = str(z["library_uuid"]) if "library_uuid" in z \
                     else ""
         except Exception as e:  # noqa: BLE001 — stale/corrupt: retrain
@@ -2034,6 +2065,7 @@ class Engine:
         if cents.ndim == 2 and cents.shape[1] == dim:
             self._ivf_centroids = cents
             self._ivf_trained_n = trained_n
+            self._ivf_trained_want = trained_want
 
     def _save_ivf_sidecar(self) -> None:
         path = self._ivf_sidecar_path()
@@ -2042,6 +2074,7 @@ class Engine:
         try:
             np.savez(path, centroids=self._ivf_centroids,
                      trained_n=np.int64(self._ivf_trained_n),
+                     trained_want=np.int64(self._ivf_trained_want),
                      library_uuid=self._library_uuid())
         except Exception as e:  # noqa: BLE001 — non-fatal cache
             print(f"ivf sidecar not saved: {e}", file=sys.stderr)

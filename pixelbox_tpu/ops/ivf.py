@@ -257,15 +257,31 @@ def _spill_rows_fn(precision: str):
     return semantic_rows_from_u8, PackedSemanticIndex
 
 
+def spill_pad(n: int) -> int:
+    """Spill capacity for ``n`` live rows: 8·next_pow2(ceil(n/8)).
+
+    Power-of-two capacities bound the spill scan's compile count to
+    O(log n) across incremental appends (a multiple-of-8 pad would
+    re-compile every ~8 appended rows, putting cold XLA compiles on the
+    query hot path the incremental extend exists to protect)."""
+    if n == 0:
+        return 0
+    units = -(-n // 8)
+    p = 1
+    while p < units:
+        p *= 2
+    return 8 * p
+
+
 def _pack_spill(rows_u8: np.ndarray, row_ids: np.ndarray, d: int,
                 precision: str = "u8"):
     """Pack spill rows (host, already in ascending-row-id order) into a
-    lane-padded packed index (u8 or int4 layout) + its row-id map."""
+    pow2-padded packed index (u8 or int4 layout) + its row-id map."""
     rows_fn, index_cls = _spill_rows_fn(precision)
     n = len(rows_u8)
     if n == 0:
         return _empty_spill(d, precision), jnp.zeros((0,), dtype=jnp.int32)
-    s_pad = -(-n // 8) * 8
+    s_pad = spill_pad(n)
     s_mat = np.zeros((s_pad, d), dtype=np.uint8)
     s_mat[:n] = rows_u8
     s_valid = np.zeros(s_pad, dtype=bool)
@@ -486,19 +502,24 @@ def ivf_local_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int, md):
     best_d, best_i = _ivf_probe_topk(query_u8, ivf, k, nprobe, md)
 
     if ivf.spill_count:
+        # Block the spill scan like every other scan: one monolithic
+        # block at the engine's spill-growth threshold (up to N/16 rows)
+        # would materialize a [Q, spill] distance tensor in one piece.
+        # Pow2 spill capacities (spill_pad) make 32768 always divide.
+        spill_block = min(ivf.spill.capacity, 32768)
         if ivf.kind == "cosine4a":
             from pixelbox_tpu.ops.int4 import cosine4a_scan_topk
 
             sd, si = cosine4a_scan_topk(
                 query_u8, ivf.spill, k=k, max_distance=md,
-                block_rows=ivf.spill.capacity,
+                block_rows=spill_block,
             )
         else:
             from pixelbox_tpu.ops.scan import cosine_scan_topk
 
             sd, si = cosine_scan_topk(
                 query_u8, ivf.spill, k=k, max_distance=md,
-                block_rows=ivf.spill.capacity, mode="exact", gate=False,
+                block_rows=spill_block, mode="exact", gate=False,
             )
         si = jnp.where(si >= 0, ivf.spill_rows[jnp.maximum(si, 0)], -1)
         sd = jnp.where(si >= 0, sd, jnp.inf)

@@ -85,19 +85,6 @@ class ShardedIVFIndex(NamedTuple):
         return self.spill_data.shape[0] // self.n_shards
 
 
-def _spill_pad(maxlen: int) -> int:
-    """Per-shard spill capacity: multiple of 8, rounded to a power-of-2
-    lane count so incremental spill growth re-compiles O(log n) times,
-    not per append."""
-    if maxlen == 0:
-        return 0
-    units = -(-maxlen // 8)
-    p = 1
-    while p < units:
-        p *= 2
-    return 8 * p
-
-
 def _stack_spills(
     rows_u8: np.ndarray, ids_per_shard: List[np.ndarray], d: int,
     precision: str = "u8",
@@ -106,7 +93,9 @@ def _stack_spills(
     equal-capacity stacked arrays (numpy; u8 or int4 row layout)."""
     rows_fn, _ = ivf_ops._spill_rows_fn(precision)
     n_shards = len(ids_per_shard)
-    s_cap = _spill_pad(max((len(i) for i in ids_per_shard), default=0))
+    s_cap = ivf_ops.spill_pad(
+        max((len(i) for i in ids_per_shard), default=0)
+    )
     data = np.zeros((n_shards * s_cap, d), dtype=np.uint8)
     valid = np.zeros(n_shards * s_cap, dtype=bool)
     rid = np.full(n_shards * s_cap, -1, dtype=np.int32)

@@ -340,3 +340,41 @@ def test_ivf_concurrent_queries_single_train(ivf_engine):
     # Every thread raced the same stale cache, but the double-check under
     # the lock means only the winner actually rebuilt.
     assert eng._ivf is not None
+
+
+def test_large_clusters_knob_does_not_retrain_per_append(tmp_path):
+    """ivf_clusters LARGER than the live count: the n_live clamp changes
+    on every append, but retrain keys on the requested knob, so appends
+    ride the incremental spill path instead of paying k-means + full
+    repack per query (growth toward the knob is the doubling rule's
+    job)."""
+    d = tmp_path / "photos"
+    d.mkdir()
+    for s in range(8):
+        Image.fromarray(textured_image(seed=s, size=(48, 48))).save(
+            d / f"s{s}.png"
+        )
+    eng = Engine.new(str(tmp_path / "big.db"), embedder="stub",
+                     embedder_kwargs={"dim": 32})
+    eng.max_distance_from_query = 1e7
+    try:
+        for s in range(8):
+            eng.insert_image_from_path(str(d / f"s{s}.png"))
+        eng.scan_mode = "ivf"
+        eng.ivf_clusters = 50  # far beyond the 8 live rows
+        rec = eng.load_image(str(d / "s1.png"))
+        eng.query_by_image_hash_from_image(rec)
+        gen0 = eng._ivf_centroid_gen
+        bd0 = eng._ivf.bucket_data
+        assert eng._ivf_centroids.shape[0] == 8  # clamped at train time
+
+        Image.fromarray(textured_image(seed=90, size=(48, 48))).save(
+            d / "more.png"
+        )
+        eng.insert_image_from_path(str(d / "more.png"))
+        eng.query_by_image_hash_from_file(str(d / "more.png"))
+        assert eng.get_query_results()[0].filename == "more.png"
+        assert eng._ivf_centroid_gen == gen0  # NO retrain
+        assert eng._ivf.bucket_data is bd0    # spill-extend, no repack
+    finally:
+        eng.close()

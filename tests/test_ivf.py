@@ -134,7 +134,11 @@ def test_rebuild_spill_incremental_matches_exact(rng):
         np.concatenate([spill_base, np.arange(200, 240, dtype=np.int64)]),
     )
     assert ext.bucket_data is base.bucket_data  # buckets shared, no repack
-    assert ext.spill_count >= base.spill_count + 40
+    assert (len(ivf_ops.live_spill_ids(ext))
+            == len(ivf_ops.live_spill_ids(base)) + 40)
+    # Pow2-padded spill capacity: repeated extends reuse compile shapes.
+    assert ext.spill_count == ivf_ops.spill_pad(
+        len(ivf_ops.live_spill_ids(ext)))
 
     flat, _ = _flat_index(rows)
     q = rows[rng.integers(0, 240, size=4)]
