@@ -7,15 +7,43 @@ the embedder over a TPU tunnel).  Cache dir: $PIXELBOX_TPU_CACHE_DIR or
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def machine_fingerprint() -> str:
+    """Short stable hash of this host's CPU identity.
+
+    XLA:CPU AOT cache entries are microarch-specific; loading entries
+    compiled on a different machine logs `cpu_aot_loader` errors and can
+    SIGILL.  Keying the cache directory on (arch, model name, flags)
+    makes a copied/shared cache dir self-invalidate across machines.
+    """
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    parts.append(line.strip())
+                    if len(parts) >= 3:
+                        break
+    except OSError:
+        parts.append(platform.processor() or "unknown")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache() -> None:
     import jax
 
-    cache_dir = os.environ.get(
-        "PIXELBOX_TPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "pixelbox_tpu", "jax_cache"),
+    cache_dir = os.path.join(
+        os.environ.get(
+            "PIXELBOX_TPU_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "pixelbox_tpu", "jax_cache"
+            ),
+        ),
+        machine_fingerprint(),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)

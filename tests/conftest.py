@@ -37,15 +37,38 @@ import jax
 # the virtual 8-device CPU mesh (and bit-exact f32 division).
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: the scan tests trigger many distinct XLA
-# compiles; caching makes reruns fast.
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+# Persistent compile cache, keyed by a machine fingerprint: XLA:CPU AOT
+# results compiled on a different microarch must never load here (a stale
+# shared cache produced `cpu_aot_loader` machine-mismatch errors and risks
+# SIGILL mid-suite).  NOTE: XLA still logs cpu_aot_loader lines citing
+# ONLY `+prefer-no-scatter`/`+prefer-no-gather` — those are XLA tuning
+# pseudo-features that never appear in the host feature list, i.e. a
+# same-machine false positive, not a microarch mismatch (every real ISA
+# feature in those lines matches).
+from pixelbox_tpu.utils.jaxcache import machine_fingerprint
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(_REPO, ".jax_cache", machine_fingerprint()),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import hashlib
 
 import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture
+def rng(request):
+    """Per-test deterministic RNG, seeded from the test's node id.
+
+    Session-scoped streams made every test's data depend on which tests
+    ran before it (a k-means purity assert flaked order-dependently);
+    per-node seeding makes any subset of files reproduce the full-suite
+    inputs exactly.
+    """
+    seed = int.from_bytes(
+        hashlib.sha256(request.node.nodeid.encode()).digest()[:4], "little"
+    )
+    return np.random.default_rng(seed)
