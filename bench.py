@@ -557,6 +557,170 @@ def bench_ivf_scan(n=1_000_000, d=128, q=64, k=100, nprobe=8, iters=50,
     }
 
 
+def structured_embeddings_chunked(rng, n, d, q, n_clusters=256,
+                                  chunk=1_000_000):
+    """structured_embeddings at capacity scale: chunked host generation
+    (no [n, d] f32 intermediates >1 chunk) + numpy quantization."""
+    from pixelbox_tpu.ops.oracle import quantize_embedding_np
+
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    spectrum = (1.0 / np.sqrt(1.0 + np.arange(d))).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    db_u8 = np.empty((n, d), dtype=np.uint8)
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        z = centers[assign[lo:hi]] + 0.35 * rng.standard_normal(
+            (hi - lo, d)
+        ).astype(np.float32)
+        np.tanh(z * spectrum[None, :], out=z)
+        db_u8[lo:hi] = quantize_embedding_np(z)
+    pick = rng.integers(0, n, size=q)
+    zq = np.tanh(
+        (centers[assign[pick]]
+         + 0.35 * rng.standard_normal((q, d)).astype(np.float32)
+         + 0.15 * rng.standard_normal((q, d)).astype(np.float32))
+        * spectrum[None, :]
+    )
+    return db_u8, quantize_embedding_np(zq)
+
+
+def bench_ivf_capacity(n=10_000_000, d=128, q=32, k=100, nprobe=8,
+                       iters=20, rng=None):
+    """The regime IVF exists for (ops/ivf.py:4-7): a ≥10M×128 int4-IVF
+    single-chip capacity run.  Buckets pack int4 nibbles (half the HBM);
+    candidates rerank with the exact u8 metric from the host mirror (the
+    engine's int4-library flow).  Reports probe latency, build time, and
+    recall@10/@100 vs the exact flat scan at the same N."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops import ivf as ivf_ops
+    from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    rng = rng or np.random.default_rng(31)
+    t0 = time.perf_counter()
+    db_u8, q_u8 = structured_embeddings_chunked(rng, n, d, q)
+    gen_s = time.perf_counter() - t0
+    valid = np.ones(n, dtype=bool)
+
+    t0 = time.perf_counter()
+    n_clusters = ivf_ops.default_n_clusters(n)
+    cents = ivf_ops.spherical_kmeans(db_u8, valid, n_clusters, iters=8)
+    train_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    index4 = ivf_ops.build_ivf(db_u8, valid, cents, precision="int4")
+    pack_s = time.perf_counter() - t0
+
+    # Ground truth: exact flat u8 scan at the same N (also the flat-scan
+    # latency at 10M for the crossover picture).
+    _, u8_index = build_semantic_index_from_rows(db_u8, block_rows=2**17)
+    t0 = time.perf_counter()
+    _, exp_i = cosine_scan_topk(
+        jnp.asarray(q_u8), u8_index, k=k, block_rows=2**17
+    )
+    exp_i = np.asarray(exp_i)
+    flat_batch_s = time.perf_counter() - t0
+
+    _, got_i = scan_with_u8_rerank(
+        lambda c, md: ivf_ops.ivf_scan_topk(
+            q_u8, index4, k=c, nprobe=nprobe, max_distance=md
+        ),
+        q_u8, db_u8, k=k, max_distance=1e3,
+    )
+    got_i = np.asarray(got_i)
+    r10 = float(np.mean(
+        [len(set(got_i[i][:10]) & set(exp_i[i][:10])) / 10 for i in range(q)]
+    ))
+    r100 = float(np.mean(
+        [len(set(got_i[i]) & set(exp_i[i][exp_i[i] >= 0]))
+         / max(1, int((exp_i[i] >= 0).sum())) for i in range(q)]
+    ))
+
+    def one(qi, ivf):
+        dist, idx = ivf_ops.ivf_scan_topk(qi, ivf, k=k, nprobe=nprobe)
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0]).astype(jnp.float32)
+
+    q1 = jnp.asarray(rng.integers(0, 256, size=(iters, 1, d), dtype=np.uint8))
+    dt1, _ = _device_loop(one, q1, iters, index4)
+
+    # Flat exact single-query latency at the same N (crossover anchor).
+    def one_flat(qi, index):
+        dist, idx = cosine_scan_topk(qi, index, k=k, block_rows=2**17)
+        return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
+
+    dt1_flat, _ = _device_loop(one_flat, q1, iters, u8_index)
+
+    cap = index4.bucket_cap
+    return {
+        "n": n, "d": d, "precision": "int4",
+        "n_clusters": int(n_clusters), "nprobe": nprobe,
+        "bucket_cap": int(cap),
+        "rows_probed_frac": nprobe * cap / float(n),
+        "spill_rows": int(len(ivf_ops.live_spill_ids(index4))),
+        "ivf_q1_ms_no_rerank": dt1 * 1e3,
+        "flat_exact_q1_ms": dt1_flat * 1e3,
+        "speedup_q1_vs_flat": dt1_flat / dt1,
+        "recall_at_10_vs_exact_reranked": r10,
+        "recall_at_100_vs_exact_reranked": r100,
+        "train_s": train_s, "pack_s": pack_s, "datagen_s": gen_s,
+        "flat_scan_ms_per_q_batch": flat_batch_s / 1 * 1e3,
+        "index_bytes": int(index4.bucket_data.size + index4.spill.data.size),
+    }
+
+
+def bench_ivf_crossover(d=128, k=100, nprobe=8, iters=20,
+                        sizes=(65_536, 262_144, 1_048_576), rng=None):
+    """Measured flat-vs-IVF single-query crossover: at which N does the
+    IVF probe (approximately constant-latency) beat the O(N) exact flat
+    scan?  Reports per-N latencies and the interpolated crossover."""
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.ops import ivf as ivf_ops
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    rng = rng or np.random.default_rng(37)
+    points = {}
+    crossover = None
+    prev = None
+    for n in sizes:
+        db_u8, _ = structured_embeddings_chunked(rng, n, d, 4)
+        valid = np.ones(n, dtype=bool)
+        cents = ivf_ops.spherical_kmeans(
+            db_u8, valid, ivf_ops.default_n_clusters(n), iters=6
+        )
+        index = ivf_ops.build_ivf(db_u8, valid, cents)
+        _, flat = build_semantic_index_from_rows(db_u8, block_rows=2**15)
+
+        def one_ivf(qi, ivf):
+            dist, idx = ivf_ops.ivf_scan_topk(qi, ivf, k=k, nprobe=nprobe)
+            return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0]).astype(jnp.float32)
+
+        def one_flat(qi, index):
+            dist, idx = cosine_scan_topk(qi, index, k=k, block_rows=2**15)
+            return jnp.sum(dist[:, 0]) + jnp.sum(idx[:, 0])
+
+        q1 = jnp.asarray(
+            rng.integers(0, 256, size=(iters, 1, d), dtype=np.uint8)
+        )
+        dt_ivf, _ = _device_loop(one_ivf, q1, iters, index)
+        dt_flat, _ = _device_loop(one_flat, q1, iters, flat)
+        points[str(n)] = {
+            "ivf_q1_ms": dt_ivf * 1e3,
+            "flat_q1_ms": dt_flat * 1e3,
+        }
+        if crossover is None and dt_ivf < dt_flat:
+            if prev is None:
+                crossover = n
+            else:
+                # Linear interpolation of (flat − ivf) between the two N.
+                pn, pgap = prev
+                gap = dt_flat - dt_ivf
+                crossover = int(pn + (n - pn) * (-pgap) / (gap - pgap))
+        prev = (n, (dt_flat - dt_ivf))
+    return {"points": points, "crossover_n": crossover, "d": d,
+            "nprobe": nprobe}
+
+
 def build_semantic_index_from_rows(db_u8, block_rows=2048):
     import jax.numpy as jnp
 
@@ -1230,7 +1394,7 @@ def main():
     import os
 
     deadline = time.monotonic() + float(
-        os.environ.get("PIXELBOX_BENCH_DEADLINE_S", "480")
+        os.environ.get("PIXELBOX_BENCH_DEADLINE_S", "1200")
     )
 
     detail = {"platform": platform_info}
@@ -1254,25 +1418,65 @@ def main():
     # problem so the headline line still emits in minutes, not hours —
     # the number is then an honest CPU measurement, flagged via
     # detail.platform.fallback_reason.
+    def _progress(msg):
+        print(f"[bench +{time.monotonic() - _t_start:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    _t_start = time.monotonic()
+    _progress(f"platform={platform_info.get('platform')}")
+
+    def _shape_name(base, res):
+        """Rows are named by the shape they ACTUALLY ran (VERDICT r3:
+        the shrunk CPU-fallback rows were mislabeled 1Mx128)."""
+        if not isinstance(res, dict):
+            return base
+        n = res.get("n")
+        d = res.get("d") or res.get("hash_bytes")
+        if not n:
+            return base
+
+        def fmt(x):
+            if x % 1_000_000 == 0:
+                return f"{x // 1_000_000}M"
+            if x % 1_000 == 0:
+                return f"{x // 1_000}k"
+            return str(x)
+
+        return f"{base}_{fmt(n)}x{d}" if d else f"{base}_{fmt(n)}"
+
     emergency_cpu = "fallback_reason" in platform_info
+    _progress("headline cosine_scan_auto start")
     if emergency_cpu:
         auto = bench_auto_scan(n=100_000, q=32, iters=5,
                                block_rows=2**15, rng=rng)
     else:
         auto = bench_auto_scan(rng=rng)
-    detail["cosine_scan_auto_1Mx128"] = auto
+    _progress("headline done")
+    detail[_shape_name("cosine_scan_auto", auto)] = auto
     headline = auto["dots_per_sec_exact_guaranteed"]
+    metric_name = _shape_name("u8_cosine_scan_exact_dot_products_per_sec",
+                              auto)
+    # Early scoreboard line: if a later row stalls past an outer kill,
+    # the last COMPLETE output line is still a parseable headline (the
+    # final compact line below supersedes it on a clean finish).
+    print(json.dumps({
+        "metric": metric_name,
+        "value": headline,
+        "unit": "dot-products/s/chip",
+        "vs_baseline": headline / NORTH_STAR_DOTS_PER_SEC,
+        "partial": True,
+    }), flush=True)
 
     shrink = (
         {
-            "cosine_scan_direct_exact_1Mx128": dict(
+            "cosine_scan_direct_exact": dict(
                 n=100_000, q=32, iters=5, block_rows=2**15),
-            "cosine_scan_fast_mode_1Mx128": dict(
+            "cosine_scan_fast_mode": dict(
                 n=100_000, q=32, iters=5, block_rows=2**15),
-            "hamming_scan_1Mx32": dict(n=100_000, q=32, iters=5,
-                                       block_rows=2**15),
-            "int4_scan_1Mx128": dict(n=100_000, q=32, iters=5),
-            "ivf_scan_1Mx128": dict(n=50_000, q=16, iters=5),
+            "hamming_scan": dict(n=100_000, q=32, iters=5,
+                                 block_rows=2**15),
+            "int4_scan": dict(n=100_000, q=32, iters=5),
+            "ivf_scan": dict(n=50_000, q=16, iters=5),
             # --full rows shrink too: each would otherwise stall the
             # whole run for many minutes on one CPU core (the deadline
             # is only checked BETWEEN rows).
@@ -1281,31 +1485,35 @@ def main():
             "ingest_pipeline": dict(n_images=40, workers=2),
             "ingest_scaling": dict(n_images=24, workers=(1, 2)),
             "serve_e2e": dict(n_images=40, clients=4, reqs_per_client=3),
-            "e2e_dragdrop_1M": dict(n=100_000, iters=2),
+            "e2e_dragdrop": dict(n=100_000, iters=2),
         }
         if emergency_cpu
         else {}
     )
-    # Rows that are NOT meaningful on an emergency-CPU fallback at any
-    # size: a ViT-L text tower and B0 train steps on one core are stalls,
-    # not measurements.
+    # Rows NOT meaningful on an emergency-CPU fallback at any size: a
+    # ViT-L text tower / B0 train steps / a 10M-row capacity build on one
+    # core are stalls, not measurements.
     cpu_skip = (
-        {"blip_text_search", "train_step"} if emergency_cpu else set()
+        {"blip_text_search", "train_step", "ivf_capacity", "ivf_crossover"}
+        if emergency_cpu
+        else set()
     )
     for name, fn in [
-        ("cosine_scan_direct_exact_1Mx128", bench_cosine_scan),
-        ("cosine_scan_fast_mode_1Mx128", bench_fast_scan),
-        ("recall_parity_10k", bench_recall_parity),
-        ("hamming_scan_1Mx32", bench_hamming),
-        ("int4_scan_1Mx128", bench_int4_scan),
-        ("ivf_scan_1Mx128", bench_ivf_scan),
+        ("cosine_scan_direct_exact", bench_cosine_scan),
+        ("cosine_scan_fast_mode", bench_fast_scan),
+        ("recall_parity", bench_recall_parity),
+        ("hamming_scan", bench_hamming),
+        ("int4_scan", bench_int4_scan),
+        ("ivf_scan", bench_ivf_scan),
+        ("ivf_capacity", bench_ivf_capacity),
+        ("ivf_crossover", bench_ivf_crossover),
     ] + (
         [
             ("efficientnet_embedding", bench_embedding),
             ("ingest_pipeline", bench_ingest),
             ("ingest_scaling", bench_ingest_scaling),
             ("serve_e2e", bench_serve_e2e),
-            ("e2e_dragdrop_1M", bench_e2e_dragdrop),
+            ("e2e_dragdrop", bench_e2e_dragdrop),
             ("blip_text_search", bench_blip_text),
             ("train_step", bench_train_step),
         ]
@@ -1321,19 +1529,70 @@ def main():
         if time.monotonic() > deadline:
             detail[name] = {"skipped": "bench deadline reached (compile cache cold)"}
             continue
+        _progress(f"{name} start")
         try:
-            detail[name] = fn(**shrink.get(name, {}))
+            res = fn(**shrink.get(name, {}))
+            detail[_shape_name(name, res)] = res
         except Exception as e:  # noqa: BLE001
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
+        # Incremental detail flush: a kill mid-run still leaves every
+        # completed row on disk.
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json",
+            ), "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
 
+    # Full detail goes to a FILE; the printed line stays compact.  Round 3
+    # lost its scoreboard row because the detail dict grew past the
+    # driver's 2,000-char output-tail capture and truncated the line's
+    # head ("parsed: null" in BENCH_r03.json) — never again.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        detail_path = f"unwritable: {e}"
+
+    def _pick(prefix, key):
+        for row, v in detail.items():
+            if row.startswith(prefix) and isinstance(v, dict) and key in v:
+                return round(v[key], 4)
+        return None
+
+    summary = {
+        "platform": platform_info.get("platform"),
+        "fallback": platform_info.get("fallback_reason"),
+        "proof_rate": _pick("cosine_scan_auto", "proof_rate_per_query"),
+        "hamming_gdots": _pick("hamming_scan",
+                               "hashes_per_sec_threshold_exact"),
+        "int4_gdots": _pick("int4_scan", "dots_per_sec"),
+        "ivf_q1_ms": _pick("ivf_scan", "ivf_q1_ms"),
+        "ivf10M_q1_ms": _pick("ivf_capacity", "ivf_q1_ms_no_rerank"),
+        "ivf10M_recall10": _pick("ivf_capacity",
+                                 "recall_at_10_vs_exact_reranked"),
+        "recall10_vs_oracle": _pick("recall_parity",
+                                    "recall_at_10_vs_oracle"),
+    }
+    summary = {k: v for k, v in summary.items() if v is not None}
     out = {
-        "metric": "u8_cosine_scan_exact_dot_products_per_sec_1Mx128",
+        "metric": metric_name,
         "value": headline,
         "unit": "dot-products/s/chip",
         "vs_baseline": headline / NORTH_STAR_DOTS_PER_SEC,
-        "detail": detail,
+        "summary": summary,
+        "detail_file": detail_path,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the tail capture
+        out.pop("summary", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":
