@@ -943,10 +943,49 @@ class Engine:
             return None
         return self._record_from_decoded(decoded)
 
+    def _embed_query_ingest_exact(self, rgb: np.ndarray) -> np.ndarray:
+        """Quantized semantic hash through the EXACT ingest batch path.
+
+        The reference recomputes a query image's hash through its one and
+        only embed path, so a re-dropped copy of an indexed image scores
+        exactly 0 (engine.rs:352-361 → efficientnet.rs:31-42).  A batched
+        ingest embed and a single-query embed are different XLA programs
+        whose f32 outputs can drift by ulps and flip a u8 bin; routing the
+        query through the same padded batch shape and the same jitted
+        functions the ingest writer uses makes the two bit-identical
+        (asserted in tests/test_selfmatch.py).
+        """
+        from pixelbox_tpu.ingest.pipeline import (
+            DEFAULT_BATCH_SIZE,
+            _normalize_frames,
+        )
+        from pixelbox_tpu.ops.preprocess import fill_resize_u8
+        from pixelbox_tpu.ops.quantize import quantize_embedding
+
+        b = getattr(self, "_embed_batch_size", None) or DEFAULT_BATCH_SIZE
+        frame = fill_resize_u8(rgb, self.embedder.input_size)
+        frames = np.zeros((b,) + frame.shape, dtype=np.uint8)
+        frames[0] = frame
+        stacked = _normalize_frames(jnp.asarray(frames))
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from pixelbox_tpu.parallel.data_parallel import embed_batch_sharded
+
+            latents = jnp.asarray(
+                embed_batch_sharded(self.embedder, np.asarray(stacked), mesh)
+            )
+        else:
+            latents = self.embedder.embed_preprocessed(stacked)
+        return np.asarray(quantize_embedding(latents))[0]
+
     def _record_from_decoded(self, decoded: DecodedImage) -> IndexedImage:
         thumb = qoi_encode(make_thumbnail(decoded.rgb))
         ph = phash_ops.phash(decoded.rgb, aspect_preserving=self.phash_compat)
-        vh = None if self.embedder is None else self.embedder.mlhash(decoded.rgb)
+        vh = (
+            None
+            if self.embedder is None
+            else self._embed_query_ingest_exact(decoded.rgb)
+        )
         faces = (
             self.detect_and_embed_faces(decoded.rgb)
             if self.faces_enabled and self.embedder is not None
