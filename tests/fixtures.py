@@ -105,3 +105,55 @@ def gradient_image(size=(200, 300)):
     g = np.broadcast_to(x, (h, w))
     b = (r + g) / 2
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+SCENE_COLORS = {
+    "red": (220, 40, 30),
+    "green": (40, 200, 60),
+    "blue": (40, 70, 220),
+    "yellow": (230, 210, 40),
+}
+SCENE_SHAPES = ("circle", "square", "triangle", "stripes")
+
+
+def captioned_scene(shape, color, size=(64, 64), seed=0):
+    """Procedural (image, caption) pair for text→image retrieval tests.
+
+    Draws one colored shape on a gray background with a little seed-keyed
+    jitter (position/scale/noise) so each class has visual variants.
+    Caption: "a <color> <shape>".
+    """
+    h, w = size
+    rng = np.random.default_rng(hash((shape, color, seed)) % (2**32))
+    img = np.full((h, w, 3), 110, dtype=np.float32)
+    img += rng.normal(0, 6, size=(h, w, 3))
+    cy = h / 2 + rng.uniform(-0.08, 0.08) * h
+    cx = w / 2 + rng.uniform(-0.08, 0.08) * w
+    r = (0.28 + rng.uniform(-0.04, 0.04)) * min(h, w)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    if shape == "circle":
+        m = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+    elif shape == "square":
+        m = (np.abs(xx - cx) <= r) & (np.abs(yy - cy) <= r)
+    elif shape == "triangle":
+        m = (yy >= cy - r) & (np.abs(xx - cx) <= (yy - (cy - r)) / 2.0)
+        m &= yy <= cy + r
+    elif shape == "stripes":
+        m = ((xx + yy) // max(2, int(r / 2))) % 2 == 0
+    else:
+        raise ValueError(shape)
+    for c, v in enumerate(SCENE_COLORS[color]):
+        ch = img[..., c]
+        ch[m] = v + rng.normal(0, 4)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return img, f"a {color} {shape}"
+
+
+def captioned_corpus(variants=3, size=(64, 64)):
+    """All shape×color classes × ``variants`` seeds → [(image, caption)]."""
+    return [
+        (captioned_scene(s, c, size=size, seed=v))
+        for s in SCENE_SHAPES
+        for c in SCENE_COLORS
+        for v in range(variants)
+    ]
