@@ -269,6 +269,32 @@ def train_loop(
         state = init_train_state(cfg, mesh, seed)
     step = make_sharded_train_step(cfg, mesh)
     spe = steps_per_epoch or max(1, len(images) // cfg.batch_size)
+
+    # Optional wandb telemetry, import-guarded exactly like the
+    # reference's trainer (resources/train.py:16-22,125-129,156-157):
+    # when wandb is importable the run config and per-epoch losses are
+    # logged; when absent training proceeds silently on JSON logs alone.
+    wandb_run = None
+    try:
+        import wandb  # noqa: PLC0415
+
+        wandb_run = wandb.init(
+            project="pixelbox_tpu",
+            config={
+                "latent_dim": cfg.latent_dim,
+                "input_size": cfg.input_size,
+                "batch_size": cfg.batch_size,
+                "lr": cfg.lr,
+                "margin": cfg.margin,
+                "epochs": epochs,
+                "steps_per_epoch": spe,
+                "num_images": len(images),
+                "seed": seed,
+            },
+        )
+    except Exception:  # ImportError or offline init failure — optional
+        wandb_run = None
+
     losses = []
     for epoch in range(epochs):
         total = 0.0
@@ -280,6 +306,11 @@ def train_loop(
             total += float(loss)
         losses.append(total)
         print(f"Epoch [{epoch}/{epochs}] loss: {total}")
+        if wandb_run is not None:
+            try:
+                wandb_run.log({"epoch": epoch, "loss": total})
+            except Exception:
+                pass
         if checkpoint_dir:
             os.makedirs(checkpoint_dir, exist_ok=True)
             save_params(
@@ -309,6 +340,11 @@ def train_loop(
                 f,
                 indent=1,
             )
+    if wandb_run is not None:
+        try:
+            wandb_run.finish()
+        except Exception:
+            pass
     return state, losses
 
 

@@ -39,3 +39,41 @@ def test_train_loop_end_to_end(tmp_path):
     emb = EfficientNetEmbedder(dim=8, input_size=32, params=params)
     h = emb.mlhash(textured_image(seed=9, size=(48, 48)))
     assert h.shape == (8,)
+
+
+def test_train_loop_logs_to_wandb_when_importable(tmp_path, monkeypatch):
+    """The import-guarded wandb hook (reference resources/train.py:16-22,
+    125-129): with a wandb module present, config + per-epoch losses are
+    logged; the suite otherwise runs with wandb absent (the guard's other
+    branch)."""
+    import sys
+    import types
+
+    calls = {"init": [], "log": [], "finish": 0}
+
+    class _Run:
+        def log(self, payload):
+            calls["log"].append(payload)
+
+        def finish(self):
+            calls["finish"] += 1
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: (calls["init"].append(kw), _Run())[1]
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    for s in range(2):
+        Image.fromarray(textured_image(seed=s, size=(40, 40))).save(
+            tmp_path / f"w{s}.png"
+        )
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    cfg = TrainConfig(latent_dim=8, input_size=32, batch_size=2)
+    _, losses = train_loop(
+        [str(tmp_path / f"w{s}.png") for s in range(2)],
+        cfg, mesh, epochs=2, steps_per_epoch=1, seed=0,
+    )
+    assert calls["init"][0]["project"] == "pixelbox_tpu"
+    assert calls["init"][0]["config"]["epochs"] == 2
+    assert [c["epoch"] for c in calls["log"]] == [0, 1]
+    assert [c["loss"] for c in calls["log"]] == losses
+    assert calls["finish"] == 1
