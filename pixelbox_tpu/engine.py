@@ -53,11 +53,18 @@ from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
 from pixelbox_tpu.models import get_embedder
 from pixelbox_tpu.ops import phash as phash_ops
 from pixelbox_tpu.ops.distances import cosine_distance
-from pixelbox_tpu.ops.scan import (
-    cosine_scan_topk,
-    cosine_scan_topk_auto,
-)
+from pixelbox_tpu.ops.scan import cosine_scan_topk
 from pixelbox_tpu.query import parse_query
+from pixelbox_tpu.serving import (
+    BlipServing,
+    DuplicateFinding,
+    FaceServing,
+    IvfServing,
+    PhashServing,
+    SemanticServing,
+    WatchMixin,
+)
+from pixelbox_tpu.serving.common import _read_locked
 from pixelbox_tpu.records import IndexedImage
 from pixelbox_tpu.utils.timing import timed
 
@@ -66,23 +73,21 @@ DEFAULT_MAX_SEARCH_RESULTS = 100  # engine.rs:24
 RECENT_IMAGES_TO_SHOW = 10        # engine.rs:25
 
 
-def _read_locked(fn):
-    """Hold the engine's index read lock for the duration of a query
-    entry point: scan-row → image-id mapping must not interleave with a
-    compaction renumbering (utils/rwlock.py; reader-preference makes
-    nested entry points safe)."""
-    import functools
+class Engine(
+    SemanticServing,
+    PhashServing,
+    BlipServing,
+    FaceServing,
+    IvfServing,
+    DuplicateFinding,
+    WatchMixin,
+):
+    """Index + query engine over a catalog DB and device vector stores.
 
-    @functools.wraps(fn)
-    def wrapper(self, *args, **kwargs):
-        with self.index_rwlock.read_locked():
-            return fn(self, *args, **kwargs)
-
-    return wrapper
-
-
-class Engine:
-    """Index + query engine over a catalog DB and device vector stores."""
+    Lifecycle, catalog, locking, ingest writes, and the query-language
+    dispatcher live here; each modality's serving paths (single-chip
+    and mesh-sharded) live in pixelbox_tpu/serving/, one module per
+    modality."""
 
     def __init__(
         self,
@@ -495,65 +500,6 @@ class Engine:
             self.catalog.ensure_aux_hash_table("blip_hashes")
         return self._blip_searcher
 
-    @property
-    def face_detector(self):
-        """Callable rgb → List[FaceBox].  The built-in classical detector
-        by default; any user ONNX detector when ``face_detector_kwargs``
-        carries an ``onnx_path`` (faces/onnx_detector.py).
-
-        Init is locked: the ingest pipeline's decode workers all hit
-        this on their first batch, and an ONNX detector must parse the
-        graph and load its weights onto the device exactly once."""
-        if self._face_detector is None:
-            with self._face_detector_init_lock:
-                if self._face_detector is not None:
-                    return self._face_detector
-                kwargs = dict(self._face_detector_kwargs)
-                if "onnx_path" in kwargs:
-                    from pixelbox_tpu.faces.onnx_detector import OnnxFaceDetector
-
-                    path = kwargs.pop("onnx_path")
-                    self._face_detector = OnnxFaceDetector(path, **kwargs)
-                else:
-                    from functools import partial
-
-                    from pixelbox_tpu.faces.detect import detect_faces
-
-                    self._face_detector = partial(detect_faces, **kwargs)
-        return self._face_detector
-
-    def detect_and_embed_faces(self, rgb: np.ndarray) -> list:
-        """Detect faces in one decoded image and embed their crops with
-        the semantic embedder → [((x0,y0,x1,y1) normalized, u8 hash)].
-
-        One batched embed for all the image's faces (Embedder.embed_images
-        handles arbitrary crop sizes via the host preprocess)."""
-        from pixelbox_tpu.faces.detect import crop_face
-        from pixelbox_tpu.ops.quantize import quantize_embedding
-
-        if self.embedder is None:
-            return []
-        boxes = self.face_detector(rgb)
-        if not boxes:
-            return []
-        crops = [crop_face(rgb, b) for b in boxes]
-        latents = self.embedder.embed_images(crops)
-        hashes = np.asarray(quantize_embedding(jnp.asarray(latents)))
-        return [
-            ((b.x0, b.y0, b.x1, b.y1), h) for b, h in zip(boxes, hashes)
-        ]
-
-    def get_faces(self, image_id: int) -> List[dict]:
-        """Stored face boxes for an indexed image (normalized coords)."""
-        return self.catalog.get_faces(image_id)
-
-    def enable_blip(self, **blip_kwargs) -> None:
-        self._blip_enabled = True
-        self.catalog.set_setting("blip_enabled", "1")
-        if blip_kwargs:
-            self._blip_kwargs = dict(blip_kwargs)
-            self._blip_searcher = None
-
     # ------------------------------------------------------------------ #
     # Index size (engine.rs:157-171)
 
@@ -599,166 +545,6 @@ class Engine:
         if done:
             self._pipeline = None
         return done
-
-    # ------------------------------------------------------------------ #
-    # Watched directories (reference roadmap README.md "Watched
-    # directories via notify crate" — never built there).  A poll loop
-    # rather than inotify: it needs no extra dependency, works on network
-    # filesystems, and re-uses the idempotent-by-path pipeline, so a
-    # spurious trigger costs one cheap skip pass.
-
-    def watch(
-        self, interval_s: float = 30.0, num_workers: Optional[int] = None
-    ) -> None:
-        """Start a background watcher: poll tracked folders and index any
-        file the catalog doesn't know yet.  Idempotent; stop with
-        :meth:`stop_watching` (close() stops it too)."""
-        if self._watcher is not None and self._watcher.is_alive():
-            return
-        # The loop closes over ITS OWN stop event: if stop_watching()'s
-        # bounded join times out (watcher mid-ingest) and a new watcher
-        # starts later, the old loop still sees its own (set) event and
-        # exits instead of adopting the new watcher's unset one.
-        stop = threading.Event()
-        self._watch_stop = stop
-        self.watch_passes = 0  # observability (tests/status surface)
-        self.watch_removals = 0  # files deleted on disk → tombstoned here
-        self._watch_pending_compact = 0
-        # Paths that survived an indexing pass without landing in the
-        # catalog (undecodable files): remembered so they don't re-trigger
-        # a pass every interval forever.  Cleared per watch() call — a
-        # watcher restart retries them.
-        failed: set = set()
-
-        def _known_paths() -> set:
-            conn = self.catalog._connect()
-            return {r[0] for r in conn.execute("SELECT path FROM images")}
-
-        def _scan_pass():
-            """One crawl: (new paths to index, present-path set)."""
-            from pixelbox_tpu.ingest.crawler import crawl
-            from pixelbox_tpu.ingest.decode import stringify_filepath
-
-            known = _known_paths()
-            news = []
-            present = set()
-            for p in crawl(self.get_tracked_folders()):
-                sp = stringify_filepath(p)
-                present.add(sp)
-                if sp not in known and sp not in failed:
-                    news.append(sp)
-                if stop.is_set():
-                    return [], set()
-            return news, present
-
-        def _verify_gone(path: str) -> bool:
-            """Double-check a crawl-missing path is REALLY gone before
-            tombstoning — a transient glob/IO error during the crawl must
-            not mass-delete a library.  Only a definitive
-            FileNotFoundError counts as gone: EACCES/ESTALE/IO errors (an
-            unreachable mount stats like this) are NOT deletion."""
-            import os
-
-            from pixelbox_tpu.ingest.decode import split_zip_path
-
-            def _stat_gone(p: str) -> bool:
-                try:
-                    os.stat(p)
-                    return False
-                except (FileNotFoundError, NotADirectoryError):
-                    return True
-                except OSError:
-                    return False  # unreachable ≠ deleted
-
-            zp = split_zip_path(path)
-            if zp is None:
-                return _stat_gone(path)
-            zpath, member = zp
-            if _stat_gone(zpath):
-                return True
-            try:
-                import zipfile
-
-                with zipfile.ZipFile(zpath) as zf:
-                    return member not in zf.namelist()
-            except Exception:
-                return False  # unreadable archive ≠ deleted members
-
-        def _sync_deletions(present: set) -> None:
-            """Tombstone rows whose files vanished from watched folders —
-            the other half of the reference's 'Watched directories'
-            roadmap item (README.md:36): a watcher that only ADDS leaves
-            the index lying about deleted files forever.  Rows outside
-            every tracked folder are untouched (that's
-            remove-folder --purge's job)."""
-            import os
-
-            # Only roots that are REACHABLE right now participate: a
-            # folder on an unmounted drive must not mass-tombstone its
-            # rows (the crawl silently yields nothing for a missing
-            # root, so without this check every row under it would look
-            # deleted).
-            roots = tuple(
-                os.path.realpath(f) + os.sep
-                for f in self.get_tracked_folders()
-                if os.path.isdir(f)
-            )
-            if not roots:
-                return
-            conn = self.catalog._connect()
-            rows = conn.execute("SELECT id, path FROM images").fetchall()
-            removed = 0
-            for image_id, path in rows:
-                if stop.is_set():
-                    break
-                if not path.startswith(roots):
-                    continue
-                if path in present or not _verify_gone(path):
-                    continue
-                if self.remove_image(int(image_id)):
-                    removed += 1
-            if removed:
-                self.watch_removals += removed
-                self._watch_pending_compact += removed
-                failed.clear()  # a delete/re-add cycle must retry cleanly
-                # Reclaim device rows once tombstones pile up.
-                if self._watch_pending_compact >= max(
-                    16, self.get_num_indexed_images() // 100
-                ):
-                    self.compact()
-                    self._watch_pending_compact = 0
-
-        def _loop() -> None:
-            while not stop.wait(interval_s):
-                try:
-                    if self.is_indexing_active():
-                        continue
-                    news, present = _scan_pass()
-                    if news:
-                        self.start_indexing(num_workers=num_workers)
-                        self.wait_for_indexing()
-                        still_missing = set(news) - _known_paths()
-                        failed.update(still_missing)
-                    if present or self.get_tracked_folders():
-                        _sync_deletions(present)
-                    self.watch_passes += 1
-                except Exception as e:  # noqa: BLE001 — keep watching
-                    print(f"watch: {type(e).__name__}: {e}", file=sys.stderr)
-
-        self._watcher = threading.Thread(
-            target=_loop, name="pixelbox-watch", daemon=True
-        )
-        self._watcher.start()
-
-    def is_watching(self) -> bool:
-        return self._watcher is not None and self._watcher.is_alive()
-
-    def stop_watching(self) -> None:
-        if self._watcher is None:
-            return
-        self._watch_stop.set()
-        self._watcher.join(timeout=10)
-        self._watcher = None
 
     def insert_image_from_path(self, path: str) -> Optional[int]:
         record = self.load_image(path)
@@ -1371,362 +1157,6 @@ class Engine:
         self._cached_search_results = self._build_results(sel, sel_dists)
         print(f"{len(self._cached_search_results)} results", file=sys.stderr)
 
-    def _query_text_filtered(self, parsed) -> None:
-        """text: modality, honoring any catalog filters in the same query."""
-        searcher = self.blip_searcher
-        if searcher is None:
-            self.last_query_error = (
-                "text: search requires a BLIP index (Engine(blip=True))"
-            )
-            self._cached_search_results = []
-            return
-        if self._blip_store is None or self._blip_store.size == 0:
-            self._cached_search_results = []
-            return
-        if parsed.has_filter:
-            ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
-            rows = np.array(
-                [self._blip_row_by_image[i] for i in ids if i in self._blip_row_by_image],
-                dtype=np.int64,
-            )
-        else:
-            rows = np.arange(len(self._blip_image_ids), dtype=np.int64)
-        if not len(rows):
-            self._cached_search_results = []
-            return
-        q_hash = searcher.text_hashes([parsed.text_query])[0]
-        k = int(self.max_search_results)
-        n_rows = len(self._blip_image_ids)
-        if len(rows) > 16384 or len(rows) == n_rows:
-            # Real device scan — blocked GEMM + streaming top-k over the
-            # resident BLIP index (any catalog filter folds into the
-            # validity mask).  No full-index host gather on this path.
-            filtered = len(rows) != n_rows
-            with timed("engine.text_to_image_scan"):
-                if filtered:
-                    # Masked exact scan (sharded under serve_on_mesh).
-                    dists, idxs = self._masked_exact_topk(
-                        jnp.asarray(q_hash), self._blip_store,
-                        self._ensure_blip_sharded, rows, k, np.inf,
-                    )
-                else:
-                    # Unfiltered: the shared core (row-sharded over the
-                    # mesh under serve_on_mesh, auto single-chip else).
-                    dists, idxs = self._blip_topk_rows(
-                        jnp.asarray(q_hash), k
-                    )
-            dists = np.asarray(dists)
-            idxs = np.asarray(idxs)
-            keep = idxs >= 0
-            sel = idxs[keep]
-            sel_dists = dists[keep]
-        else:
-            # Narrow filter: gathering the few matching rows beats a full
-            # index pass.
-            db_rows = self._blip_store.get_rows(rows)
-            with timed("engine.text_to_image_scan"):
-                dists = np.asarray(
-                    cosine_distance(
-                        jnp.asarray(q_hash)[None, :], jnp.asarray(db_rows)
-                    )
-                )
-            order = np.argsort(dists, kind="stable")[:k]
-            sel = rows[order]
-            sel_dists = dists[order]
-        ids = [self._blip_image_ids[int(row)] for row in sel]
-        results = self._results_from_image_ids(ids, sel_dists)
-        self._cached_search_results = results
-        print(f"{len(results)} results", file=sys.stderr)
-
-    def _query_face_filtered(self, parsed) -> None:
-        """``face:`` modality: rank images by their closest stored face
-        to the largest face in the query image, honoring any catalog
-        filters in the same query (reference roadmap README.md:33).
-
-        Semantics mirror the image-similarity scan (engine.rs:375-383):
-        strict ``dist < max_distance_from_query`` in the face metric,
-        best ``max_search_results`` IMAGES (an image with several
-        matching faces counts once, at its closest face's distance)."""
-        if self.embedder is None:
-            self.last_query_error = (
-                "face: requires an embedder model (tags-only mode)"
-            )
-            self._cached_search_results = []
-            return
-        if self._face_store is None or self._face_store.size == 0:
-            if not self.faces_enabled:
-                self.last_query_error = (
-                    "face: search requires a face index — index with "
-                    "--faces / Engine(faces=True), or backfill via "
-                    "index-faces"
-                )
-            self._cached_search_results = []
-            return
-        record = decode_image_file(parsed.face_path)
-        if record is None:
-            self.last_query_error = f"cannot decode image: {parsed.face_path}"
-            self._cached_search_results = []
-            return
-        faces = self.detect_and_embed_faces(record.rgb)
-        if not faces:
-            self.last_query_error = (
-                f"no face detected in query image: {parsed.face_path}"
-            )
-            self._cached_search_results = []
-            return
-        # Largest face wins (shared policy, faces/detect.largest_face).
-        from pixelbox_tpu.faces.detect import largest_face
-
-        (box, q_hash) = largest_face(faces)
-        self.query_by_face_hash(q_hash, parsed=parsed)
-
-    @_read_locked
-    def query_by_face_from_file(self, path: str) -> None:
-        """Direct face-similarity API (bypasses the query language)."""
-        from pixelbox_tpu.query.parser import ParsedQuery
-
-        self._cached_search_results = None
-        self.last_query_error = None
-        self._query_face_filtered(ParsedQuery(face_path=path))
-
-    @_read_locked
-    def query_by_face_hash(self, q_hash: np.ndarray, parsed=None) -> None:
-        """Scan the face store with an embedded face hash; results are
-        deduplicated to images (closest face per image, order preserved).
-
-        Read-locked: serve.py's /api/face-similar calls this directly
-        from request threads while a watcher thread may compact (the
-        nested acquisition from the query() entry points is safe — the
-        RWLock's reads are re-entrant)."""
-        k = int(self.max_search_results)
-        max_distance = float(self.max_distance_from_query)
-        n_rows = len(self._face_image_ids)
-        if parsed is None or not parsed.has_filter:
-            # Unfiltered: the batched core (retry + image dedup; row-
-            # sharded over the mesh under serve_on_mesh).
-            if n_rows == 0:
-                self._cached_search_results = []
-                return
-            with timed("engine.face_scan"):
-                d, imgs = self._face_topk_images(q_hash, k, max_distance)
-            keep = imgs[0] >= 0
-            results = self._results_from_image_ids(
-                [int(i) for i in imgs[0][keep]],
-                d[0][keep].astype(np.float32),
-            )
-            self._cached_search_results = results
-            print(f"{len(results)} results", file=sys.stderr)
-            return
-        ids = self.catalog.filter_images(parsed.where_sql, parsed.params)
-        rows = np.array(
-            [r for i in ids for r in self._face_rows_by_image.get(i, ())],
-            dtype=np.int64,
-        )
-        if not len(rows):
-            self._cached_search_results = []
-            return
-        if len(rows) > 16384:
-            # Over-fetch faces so image-level dedup can still fill k
-            # IMAGES (an image contributes all its matching faces to the
-            # face top-k); multi-face libraries (group photos) can crowd
-            # any fixed over-fetch, so retry with doubled k_faces until
-            # k images fill or the candidate set is exhausted.  The
-            # masked exact scan shards under serve_on_mesh.
-            k_faces = min(4 * k + 16, len(rows))
-            while True:
-                with timed("engine.face_scan"):
-                    dists, idxs = self._masked_exact_topk(
-                        jnp.asarray(q_hash), self._face_store,
-                        self._ensure_face_sharded, rows, k_faces,
-                        max_distance,
-                    )
-                dists = np.asarray(dists)
-                idxs = np.asarray(idxs)
-                keep = idxs >= 0
-                sel = idxs[keep]
-                sel_dists = dists[keep]
-                n_images = len({
-                    self._face_image_ids[int(r)] for r in sel
-                })
-                # Exhausted = fewer faces matched than asked for (no
-                # more rows under max_distance) or k_faces covers all.
-                if (
-                    n_images >= k
-                    or len(sel) < k_faces
-                    or k_faces >= len(rows)
-                ):
-                    break
-                k_faces = min(2 * k_faces, len(rows))
-        else:
-            # Small filtered set: score every eligible face (no top-k
-            # truncation, so dedup can never come up short).
-            db_rows = self._face_store.get_rows(rows)
-            with timed("engine.face_scan"):
-                dists = np.asarray(
-                    cosine_distance(
-                        jnp.asarray(q_hash)[None, :], jnp.asarray(db_rows)
-                    )
-                )
-            order = np.argsort(dists, kind="stable")
-            order = order[dists[order] < max_distance]
-            sel = rows[order]
-            sel_dists = dists[order]
-        # Dedupe to images: the scan is distance-ascending, so the first
-        # hit per image is its closest face.
-        ids, dedup_d, seen = [], [], set()
-        for row, d in zip(sel, sel_dists):
-            img = self._face_image_ids[int(row)]
-            if img in seen:
-                continue
-            seen.add(img)
-            ids.append(img)
-            dedup_d.append(float(d))
-            if len(ids) >= k:
-                break
-        results = self._results_from_image_ids(
-            ids, np.asarray(dedup_d, dtype=np.float32)
-        )
-        self._cached_search_results = results
-        print(f"{len(results)} results", file=sys.stderr)
-
-    def index_faces(self, batch_size: int = 16) -> int:
-        """Backfill face rows for indexed images that have none (decodes
-        originals from disk).  Returns the number of FACES added.
-
-        Detection runs per image on the host; embedding batches the
-        crops of ``batch_size`` images into one device launch, padded to
-        a power-of-two bucket so variable face counts don't mint a fresh
-        jit shape each flush (the ingest writer's pattern)."""
-        from pixelbox_tpu.faces.detect import crop_face
-        from pixelbox_tpu.ops.preprocess import preprocess_host
-        from pixelbox_tpu.ops.quantize import quantize_embedding
-
-        if self.embedder is None:
-            raise RuntimeError("face indexing requires an embedder model")
-        self.faces_enabled = True
-        self.catalog.set_setting("faces_enabled", "1")
-        done = set(self._face_rows_by_image)
-        conn = self.catalog._connect()
-        todo = [
-            (image_id, path)
-            for image_id, path in conn.execute("SELECT id, path FROM images")
-            if image_id not in done
-        ]
-        count = 0
-        pending: list = []  # (image_id, [FaceBox], [preprocessed crop])
-
-        def flush() -> None:
-            nonlocal count
-            if not pending:
-                return
-            crops = [c for _, _, cs in pending for c in cs]
-            n = len(crops)
-            bucket = 1
-            while bucket < n:
-                bucket *= 2
-            batch = np.zeros(
-                (bucket, self.embedder.input_size, self.embedder.input_size, 3),
-                dtype=np.float32,
-            )
-            batch[:n] = np.stack(crops)
-            latents = self.embedder.embed_preprocessed(jnp.asarray(batch))
-            hashes = np.asarray(quantize_embedding(latents))[:n]
-            i = 0
-            for image_id, boxes, cs in pending:
-                faces = [
-                    ((b.x0, b.y0, b.x1, b.y1), hashes[i + j])
-                    for j, b in enumerate(boxes)
-                ]
-                i += len(boxes)
-                with self.index_rwlock.write_locked():
-                    self._append_faces(image_id, faces)
-                count += len(faces)
-            pending.clear()
-
-        for image_id, path in todo:
-            decoded = decode_image_file(path)
-            if decoded is None:
-                continue
-            boxes = self.face_detector(decoded.rgb)
-            if not boxes:
-                continue
-            pending.append((
-                image_id,
-                boxes,
-                [
-                    preprocess_host(
-                        crop_face(decoded.rgb, b), self.embedder.input_size
-                    )
-                    for b in boxes
-                ],
-            ))
-            if len(pending) >= batch_size:
-                flush()
-        flush()
-        return count
-
-    def _get_face_scan_sample(self):
-        from pixelbox_tpu.ops.scan import DEFAULT_BLOCK_ROWS, build_scan_sample
-
-        index = self._face_store.device_index
-        if index.capacity <= 4 * DEFAULT_BLOCK_ROWS:
-            return None
-        if (
-            self._face_scan_sample is None
-            or self._face_scan_sample_at_ver != self._face_store.version
-        ):
-            self._face_scan_sample = build_scan_sample(index)
-            self._face_scan_sample_at_ver = self._face_store.version
-        return self._face_scan_sample
-
-    def _get_face_pallas_meta(self):
-        from pixelbox_tpu.ops.pallas_scan import build_row_meta
-
-        if (
-            self._face_pallas_meta is None
-            or self._face_pallas_meta_at_ver != self._face_store.version
-        ):
-            self._face_pallas_meta = build_row_meta(self._face_store.device_index)
-            self._face_pallas_meta_at_ver = self._face_store.version
-        return self._face_pallas_meta
-
-    @_read_locked
-    def query_by_text(self, text: str) -> None:
-        """Direct text→image search API (bypasses the query language)."""
-        from pixelbox_tpu.query.parser import ParsedQuery
-
-        self._cached_search_results = None
-        self._query_text_filtered(ParsedQuery(text_query=text))
-
-    def index_blip_hashes(self, batch_size: int = 16) -> int:
-        """Backfill BLIP latents for indexed images missing them (decodes
-        originals from disk).  Returns the number embedded."""
-        searcher = self.blip_searcher
-        if searcher is None:
-            raise RuntimeError("Engine(blip=True) required")
-        from pixelbox_tpu.ingest.decode import decode_image_file
-
-        done = set(self._blip_image_ids)
-        todo = []
-        conn = self.catalog._connect()
-        for image_id, path in conn.execute("SELECT id, path FROM images"):
-            if image_id not in done:
-                todo.append((image_id, path))
-        count = 0
-        for start in range(0, len(todo), batch_size):
-            chunk = todo[start : start + batch_size]
-            decoded = [(i, decode_image_file(p)) for i, p in chunk]
-            decoded = [(i, d) for i, d in decoded if d is not None]
-            if not decoded:
-                continue
-            hashes = searcher.image_hashes([d.rgb for _, d in decoded])
-            for (image_id, _), h in zip(decoded, hashes):
-                self.catalog.ensure_aux_hash_table("blip_hashes")
-                self.catalog.insert_hash("blip_hashes", image_id, h.tobytes())
-                self._append_hashes(image_id, None, None, h)
-                count += 1
-        return count
-
     def serve_on_mesh(self, mesh=None, axis: str = "data") -> None:
         """Serve similarity queries from a row-sharded multi-chip index.
 
@@ -1754,990 +1184,6 @@ class Engine:
         self._ivf_sharded_cfg = None
         self._ivf_sharded_gen = -1
         self._ivf_sharded_spill_ids = None
-
-    def _get_sharded_index(self):
-        """Row-sharded index mirror, synced lazily.
-
-        In-capacity appends ship ONLY the delta rows into the existing
-        sharded buffers (bucket-padded dynamic-update-slice — continuous
-        ingest under serve_on_mesh stops re-transferring N×D bytes per
-        batch); capacity growth / deletes / compaction trigger a full
-        reshard.
-        """
-        from pixelbox_tpu.parallel.sharded_scan import (
-            append_to_sharded_index,
-            shard_semantic_index,
-        )
-
-        store = self._sem_store
-        if store.version == self._sharded_at_ver and self._sharded_index is not None:
-            return self._sharded_index
-        if (
-            self._sharded_index is not None
-            and store.structural_version == self._sharded_struct_ver
-            and store.n > self._sharded_synced_n
-        ):
-            # Append-only delta; pad back to a power-of-2 row count with
-            # rows the mirror already holds (bounded compile shapes).
-            end = store.n
-            m = end - self._sharded_synced_n
-            bucket = 1
-            while bucket < m:
-                bucket *= 2
-            start = max(0, end - bucket)
-            self._sharded_index = append_to_sharded_index(
-                self._sharded_index,
-                store._host_rows[start:end],
-                store._host_valid[start:end],
-                start,
-                kind=store.kind,
-            )
-        else:
-            self._sharded_index = shard_semantic_index(
-                store.device_index, self.scan_mesh
-            )
-            self._sharded_full_reshards += 1
-            self._sharded_struct_ver = store.structural_version
-        self._sharded_at_ver = store.version
-        self._sharded_synced_n = store.n
-        return self._sharded_index
-
-    def _get_pallas_meta(self):
-        """Cached [2, N] row metadata for the Pallas kernels."""
-        from pixelbox_tpu.ops.pallas_scan import build_row_meta
-
-        if (
-            self._pallas_meta is None
-            or self._pallas_meta_at_ver != self._sem_store.version
-        ):
-            self._pallas_meta = build_row_meta(self._sem_store.device_index)
-            self._pallas_meta_at_ver = self._sem_store.version
-        return self._pallas_meta
-
-    def _get_ivf(self):
-        """Cached IVF clustered index over the semantic store.
-
-        Pure appends (version bump, same ``structural_version``) extend
-        the exact-scanned spill incrementally — O(spill+delta) instead of
-        repacking all N rows per query during interleaved indexing; a
-        full repack runs once the spill outgrows its threshold or the
-        store mutates structurally (delete/compact/grow).  K-means
-        retrains only when no centroids exist yet, the dim changed, the
-        requested ``ivf_clusters`` differs from the trained count, or the
-        live row count has more than doubled since the last training
-        (stale centroids still route probes well — classic IVF practice).
-        """
-        from pixelbox_tpu.ops import ivf as ivf_ops
-
-        store = self._sem_store
-        if (
-            self._ivf is not None
-            and self._ivf_version == store.version
-            and self._ivf_cfg == self._ivf_cfg_key()
-            and self._ivf_gen == self._ivf_centroid_gen
-        ):
-            return self._ivf
-        with self._ivf_build_lock:
-            return self._build_ivf_locked(ivf_ops, store)
-
-    def _ivf_cfg_key(self):
-        """Knobs whose change must invalidate the cached IVF index
-        (0 = auto cluster count)."""
-        return (int(self.ivf_clusters or 0),)
-
-    def _ensure_ivf_centroids(self, ivf_ops, rows, valid, n_live) -> bool:
-        """Train or restore the shared k-means centroids (call under the
-        build lock).  Returns True when a retrain happened — the
-        centroid generation bump invalidates BOTH packed caches.
-
-        Retrain keys on the REQUESTED ``ivf_clusters`` knob (0 = auto),
-        not on its n_live-clamped value: a knob larger than the current
-        live count would otherwise change its clamp on every append and
-        force a full k-means + repack per query during interleaved
-        indexing.  Growth toward a large knob is handled by the doubling
-        rule (each doubling retrain uses the current clamp).
-        """
-        dim = rows.shape[1]
-        if self._ivf_centroids is None:
-            self._load_ivf_sidecar(dim)
-        want_knob = int(self.ivf_clusters or 0)
-        # Auto (knob 0) accepts whatever was trained — a flag-less
-        # reopen of an explicitly-clustered library must not retrain.
-        knob_mismatch = (
-            want_knob != 0 and want_knob != self._ivf_trained_want
-        )
-        retrain = (
-            self._ivf_centroids is None
-            or self._ivf_centroids.shape[1] != dim
-            or knob_mismatch
-            or n_live > 2 * max(1, self._ivf_trained_n)
-        )
-        if retrain:
-            c = (
-                min(want_knob, n_live) if want_knob
-                else ivf_ops.default_n_clusters(n_live)
-            )
-            with timed("engine.ivf_train"):
-                self._ivf_centroids = ivf_ops.spherical_kmeans(
-                    rows, valid, c, iters=10, seed=0
-                )
-            self._ivf_trained_n = n_live
-            self._ivf_trained_want = want_knob
-            self._ivf_centroid_gen += 1
-            self._save_ivf_sidecar()
-        return retrain
-
-    def _build_ivf_locked(self, ivf_ops, store):
-        # Double-check under the lock: a concurrent query may have just
-        # finished the identical build.
-        cfg = self._ivf_cfg_key()
-        if (
-            self._ivf is not None
-            and self._ivf_version == store.version
-            and self._ivf_cfg == cfg
-            and self._ivf_gen == self._ivf_centroid_gen
-        ):
-            return self._ivf
-        # Capture the store state BEFORE reading rows: stamping
-        # store.version after a long build would mark a pack that missed
-        # a mid-build append as current (the read lock normally prevents
-        # concurrent mutation, but a submitter timing out of the batching
-        # service can drop the lock while the collector still builds).
-        ver = store.version
-        struct = store.structural_version
-        n_now = store.n
-        rows = store._host_rows[:n_now]
-        valid = store._host_valid[:n_now]
-        n_live = int(valid.sum())
-        if n_live == 0:
-            return None
-        retrained = self._ensure_ivf_centroids(ivf_ops, rows, valid, n_live)
-        if (
-            not retrained
-            and self._ivf is not None
-            and self._ivf_cfg == cfg
-            and self._ivf_gen == self._ivf_centroid_gen
-            and self._ivf_structural == struct
-            and n_now >= self._ivf_packed_n
-        ):
-            # Pure appends since the last pack: extend the spill only.
-            # The current spill may already hold earlier deltas, so the
-            # base is only its pre-pack part — recomputing the full
-            # appended range keeps repeated extends duplicate-free.
-            delta = np.flatnonzero(valid[self._ivf_packed_n :]).astype(
-                np.int64
-            ) + self._ivf_packed_n
-            old_spill = ivf_ops.live_spill_ids(self._ivf).astype(np.int64)
-            base_spill = old_spill[old_spill < self._ivf_packed_n]
-            total_spill = len(base_spill) + len(delta)
-            # Spill is scanned exactly by every query; repack once it
-            # stops being a rounding error next to the probed buckets.
-            if total_spill <= max(8192, (self._ivf_packed_n // 16)):
-                with timed("engine.ivf_extend"):
-                    self._ivf = ivf_ops.rebuild_spill(
-                        self._ivf, rows,
-                        np.concatenate([base_spill, delta]),
-                    )
-                self._ivf_version = ver
-                return self._ivf
-        with timed("engine.ivf_build"):
-            self._ivf = ivf_ops.build_ivf(
-                rows, valid, self._ivf_centroids,
-                precision=self.semantic_precision,
-            )
-        self._ivf_version = ver
-        self._ivf_structural = struct
-        self._ivf_packed_n = n_now
-        self._ivf_cfg = cfg
-        self._ivf_gen = self._ivf_centroid_gen
-        return self._ivf
-
-    def _get_ivf_sharded(self):
-        """Row-sharded IVF mirror (serve_on_mesh + scan_mode == 'ivf').
-
-        Shares the single-chip path's centroids/sidecar/retrain policy;
-        each shard packs its contiguous store range into per-shard
-        buckets with global row ids (parallel/sharded_ivf).  Pure appends
-        extend the per-shard exact spills incrementally; structural
-        changes full-rebuild.
-        """
-        from pixelbox_tpu.ops import ivf as ivf_ops
-        from pixelbox_tpu.parallel import sharded_ivf as sivf_mod
-
-        store = self._sem_store
-        if (
-            self._ivf_sharded is not None
-            and self._ivf_sharded_at_ver == store.version
-            and self._ivf_sharded_cfg == self._ivf_cfg_key()
-            and self._ivf_sharded_gen == self._ivf_centroid_gen
-        ):
-            return self._ivf_sharded
-        with self._ivf_build_lock:
-            return self._build_ivf_sharded_locked(ivf_ops, sivf_mod, store)
-
-    def _mesh_padded_mirror(self, store):
-        """Host mirror padded to a mesh-divisible row count.  Compaction
-        shrinks ``_host_rows`` to exactly n rows (index/store.py), which
-        need not divide the mesh size — the flat sharded path is immune
-        because it shards the block-padded device index, but the IVF
-        builder packs from the host mirror.  Pad rows are invalid and
-        never pack into buckets or spill."""
-        rows = store._host_rows
-        valid = store._host_valid
-        n_shards = self.scan_mesh.shape["data"]
-        n_pad = -(-rows.shape[0] // n_shards) * n_shards
-        if n_pad != rows.shape[0]:
-            rows = np.concatenate([
-                rows,
-                np.zeros((n_pad - rows.shape[0], rows.shape[1]),
-                         dtype=rows.dtype),
-            ])
-            valid = np.concatenate([
-                valid, np.zeros(n_pad - valid.shape[0], dtype=bool)
-            ])
-        return rows, valid
-
-    def _build_ivf_sharded_locked(self, ivf_ops, sivf_mod, store):
-        cfg = self._ivf_cfg_key()
-        if (
-            self._ivf_sharded is not None
-            and self._ivf_sharded_at_ver == store.version
-            and self._ivf_sharded_cfg == cfg
-            and self._ivf_sharded_gen == self._ivf_centroid_gen
-        ):
-            return self._ivf_sharded
-        # Capture BEFORE reading the mirror (see _build_ivf_locked).
-        ver = store.version
-        struct = store.structural_version
-        n_now = store.n
-        rows, valid = self._mesh_padded_mirror(store)
-        n_live = int(valid[:n_now].sum())
-        if n_live == 0:
-            return None
-        retrained = self._ensure_ivf_centroids(
-            ivf_ops, rows[:n_now], valid[:n_now], n_live
-        )
-        if (
-            not retrained
-            and self._ivf_sharded is not None
-            and self._ivf_sharded_cfg == cfg
-            and self._ivf_sharded_gen == self._ivf_centroid_gen
-            and self._ivf_sharded_struct == struct
-            and n_now >= self._ivf_sharded_packed_n
-        ):
-            packed_n = self._ivf_sharded_packed_n
-            local_rows = rows.shape[0] // self.scan_mesh.shape["data"]
-            delta = np.flatnonzero(
-                valid[packed_n:n_now]
-            ).astype(np.int64) + packed_n
-            bases = [
-                b[b < packed_n] for b in self._ivf_sharded_spill_ids
-            ]
-            total_spill = sum(len(b) for b in bases) + len(delta)
-            if total_spill <= max(8192, packed_n // 16):
-                per_shard = [
-                    np.concatenate([b, delta[(delta // local_rows) == s]])
-                    for s, b in enumerate(bases)
-                ]
-                with timed("engine.ivf_extend"):
-                    self._ivf_sharded = sivf_mod.rebuild_sharded_spill(
-                        self._ivf_sharded, rows, per_shard, self.scan_mesh
-                    )
-                self._ivf_sharded_spill_ids = per_shard
-                self._ivf_sharded_at_ver = ver
-                return self._ivf_sharded
-        with timed("engine.ivf_build"):
-            self._ivf_sharded, spill_ids = sivf_mod.build_sharded_ivf(
-                rows, valid, self._ivf_centroids, self.scan_mesh,
-                precision=self.semantic_precision,
-            )
-        self._ivf_sharded_spill_ids = spill_ids
-        self._ivf_sharded_at_ver = ver
-        self._ivf_sharded_struct = struct
-        self._ivf_sharded_packed_n = n_now
-        self._ivf_sharded_cfg = cfg
-        self._ivf_sharded_gen = self._ivf_centroid_gen
-        return self._ivf_sharded
-
-    def _ivf_sidecar_path(self) -> Optional[str]:
-        if not self.db_path or self.db_path == ":memory:":
-            return None
-        return self.db_path + ".ivf.npz"
-
-    def _library_uuid(self) -> str:
-        """Stable per-library identity (persisted in pixelbox_settings),
-        minted on first use.  Ties derived sidecar files to THIS library:
-        a lib.db deleted and rebuilt in place gets a fresh uuid, so its
-        stale lib.db.ivf.npz is rejected instead of silently steering
-        probes with centroids trained on the old corpus."""
-        u = self.catalog.get_setting("library_uuid")
-        if not u:
-            import uuid
-
-            u = uuid.uuid4().hex
-            self.catalog.set_setting("library_uuid", u)
-        return u
-
-    def _load_ivf_sidecar(self, dim: int) -> None:
-        """Restore trained IVF centroids from the library sidecar, so a
-        reopened library's first ivf query skips k-means (the bucket
-        packing itself always rebuilds from the live store)."""
-        path = self._ivf_sidecar_path()
-        if path is None or not os.path.exists(path):
-            return
-        try:
-            with np.load(path) as z:
-                cents = np.asarray(z["centroids"], dtype=np.float32)
-                trained_n = int(z["trained_n"])
-                trained_want = (
-                    int(z["trained_want"]) if "trained_want" in z else 0
-                )
-                lib_uuid = str(z["library_uuid"]) if "library_uuid" in z \
-                    else ""
-        except Exception as e:  # noqa: BLE001 — stale/corrupt: retrain
-            print(f"ivf sidecar unreadable ({e}); retraining", file=sys.stderr)
-            return
-        if lib_uuid != self._library_uuid():
-            print("ivf sidecar belongs to a different library; retraining",
-                  file=sys.stderr)
-            return
-        if cents.ndim == 2 and cents.shape[1] == dim:
-            self._ivf_centroids = cents
-            self._ivf_trained_n = trained_n
-            self._ivf_trained_want = trained_want
-
-    def _save_ivf_sidecar(self) -> None:
-        path = self._ivf_sidecar_path()
-        if path is None or self._ivf_centroids is None:
-            return
-        try:
-            np.savez(path, centroids=self._ivf_centroids,
-                     trained_n=np.int64(self._ivf_trained_n),
-                     trained_want=np.int64(self._ivf_trained_want),
-                     library_uuid=self._library_uuid())
-        except Exception as e:  # noqa: BLE001 — non-fatal cache
-            print(f"ivf sidecar not saved: {e}", file=sys.stderr)
-
-    def _get_scan_sample(self):
-        """Cached θ-estimation subsample for the auto scan (ops.scan);
-        None while the index is small enough that auto scans directly."""
-        from pixelbox_tpu.ops.scan import DEFAULT_BLOCK_ROWS, build_scan_sample
-
-        index = self._sem_store.device_index
-        if index.capacity <= 4 * DEFAULT_BLOCK_ROWS:
-            return None
-        if (
-            self._scan_sample is None
-            or self._scan_sample_at_ver != self._sem_store.version
-        ):
-            self._scan_sample = build_scan_sample(index)
-            self._scan_sample_at_ver = self._sem_store.version
-        return self._scan_sample
-
-    def _get_blip_scan_sample(self):
-        """BLIP-store twin of :meth:`_get_scan_sample` (text: queries)."""
-        from pixelbox_tpu.ops.scan import DEFAULT_BLOCK_ROWS, build_scan_sample
-
-        index = self._blip_store.device_index
-        if index.capacity <= 4 * DEFAULT_BLOCK_ROWS:
-            return None
-        if (
-            self._blip_scan_sample is None
-            or self._blip_scan_sample_at_ver != self._blip_store.version
-        ):
-            self._blip_scan_sample = build_scan_sample(index)
-            self._blip_scan_sample_at_ver = self._blip_store.version
-        return self._blip_scan_sample
-
-    def _get_blip_pallas_meta(self):
-        from pixelbox_tpu.ops.pallas_scan import build_row_meta
-
-        if (
-            self._blip_pallas_meta is None
-            or self._blip_pallas_meta_at_ver != self._blip_store.version
-        ):
-            self._blip_pallas_meta = build_row_meta(self._blip_store.device_index)
-            self._blip_pallas_meta_at_ver = self._blip_store.version
-        return self._blip_pallas_meta
-
-    # ------------------------------------------------------------------ #
-    # Visual similarity query (engine.rs:352-396)
-
-    def query_by_image_hash_from_file(self, path: str) -> None:
-        self._cached_search_results = None
-        if self.embedder is None:
-            self.last_query_error = (
-                "similarity search disabled: no embedder model "
-                "(embedder='none'); tag/filename/phash search and "
-                "similar-id on stored hashes remain available"
-            )
-            self._cached_search_results = []
-            return
-        t0 = time.perf_counter()
-        record = self.load_image(path)
-        print(f"Time to compute image hash: {time.perf_counter()-t0:.3f}s", file=sys.stderr)
-        if record is None:
-            self.last_query_error = f"cannot decode image: {path}"
-            return
-        self.query_by_image_hash_from_image(record)
-
-    def _int4_single_chip_scan(
-        self, record: IndexedImage, k: int,
-        max_distance: Optional[float] = None,
-    ):
-        from pixelbox_tpu.ops.int4 import (
-            cosine4_scan_topk_auto,
-            cosine4a_scan_topk,
-        )
-        from pixelbox_tpu.ops.scan import (
-            DEFAULT_BLOCK_ROWS,
-            _default_backend_is_tpu,
-        )
-
-        if max_distance is None:
-            max_distance = float(self.max_distance_from_query)
-        index = self._sem_store.device_index
-        if self.scan_mode == "exact":
-            return cosine4a_scan_topk(
-                jnp.asarray(record.visual_hash), index, k=k,
-                max_distance=max_distance,
-            )
-        # auto / fast / pallas → the guaranteed-exact auto
-        meta = None
-        if (
-            _default_backend_is_tpu()
-            and index.capacity > 4 * DEFAULT_BLOCK_ROWS
-        ):
-            meta = self._get_pallas_meta()
-        return cosine4_scan_topk_auto(
-            record.visual_hash, index, k=k,
-            max_distance=max_distance,
-            sample=self._get_scan_sample(),
-            meta=meta,
-        )
-
-    @_read_locked
-    def query_by_image_hash_from_id(self, image_id: int) -> None:
-        """Find-similar on an INDEXED image using its stored hash.
-
-        The reference's per-result "Search for Similar" re-decodes and
-        re-embeds the file (search.rs:100 → engine.rs:352-361); using the
-        stored hash is faster (no decode/forward) and guarantees an exact
-        self-match (re-embedding can drift by quantization ulps when
-        ingest batched the forward — PERF.md).  File-based queries keep
-        the reference's recompute semantics.
-        """
-        self._cached_search_results = None
-        blob = self.catalog.get_hash("semantic_hashes", image_id)
-        if blob is None:
-            self.last_query_error = f"image {image_id} has no semantic hash"
-            self._cached_search_results = []
-            return
-        info = self.catalog.get_image(image_id)
-        record = IndexedImage(
-            id=image_id,
-            filename=info["filename"] if info else "",
-            path=info["path"] if info else "",
-            visual_hash=np.frombuffer(blob, dtype=np.uint8),
-        )
-        self.query_by_image_hash_from_image(record)
-
-    @_read_locked
-    def query_by_image_hash_from_image(self, record: IndexedImage) -> None:
-        if record.visual_hash is None:
-            print("TODO: IndexedImage is somehow missing a hash!", file=sys.stderr)
-            return
-        self._cached_search_results = None
-        if self._sem_store is None or self._sem_store.size == 0:
-            self._cached_search_results = []
-            return
-        t0 = time.perf_counter()
-        k = int(self.max_search_results)
-        with timed("engine.similarity_scan"):
-            if self.scan_mode == "ivf":
-                # Clustered ANN (opt-in): probe the nprobe nearest
-                # clusters; candidate selection is approximate, returned
-                # distances are exact (ops/ivf.py).  Buckets pack at the
-                # library's precision: u8 (exact u8 reciprocal-cosine),
-                # or int4 at half the bucket HBM (asymmetric cosine4a
-                # candidates + the standard exact-u8 rerank, exactly
-                # like the flat int4 flow).  Under serve_on_mesh the
-                # probe runs row-sharded over the mesh
-                # (parallel/sharded_ivf): N chips ≈ N× the ANN rate.
-                dist, idx = self._ivf_query(
-                    np.asarray(record.visual_hash, dtype=np.uint8), k
-                )
-            elif self.semantic_precision == "int4":
-                # With rerank on (default): candidates-then-exact-u8-
-                # rescore via the shared orchestration (ops.int4.
-                # scan_with_u8_rerank — one place owns the scan_k /
-                # UNBOUNDED / rescore dance).
-                from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
-
-                if self.scan_mesh is not None:
-                    from pixelbox_tpu.parallel.sharded_scan import (
-                        sharded_cosine4_scan_topk,
-                        sharded_cosine4_scan_topk_auto,
-                    )
-
-                    fn = (
-                        sharded_cosine4_scan_topk
-                        if self.scan_mode == "exact"
-                        else sharded_cosine4_scan_topk_auto
-                    )
-
-                    def _scan(c, md):
-                        return fn(
-                            jnp.asarray(record.visual_hash),
-                            self._get_sharded_index(),
-                            self.scan_mesh,
-                            k=c,
-                            max_distance=md,
-                        )
-
-                    # Falls through to the shared result assembly below.
-                else:
-                    def _scan(c, md):
-                        return self._int4_single_chip_scan(
-                            record, c, max_distance=md
-                        )
-
-                if self.int4_rerank:
-                    dist, idx = scan_with_u8_rerank(
-                        _scan,
-                        np.asarray(record.visual_hash, dtype=np.uint8),
-                        self._sem_store._host_rows,
-                        k=k,
-                        max_distance=float(self.max_distance_from_query),
-                    )
-                else:
-                    dist, idx = _scan(k, float(self.max_distance_from_query))
-            elif self.scan_mesh is not None:
-                from pixelbox_tpu.parallel.sharded_scan import (
-                    sharded_cosine_scan_topk,
-                    sharded_cosine_scan_topk_auto,
-                )
-
-                if self.scan_mode == "auto":
-                    # Verified-threshold + repair, distributed (the same
-                    # guaranteed-exact fast path as single-chip).
-                    dist, idx = sharded_cosine_scan_topk_auto(
-                        jnp.asarray(record.visual_hash),
-                        self._get_sharded_index(),
-                        self.scan_mesh,
-                        k=k,
-                        max_distance=float(self.max_distance_from_query),
-                    )
-                else:
-                    # The fused Pallas kernel is single-chip; per-shard
-                    # exact is the multi-chip equivalent (same results).
-                    mode = "exact" if self.scan_mode == "pallas" else self.scan_mode
-                    dist, idx = sharded_cosine_scan_topk(
-                        jnp.asarray(record.visual_hash),
-                        self._get_sharded_index(),
-                        self.scan_mesh,
-                        k=k,
-                        max_distance=float(self.max_distance_from_query),
-                        mode=mode,
-                    )
-            elif self.scan_mode == "pallas":
-                from pixelbox_tpu.ops.scan import _default_backend_is_tpu
-
-                index = self._sem_store.device_index
-                if _default_backend_is_tpu() and index.capacity % 8 == 0:
-                    from pixelbox_tpu.ops.pallas_scan import (
-                        pallas_cosine_scan_topk,
-                    )
-
-                    self._get_pallas_meta()
-                    tile = min(2048, index.capacity)
-                    dist, idx = pallas_cosine_scan_topk(
-                        jnp.asarray(record.visual_hash),
-                        index,
-                        self._pallas_meta,
-                        k=k,
-                        max_distance=float(self.max_distance_from_query),
-                        tile_rows=tile,
-                    )
-                else:
-                    # Mosaic kernels don't lower off-TPU — identical
-                    # results via the exact XLA scan (same spec).
-                    dist, idx = cosine_scan_topk(
-                        jnp.asarray(record.visual_hash),
-                        index,
-                        k=k,
-                        max_distance=float(self.max_distance_from_query),
-                        block_rows=min(32768, index.capacity),
-                        mode="exact",
-                    )
-            elif self.scan_mode == "auto":
-                from pixelbox_tpu.ops.scan import (
-                    DEFAULT_BLOCK_ROWS,
-                    _default_backend_is_tpu,
-                )
-
-                index = self._sem_store.device_index
-                meta = None
-                if (
-                    _default_backend_is_tpu()
-                    and index.capacity > 4 * DEFAULT_BLOCK_ROWS
-                ):
-                    meta = self._get_pallas_meta()
-                dist, idx = cosine_scan_topk_auto(
-                    record.visual_hash,
-                    index,
-                    k=k,
-                    max_distance=float(self.max_distance_from_query),
-                    sample=self._get_scan_sample(),
-                    row_meta=meta,
-                )
-            else:
-                dist, idx = cosine_scan_topk(
-                    jnp.asarray(record.visual_hash),
-                    self._sem_store.device_index,
-                    k=k,
-                    max_distance=float(self.max_distance_from_query),
-                    mode=self.scan_mode,
-                )
-        dist = np.asarray(dist)
-        idx = np.asarray(idx)
-        keep = idx >= 0
-        self._cached_search_results = self._build_results(idx[keep], dist[keep])
-        n = len(self._cached_search_results)
-        print(f"Time to search DB: {time.perf_counter()-t0:.3f}s  Results: {n}", file=sys.stderr)
-
-    @_read_locked
-    def query_by_phash(self, phash_bytes: np.ndarray, k: Optional[int] = None) -> None:
-        """Perceptual-hash (Hamming) search — the capability behind the
-        reference's phash table + hamming UDF (engine.rs:594-663).
-
-        Uniform-width indexes run on the MXU via the bit-unpacked ±1 GEMM
-        formulation (ops.hamming_gemm), derived lazily from the packed
-        store.  Mixed widths (aspect-preserving compat phashes) replicate
-        the reference's zip-truncate semantics (engine.rs:594-604): rows
-        are grouped by min(query_width, row_width) and each group scans
-        with that byte limit + divisor; groups merge by (dist, row id).
-        """
-        self._cached_search_results = None
-        if self._ph_store is None or self._ph_store.size == 0:
-            self._cached_search_results = []
-            return
-        ph = np.asarray(phash_bytes, dtype=np.uint8).ravel()
-        wq = len(ph)
-        dim = self._ph_store.dim
-        kk = int(k or self.max_search_results)
-        md = float(self.max_distance_from_query)
-
-        widths = np.asarray(self._ph_widths, dtype=np.int64)
-        uniform = wq >= dim and bool(np.all(widths == dim))
-        if uniform and self.scan_mesh is not None:
-            # Row-sharded Hamming scan over the mesh (per-chip xor+popcount
-            # top-k, ICI candidate merge) — same results as single-chip.
-            dist, idx = self._phash_sharded_scan(ph[:dim], kk, md)
-        elif uniform:
-            dist, idx = self._phash_gemm_scan(ph[:dim], kk, md)
-        else:
-            # Mixed widths: grouped zip-truncate scans (single-chip; the
-            # per-group masked validity would otherwise reshard per query).
-            dist, idx = self._phash_mixed_scan(ph, wq, widths, kk, md)
-        keep = idx >= 0
-        ids = [self._ph_image_ids[int(row)] for row in idx[keep]]
-        self._cached_search_results = self._results_from_image_ids(
-            ids, dist[keep]
-        )
-
-    def _ensure_ph_gemm(self):
-        """Lazy ±1 bit-unpacked GEMM index + θ sample + kernel meta for
-        the packed phash store (cache keyed on the store version)."""
-        from pixelbox_tpu.ops.hamming_gemm import (
-            build_hamming_gemm_index,
-            build_hamming_scan_sample,
-        )
-
-        if (
-            getattr(self, "_ph_gemm", None) is None
-            or self._ph_gemm_at_ver != self._ph_store.version
-        ):
-            from pixelbox_tpu.ops.pallas_scan import build_hamming_meta
-
-            self._ph_gemm = build_hamming_gemm_index(self._ph_store.device_index)
-            self._ph_gemm_sample = build_hamming_scan_sample(self._ph_gemm)
-            self._ph_gemm_meta = build_hamming_meta(self._ph_gemm)
-            self._ph_gemm_at_ver = self._ph_store.version
-
-    def _phash_gemm_scan(self, q: np.ndarray, k: int, max_distance: float):
-        from pixelbox_tpu.ops.hamming_gemm import (
-            hamming_gemm_scan_topk,
-            hamming_gemm_scan_topk_auto,
-        )
-
-        self._ensure_ph_gemm()
-        if self.scan_mode == "fast":
-            dist, idx = hamming_gemm_scan_topk(
-                jnp.asarray(q), self._ph_gemm, k=k, max_distance=max_distance,
-                mode="fast",
-            )
-        else:
-            # Guaranteed-exact; TPU runs the fused threshold kernel.
-            dist, idx = hamming_gemm_scan_topk_auto(
-                jnp.asarray(q), self._ph_gemm, k=k, max_distance=max_distance,
-                sample=self._ph_gemm_sample, meta=self._ph_gemm_meta,
-            )
-        return np.asarray(dist), np.asarray(idx)
-
-    def _ensure_ph_sharded(self):
-        """Row-sharded phash mirror, synced lazily with the same delta
-        contract as :meth:`_get_sharded_index`: in-capacity appends ship
-        only the bucket-padded delta rows; structural changes (capacity
-        or width growth, deletes, compaction) full-reshard."""
-        from pixelbox_tpu.parallel.sharded_scan import (
-            append_to_sharded_hamming_index,
-            shard_hamming_index,
-        )
-
-        store = self._ph_store
-        if (
-            self._ph_sharded is not None
-            and self._ph_sharded_at_ver == store.version
-        ):
-            return self._ph_sharded
-        if (
-            self._ph_sharded is not None
-            and store.structural_version == self._ph_sharded_struct_ver
-            and store.n > self._ph_sharded_synced_n
-        ):
-            end = store.n
-            m = end - self._ph_sharded_synced_n
-            bucket = 1
-            while bucket < m:
-                bucket *= 2
-            start = max(0, end - bucket)
-            self._ph_sharded = append_to_sharded_hamming_index(
-                self._ph_sharded,
-                store._host_rows[start:end],
-                store._host_valid[start:end],
-                start,
-            )
-        else:
-            self._ph_sharded = shard_hamming_index(
-                store.device_index, self.scan_mesh
-            )
-            self._ph_sharded_full_reshards += 1
-            self._ph_sharded_struct_ver = store.structural_version
-        self._ph_sharded_at_ver = store.version
-        self._ph_sharded_synced_n = store.n
-        return self._ph_sharded
-
-    def _phash_sharded_scan(self, q: np.ndarray, k: int, max_distance: float):
-        from pixelbox_tpu.parallel.sharded_scan import sharded_hamming_scan_topk
-
-        dist, idx = sharded_hamming_scan_topk(
-            jnp.asarray(q), self._ensure_ph_sharded(), self.scan_mesh, k=k,
-            max_distance=max_distance,
-        )
-        return np.asarray(dist), np.asarray(idx)
-
-    # ------------------------------------------------------------------ #
-    # Batched modality scans for the serving layer (BatchingScanService
-    # coalesces concurrent phash and text: queries through these; rows
-    # map back to image ids with the *_ids_for_rows helpers on the
-    # request thread).
-
-    def phash_scan_batched(self, queries: np.ndarray, k: int, max_distance: float):
-        """Batched uniform-width Hamming scan: u8 [B, H] → (dist [B,k],
-        device rows [B,k]).  Raises on a mixed-width (compat) store —
-        those queries take the grouped zip-truncate path per query."""
-        from pixelbox_tpu.ops.hamming_gemm import hamming_gemm_scan_topk_auto
-
-        q = np.asarray(queries, dtype=np.uint8)
-        dim = self._ph_store.dim
-        widths = np.asarray(self._ph_widths, dtype=np.int64)
-        if q.shape[1] < dim or not bool(np.all(widths == dim)):
-            raise ValueError("mixed-width phash store: no batched path")
-        self._ensure_ph_gemm()
-        dist, idx = hamming_gemm_scan_topk_auto(
-            jnp.asarray(q[:, :dim]), self._ph_gemm, k=k,
-            max_distance=max_distance,
-            sample=self._ph_gemm_sample, meta=self._ph_gemm_meta,
-        )
-        return np.asarray(dist), np.asarray(idx)
-
-    def phash_ids_for_rows(self, rows) -> list:
-        return [self._ph_image_ids[int(r)] for r in rows]
-
-    def blip_scan_batched(self, hashes: np.ndarray, k: int, max_distance: float):
-        """Batched text→image scan over the BLIP store: quantized text
-        hashes u8 [B, D] → (dist [B,k], device rows [B,k]).  Row-sharded
-        over the mesh under ``serve_on_mesh``, single-chip otherwise —
-        the same guaranteed-exact auto scan either way."""
-        dist, idx = self._blip_topk_rows(
-            jnp.asarray(np.asarray(hashes, np.uint8)), k
-        )
-        return np.asarray(dist), np.asarray(idx)
-
-    def _blip_topk_rows(self, q, k: int):
-        """Unfiltered BLIP scan core (``text:`` has no distance threshold
-        — engine.rs:294-315 orders the whole match set)."""
-        if self.scan_mesh is not None:
-            from pixelbox_tpu.parallel.sharded_scan import (
-                sharded_cosine_scan_topk_auto,
-            )
-
-            return sharded_cosine_scan_topk_auto(
-                q, self._ensure_blip_sharded(), self.scan_mesh,
-                k=k, max_distance=np.inf,
-            )
-        return cosine_scan_topk_auto(
-            q, self._blip_store.device_index, k=k, max_distance=np.inf,
-            sample=self._get_blip_scan_sample(),
-            row_meta=self._get_blip_pallas_meta(),
-        )
-
-    def _masked_exact_topk(self, q, store, ensure_sharded, rows, k,
-                           max_distance):
-        """Exact top-k over a row-masked u8 index (broad catalog filters).
-
-        Single-chip: mask the resident index's validity.  Under
-        ``serve_on_mesh``: fold the mask into the sharded mirror's
-        validity so filtered scans scale with the mesh too.  Exact (not
-        auto) — a filter-shrunk validity set breaks the θ sample's
-        assumptions, so proofs would just fail into repairs."""
-        if self.scan_mesh is not None:
-            from pixelbox_tpu.parallel.sharded_scan import (
-                sharded_cosine_scan_topk,
-            )
-
-            base = ensure_sharded()
-            mask = jnp.zeros(base.capacity, dtype=bool).at[
-                jnp.asarray(rows)
-            ].set(True)
-            masked = base._replace(
-                valid=jnp.logical_and(base.valid, mask)
-            )
-            return sharded_cosine_scan_topk(
-                q, masked, self.scan_mesh, k=k, max_distance=max_distance
-            )
-        index = store.device_index
-        mask = jnp.zeros(index.capacity, dtype=bool).at[
-            jnp.asarray(rows)
-        ].set(True)
-        masked = index._replace(valid=jnp.logical_and(index.valid, mask))
-        return cosine_scan_topk(q, masked, k=k, max_distance=max_distance)
-
-    def _ensure_blip_sharded(self):
-        """Row-sharded BLIP-store mirror (serve_on_mesh).  Full reshard
-        on version change, like the face mirror — BLIP stores grow one
-        row per image and are far smaller than delta-sync would pay for."""
-        from pixelbox_tpu.parallel.sharded_scan import shard_semantic_index
-
-        if (
-            self._blip_sharded is None
-            or self._blip_sharded_at_ver != self._blip_store.version
-        ):
-            self._blip_sharded = shard_semantic_index(
-                self._blip_store.device_index, self.scan_mesh
-            )
-            self._blip_sharded_at_ver = self._blip_store.version
-        return self._blip_sharded
-
-    def blip_ids_for_rows(self, rows) -> list:
-        return [self._blip_image_ids[int(r)] for r in rows]
-
-    def _ensure_face_sharded(self):
-        """Row-sharded face-store mirror (serve_on_mesh).  Full reshard
-        on version change — face stores are orders of magnitude smaller
-        than the semantic index, so the delta-sync machinery isn't
-        worth carrying here."""
-        from pixelbox_tpu.parallel.sharded_scan import shard_semantic_index
-
-        if (
-            self._face_sharded is None
-            or self._face_sharded_at_ver != self._face_store.version
-        ):
-            self._face_sharded = shard_semantic_index(
-                self._face_store.device_index, self.scan_mesh
-            )
-            self._face_sharded_at_ver = self._face_store.version
-        return self._face_sharded
-
-    def _face_topk_images(self, q, k: int, max_distance: float):
-        """Unfiltered batched face search core: u8 [B, D] (or [D]) face
-        hashes → (dist [B, k] f32, IMAGE ids [B, k] i64, -1 padded).
-
-        Results are image-deduped (faces map many device rows to one
-        image; each image scores at its CLOSEST face), retrying with a
-        doubled face over-fetch until every query fills k images or the
-        candidate set under ``max_distance`` exhausts.  Row-sharded over
-        the mesh under ``serve_on_mesh``; guaranteed-exact auto scan
-        either way."""
-        q = np.asarray(q, dtype=np.uint8)
-        if q.ndim == 1:
-            q = q[None]
-        B = q.shape[0]
-        imgs_arr = self._face_image_ids
-        n_rows = len(imgs_arr)
-        out_d = np.full((B, k), np.inf, np.float32)
-        out_img = np.full((B, k), -1, np.int64)
-        if n_rows == 0:
-            return out_d, out_img
-        k_faces = min(4 * k + 16, n_rows)
-        while True:
-            if self.scan_mesh is not None:
-                from pixelbox_tpu.parallel.sharded_scan import (
-                    sharded_cosine_scan_topk_auto,
-                )
-
-                d, r = sharded_cosine_scan_topk_auto(
-                    jnp.asarray(q), self._ensure_face_sharded(),
-                    self.scan_mesh, k=k_faces, max_distance=max_distance,
-                )
-            else:
-                d, r = cosine_scan_topk_auto(
-                    jnp.asarray(q), self._face_store.device_index,
-                    k=k_faces, max_distance=max_distance,
-                    sample=self._get_face_scan_sample(),
-                    row_meta=self._get_face_pallas_meta(),
-                )
-            d = np.asarray(d).reshape(B, -1)
-            r = np.asarray(r).reshape(B, -1)
-            out_d.fill(np.inf)
-            out_img.fill(-1)
-            under = False
-            for b in range(B):
-                seen, m, matched = set(), 0, 0
-                for dv, rv in zip(d[b], r[b]):
-                    if rv < 0:
-                        break
-                    matched += 1
-                    img = imgs_arr[int(rv)]
-                    if img in seen:
-                        continue
-                    seen.add(img)
-                    out_d[b, m] = dv
-                    out_img[b, m] = img
-                    m += 1
-                    if m >= k:
-                        break
-                # Under-filled AND every fetched face was a real match →
-                # more candidates may exist beyond the over-fetch.
-                if m < k and matched == k_faces:
-                    under = True
-            if not under or k_faces >= n_rows:
-                return out_d, out_img
-            k_faces = min(2 * k_faces, n_rows)
-
-    @_read_locked
-    def face_scan_batched(self, hashes: np.ndarray, k: int, max_distance: float):
-        """Batched face→image scan for the serving layer: u8 [B, D] face
-        hashes → (dist [B, k], IMAGE ids [B, k], -1 padded).
-
-        Unlike the row-returning phash/blip siblings this returns image
-        ids directly: faces map many rows to one image, so image dedup
-        (and its over-fetch retry) must happen inside the batched call —
-        a fixed top-k of rows could under-fill after dedup.  Read-locked
-        because the row→image mapping happens here on the service's
-        collector thread."""
-        return self._face_topk_images(hashes, k, max_distance)
 
     def attach_scan_service(self, service) -> None:
         """Register this engine's batched phash / text / face modalities
@@ -2767,351 +1213,6 @@ class Engine:
                 q, k, md, n_real=n_real
             ),
         )
-
-    def ivf_scan_batched(self, queries_u8, k: int, max_distance: float,
-                         n_real: Optional[int] = None):
-        """Batched IVF scan for the serving layer: u8 [B, D] queries →
-        (dist [B, k], store row ids [B, k]).  Probes run row-sharded over
-        the mesh under ``serve_on_mesh``, single-chip otherwise — the
-        same dispatch (incl. the int4 exact-u8 rerank) as
-        ``query_by_image_hash_from_image``'s ivf branch, without the
-        per-request engine lock.  ``n_real`` (from the batching service)
-        limits the int4 host rescore to the batch's real rows, not its
-        zero-padded compile bucket."""
-        return self._ivf_query(
-            np.asarray(queries_u8, dtype=np.uint8), int(k),
-            max_distance=float(max_distance), n_real=n_real,
-        )
-
-    def _ivf_query(self, q_u8: np.ndarray, k: int,
-                   max_distance: Optional[float] = None,
-                   n_real: Optional[int] = None):
-        """Clustered-ANN scan at the library's precision.
-
-        u8 libraries return exact u8 reciprocal-cosine distances over the
-        probed set.  int4 libraries pack nibble buckets (half the bucket
-        HBM); candidates retrieve in the asymmetric cosine4a metric and —
-        with ``int4_rerank`` on (default) — rescore against the u8 host
-        mirror via the shared ops.int4.scan_with_u8_rerank orchestration,
-        so reported distances are true u8 values exactly like the flat
-        int4 flow."""
-        md = float(
-            self.max_distance_from_query if max_distance is None
-            else max_distance
-        )
-        if self.scan_mesh is not None:
-            from pixelbox_tpu.parallel.sharded_ivf import (
-                sharded_ivf_scan_topk,
-            )
-
-            sivf = self._get_ivf_sharded()
-
-            def _scan(c, md_):
-                return sharded_ivf_scan_topk(
-                    q_u8, sivf, self.scan_mesh, k=c,
-                    nprobe=self.ivf_nprobe, max_distance=md_,
-                )
-        else:
-            from pixelbox_tpu.ops.ivf import ivf_scan_topk
-
-            ivf = self._get_ivf()
-
-            def _scan(c, md_):
-                return ivf_scan_topk(
-                    q_u8, ivf, k=c, nprobe=self.ivf_nprobe,
-                    max_distance=md_,
-                )
-
-        if self.semantic_precision == "int4" and self.int4_rerank:
-            from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
-
-            return scan_with_u8_rerank(
-                _scan, q_u8, self._sem_store._host_rows,
-                k=k, max_distance=md, n_real=n_real,
-            )
-        return _scan(k, md)
-
-    def _phash_mixed_scan(
-        self, ph: np.ndarray, wq: int, widths: np.ndarray, k: int,
-        max_distance: float,
-    ):
-        """Zip-truncate Hamming scan over mixed-width rows: one masked
-        device scan per distinct min(wq, row_width), merged by (dist, id).
-        Under ``serve_on_mesh`` each group's scan runs row-sharded over
-        the mesh (the group mask shards with the rows) — the compat
-        default no longer drops to single-chip.
-        """
-        from pixelbox_tpu.ops.scan import hamming_scan_topk
-
-        index = self._ph_store.device_index
-        cap = index.capacity
-        q = np.zeros(self._ph_store.dim, dtype=np.uint8)
-        q[: min(wq, len(q))] = ph[: len(q)]
-        limits = np.minimum(widths, wq)
-        on_mesh = self.scan_mesh is not None
-        if on_mesh:
-            from pixelbox_tpu.parallel.sharded_scan import (
-                sharded_hamming_scan_topk,
-            )
-
-            sharded = self._ensure_ph_sharded()
-        cand = []
-        for m in np.unique(limits):
-            m = int(m)
-            if m == 0:
-                continue  # 0-length zip → 0/0 = NaN in the reference: excluded
-            group = np.zeros(cap, dtype=bool)
-            rows = np.nonzero(limits == m)[0]
-            group[rows] = True
-            if on_mesh:
-                d, i = sharded_hamming_scan_topk(
-                    jnp.asarray(q), sharded, self.scan_mesh, k=k,
-                    max_distance=max_distance, byte_limit=m,
-                    valid_mask=group,
-                )
-            else:
-                masked = index._replace(
-                    valid=jnp.logical_and(index.valid, jnp.asarray(group))
-                )
-                d, i = hamming_scan_topk(
-                    jnp.asarray(q), masked, k=k, max_distance=max_distance,
-                    byte_limit=m,
-                )
-            d, i = np.asarray(d), np.asarray(i)
-            keep = i >= 0
-            cand.append((d[keep], i[keep]))
-        if not cand:
-            return (
-                np.full(k, np.inf, np.float32), np.full(k, -1, np.int32)
-            )
-        all_d = np.concatenate([d for d, _ in cand])
-        all_i = np.concatenate([i for _, i in cand])
-        order = np.lexsort((all_i, all_d))[:k]
-        out_d = np.full(k, np.inf, np.float32)
-        out_i = np.full(k, -1, np.int32)
-        out_d[: len(order)] = all_d[order]
-        out_i[: len(order)] = all_i[order]
-        return out_d, out_i
-
-    # ------------------------------------------------------------------ #
-    # Duplicate finding (built on the batched device scans; the
-    # reference's only dedup affordance is manual per-image
-    # "find similar", search.rs:100)
-
-    @_read_locked
-    def find_duplicate_pairs(
-        self,
-        max_distance: float = 0.1,
-        k: int = 8,
-        batch: int = 256,
-        by: str = "phash",
-    ) -> List[tuple]:
-        """All near-duplicate image pairs across the whole index.
-
-        Scans the index against itself in query batches on device.
-        ``by="phash"``: normalized Hamming over perceptual hashes with
-        strict ``dist < max_distance`` (default 0.1 ≈ under 26 of 256
-        bits differing).  ``by="semantic"``: reciprocal-cosine over the
-        semantic index (guaranteed-exact auto scan; honors the
-        library's int4 precision).
-
-        Returns unique ``(id_a, id_b, dist)`` with ``id_a < id_b``,
-        sorted by (dist, id_a, id_b).  Each image contributes at most
-        ``k-1`` neighbors per direction (k includes the self-match) —
-        raise ``k`` for heavily duplicated corpora.  Mixed-width compat
-        phash libraries compare within same-true-width groups only
-        (duplicate renders share geometry, so cross-aspect pairs are
-        not duplicates).
-        """
-        assert by in ("phash", "semantic"), by
-        if by == "phash":
-            store, row_by_image, image_ids = (
-                self._ph_store, self._ph_row_by_image, self._ph_image_ids,
-            )
-        else:
-            store, row_by_image, image_ids = (
-                self._sem_store, self._sem_row_by_image, self._sem_image_ids,
-            )
-        if store is None or store.size == 0:
-            return []
-        live_rows = np.asarray(sorted(row_by_image.values()), dtype=np.int64)
-
-        # (group_rows, scan_fn(q_batch) -> (dist [B,k], idx [B,k]))
-        groups = []
-        if by == "phash":
-            widths = np.asarray(self._ph_widths, dtype=np.int64)
-            uniform = bool(np.all(widths[live_rows] == store.dim))
-            if uniform and self.scan_mesh is not None:
-                # Whole-index self-scan rides the mesh: each query batch
-                # goes through the row-sharded hamming scan (8 chips ≈
-                # 8× the single-chip pair-finding rate).
-                def scan(qb):
-                    return self._phash_sharded_scan(
-                        np.asarray(qb), k, max_distance
-                    )
-
-                groups.append((live_rows, scan))
-            elif uniform:
-                from pixelbox_tpu.ops.hamming_gemm import (
-                    hamming_gemm_scan_topk_auto,
-                )
-
-                self._ensure_ph_gemm()
-
-                def scan(qb):
-                    d, i = hamming_gemm_scan_topk_auto(
-                        jnp.asarray(qb), self._ph_gemm, k=k,
-                        max_distance=max_distance,
-                        sample=self._ph_gemm_sample, meta=self._ph_gemm_meta,
-                    )
-                    return np.asarray(d), np.asarray(i)
-
-                groups.append((live_rows, scan))
-            else:
-                from pixelbox_tpu.ops.scan import hamming_scan_topk
-
-                index = self._ph_store.device_index
-                for w in np.unique(widths[live_rows]):
-                    w = int(w)
-                    if w == 0:
-                        continue
-                    rows = live_rows[widths[live_rows] == w]
-                    mask = np.zeros(index.capacity, dtype=bool)
-                    mask[rows] = True
-                    masked = index._replace(
-                        valid=jnp.logical_and(index.valid, jnp.asarray(mask))
-                    )
-
-                    def scan(qb, masked=masked, w=w):
-                        d, i = hamming_scan_topk(
-                            jnp.asarray(qb), masked, k=k,
-                            max_distance=max_distance, byte_limit=w,
-                        )
-                        return np.asarray(d), np.asarray(i)
-
-                    groups.append((rows, scan))
-        else:
-            index = store.device_index
-            if self.semantic_precision == "int4":
-                from pixelbox_tpu.ops.int4 import cosine4_scan_topk_auto
-                from pixelbox_tpu.ops.scan import (
-                    DEFAULT_BLOCK_ROWS,
-                    _default_backend_is_tpu,
-                )
-
-                meta = (
-                    self._get_pallas_meta()
-                    if _default_backend_is_tpu()
-                    and index.capacity > 4 * DEFAULT_BLOCK_ROWS
-                    else None
-                )
-
-                if self.scan_mesh is not None:
-                    from pixelbox_tpu.parallel.sharded_scan import (
-                        sharded_cosine4_scan_topk_auto,
-                    )
-
-                    def base_scan(qb, c, md):
-                        return sharded_cosine4_scan_topk_auto(
-                            jnp.asarray(qb), self._get_sharded_index(),
-                            self.scan_mesh, k=c, max_distance=md,
-                        )
-                else:
-                    def base_scan(qb, c, md):
-                        return cosine4_scan_topk_auto(
-                            jnp.asarray(qb), index, k=c, max_distance=md,
-                            sample=self._get_scan_sample(), meta=meta,
-                        )
-
-                if self.int4_rerank:
-                    # Candidates in the int4 metric (unbounded), pair
-                    # distances in the exact u8 metric — duplicate pairs
-                    # then carry the same distances int8 mode reports.
-                    from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
-
-                    def scan(qb):
-                        return scan_with_u8_rerank(
-                            lambda c, md: base_scan(qb, c, md),
-                            qb,
-                            self._sem_store._host_rows,
-                            k=k, max_distance=max_distance,
-                        )
-                else:
-                    def scan(qb):
-                        d, i = base_scan(qb, k, max_distance)
-                        return np.asarray(d), np.asarray(i)
-            elif self.scan_mesh is not None:
-                from pixelbox_tpu.parallel.sharded_scan import (
-                    sharded_cosine_scan_topk_auto,
-                )
-
-                def scan(qb):
-                    d, i = sharded_cosine_scan_topk_auto(
-                        jnp.asarray(qb), self._get_sharded_index(),
-                        self.scan_mesh, k=k, max_distance=max_distance,
-                    )
-                    return np.asarray(d), np.asarray(i)
-            else:
-                def scan(qb):
-                    d, i = cosine_scan_topk_auto(
-                        jnp.asarray(qb), index, k=k,
-                        max_distance=max_distance,
-                        sample=self._get_scan_sample(),
-                        row_meta=self._get_pallas_meta(),
-                    )
-                    return np.asarray(d), np.asarray(i)
-
-            groups.append((live_rows, scan))
-
-        seen = set()
-        out = []
-        with timed("engine.duplicate_scan"):
-            for rows, scan in groups:
-                qrows = store.get_rows(rows)
-                for s in range(0, len(rows), batch):
-                    qb = qrows[s : s + batch]
-                    dists, idxs = scan(qb)
-                    for qi in range(len(qb)):
-                        a = image_ids[int(rows[s + qi])]
-                        for d, r in zip(dists[qi], idxs[qi]):
-                            if r < 0:
-                                break  # hits are sorted; -1 padding follows
-                            b = image_ids[int(r)]
-                            if b == a:
-                                continue
-                            key = (min(a, b), max(a, b))
-                            if key in seen:
-                                continue
-                            seen.add(key)
-                            out.append((key[0], key[1], float(d)))
-        out.sort(key=lambda p: (p[2], p[0], p[1]))
-        return out
-
-    def find_duplicate_groups(self, **kwargs) -> List[List[int]]:
-        """Connected components of :meth:`find_duplicate_pairs` — each
-        group is a sorted list of mutually-near-duplicate image ids
-        (transitively: A~B and B~C group A,B,C even if A,C are just
-        past the cutoff).  Groups sorted by size desc, then first id."""
-        parent: dict = {}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b, _ in self.find_duplicate_pairs(**kwargs):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        groups: dict = {}
-        for x in parent:
-            groups.setdefault(find(x), []).append(x)
-        out = [sorted(g) for g in groups.values()]
-        out.sort(key=lambda g: (-len(g), g[0]))
-        return out
 
     # ------------------------------------------------------------------ #
     # Results (engine.rs:398-402)
