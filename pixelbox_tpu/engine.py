@@ -729,7 +729,9 @@ class Engine(
             return None
         return self._record_from_decoded(decoded)
 
-    def _embed_query_ingest_exact(self, rgb: np.ndarray) -> np.ndarray:
+    def _embed_query_ingest_exact(
+        self, rgb: np.ndarray, frame: Optional[np.ndarray] = None
+    ) -> np.ndarray:
         """Quantized semantic hash through the EXACT ingest batch path.
 
         The reference recomputes a query image's hash through its one and
@@ -749,7 +751,8 @@ class Engine(
         from pixelbox_tpu.ops.quantize import quantize_embedding
 
         b = getattr(self, "_embed_batch_size", None) or DEFAULT_BATCH_SIZE
-        frame = fill_resize_u8(rgb, self.embedder.input_size)
+        if frame is None:
+            frame = fill_resize_u8(rgb, self.embedder.input_size)
         frames = np.zeros((b,) + frame.shape, dtype=np.uint8)
         frames[0] = frame
         stacked = _normalize_frames(jnp.asarray(frames))
@@ -765,12 +768,21 @@ class Engine(
         return np.asarray(quantize_embedding(latents))[0]
 
     def _record_from_decoded(self, decoded: DecodedImage) -> IndexedImage:
-        thumb = qoi_encode(make_thumbnail(decoded.rgb))
+        # Share the embed frame's pre-crop cover image as the thumbnail
+        # source (one full-res resample, same as the ingest pipeline).
+        frame = big = None
+        if self.embedder is not None:
+            from pixelbox_tpu.ops.preprocess import fill_resize_u8_with_big
+
+            frame, big = fill_resize_u8_with_big(
+                decoded.rgb, self.embedder.input_size
+            )
+        thumb = qoi_encode(make_thumbnail(decoded.rgb, prescaled=big))
         ph = phash_ops.phash(decoded.rgb, aspect_preserving=self.phash_compat)
         vh = (
             None
             if self.embedder is None
-            else self._embed_query_ingest_exact(decoded.rgb)
+            else self._embed_query_ingest_exact(decoded.rgb, frame=frame)
         )
         faces = (
             self.detect_and_embed_faces(decoded.rgb)

@@ -37,7 +37,10 @@ from pixelbox_tpu.ingest.crawler import crawl
 from pixelbox_tpu.ingest.decode import decode_image_file, stringify_filepath
 from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
 from pixelbox_tpu.ops import phash as phash_ops
-from pixelbox_tpu.ops.preprocess import fill_resize_u8, preprocess_host
+from pixelbox_tpu.ops.preprocess import (
+    fill_resize_u8_with_big,
+    preprocess_host,
+)
 from pixelbox_tpu.ops.quantize import quantize_embedding
 from pixelbox_tpu.records import IndexedImage
 from pixelbox_tpu.utils.timing import timed
@@ -160,16 +163,20 @@ class IngestPipeline:
                 if decoded is None:
                     self.images_failed += 1
                     continue
-                thumb = qoi_encode(make_thumbnail(decoded.rgb))
                 # Embed input always ships to the device as a u8 frame
                 # (4x less host->device transfer than f32; /255 happens on
                 # device).  Turbo additionally moves phash to the device.
                 # Tags-only mode (embedder None) skips the frame entirely.
-                pre = (
-                    None
+                # The frame's pre-crop cover image doubles as the
+                # thumbnail source: ONE full-res resample per image.
+                pre, big = (
+                    (None, None)
                     if engine.embedder is None
-                    else fill_resize_u8(decoded.rgb, engine.embedder.input_size)
+                    else fill_resize_u8_with_big(
+                        decoded.rgb, engine.embedder.input_size
+                    )
                 )
+                thumb = qoi_encode(make_thumbnail(decoded.rgb, prescaled=big))
                 ph = (
                     None
                     if self.turbo

@@ -18,17 +18,33 @@ from pixelbox_tpu.ops.resample import resize_dimensions, resize_fast
 THUMBNAIL_SIZE = (256, 256)  # indexed_image.rs:13
 
 
-def make_thumbnail(img_rgb: np.ndarray) -> np.ndarray:
+def make_thumbnail(
+    img_rgb: np.ndarray, prescaled: np.ndarray | None = None
+) -> np.ndarray:
     """HxWx3 u8 → aspect-preserving thumbnail fitting 256×256 (u8).
 
     Hot ingest path: native C++ separable triangle resampler when built,
     else PIL's SIMD resampler (same kernel family as the image crate's).
+
+    ``prescaled``: an already cover-resized copy of ``img_rgb`` (the
+    ingest embed frame's pre-crop ``big`` — it shows the whole image).
+    When its dimensions still exceed the fit target, the thumbnail
+    resamples from it instead of the full-res original, so the expensive
+    full-resolution pass is paid once per ingested image.  Thumbnails
+    are display-only blobs (never hashed or compared), so the slightly
+    different two-step filter footprint is semantically free.
     """
     h, w = img_rgb.shape[:2]
     if w <= THUMBNAIL_SIZE[0] and h <= THUMBNAIL_SIZE[1]:
         return np.ascontiguousarray(img_rgb, dtype=np.uint8)
+    # Fit dims always derive from the ORIGINAL aspect ratio.
     out_w, out_h = resize_dimensions(w, h, *THUMBNAIL_SIZE, fill=False)
-    return resize_fast(img_rgb, out_w, out_h)
+    src = img_rgb
+    if prescaled is not None:
+        ph, pw = prescaled.shape[:2]
+        if pw >= out_w and ph >= out_h:  # never upscale from the frame
+            src = prescaled
+    return resize_fast(src, out_w, out_h)
 
 
 def qoi_encode(img_rgb: np.ndarray) -> bytes:

@@ -60,6 +60,21 @@ def fill_resize_u8(img_rgb: np.ndarray, size: int = MODEL_INPUT_SIZE) -> np.ndar
     The turbo ingest pipeline's single host resize: the resulting frame is
     both the embedder input (÷255 on device) and the device-phash input.
     """
+    return fill_resize_u8_with_big(img_rgb, size)[0]
+
+
+def fill_resize_u8_with_big(
+    img_rgb: np.ndarray, size: int = MODEL_INPUT_SIZE
+) -> tuple:
+    """Like :func:`fill_resize_u8` but also returns the pre-crop cover
+    image (``big``, u8 [out_h, out_w, 3] with min(out_h, out_w) == size).
+
+    ``big`` still shows the WHOLE image (the crop only trims the long
+    axis), so ingest re-uses it as the source for the display thumbnail —
+    one full-resolution resample per image instead of two
+    (make_thumbnail(prescaled=big)).  The cropped frame is bit-identical
+    to :func:`fill_resize_u8`'s by construction.
+    """
     from pixelbox_tpu.ops.resample import resize_dimensions, resize_fast
 
     img = np.asarray(img_rgb)
@@ -68,7 +83,7 @@ def fill_resize_u8(img_rgb: np.ndarray, size: int = MODEL_INPUT_SIZE) -> np.ndar
     big = resize_fast(img, out_w, out_h)
     x0 = (out_w - size) // 2
     y0 = (out_h - size) // 2
-    return np.ascontiguousarray(big[y0 : y0 + size, x0 : x0 + size])
+    return np.ascontiguousarray(big[y0 : y0 + size, x0 : x0 + size]), big
 
 
 @lru_cache(maxsize=64)
