@@ -26,6 +26,7 @@ subtracted.
 """
 
 import json
+import os
 import sys
 import time
 import numpy as np
@@ -557,31 +558,29 @@ def bench_ivf_scan(n=1_000_000, d=128, q=64, k=100, nprobe=8, iters=50,
     }
 
 
-def structured_embeddings_chunked(rng, n, d, q, n_clusters=256,
-                                  chunk=1_000_000):
-    """structured_embeddings at capacity scale: chunked host generation
-    (no [n, d] f32 intermediates >1 chunk) + numpy quantization."""
-    from pixelbox_tpu.ops.oracle import quantize_embedding_np
-
-    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
-    spectrum = (1.0 / np.sqrt(1.0 + np.arange(d))).astype(np.float32)
+def clustered_u8(rng, n, d, q, n_clusters=4096, chunk=2_000_000,
+                 noise=18, q_noise=12):
+    """Clustered u8 corpus at capacity scale: integer cluster centers +
+    integer noise, generated in chunks.  ~20x faster on the host than the
+    randn+tanh structured generator (which dominated the 10M capacity
+    row's wall clock) while keeping the property IVF cares about: rows
+    concentrate around cluster centers, queries land near their cluster.
+    """
+    centers = rng.integers(0, 256, size=(n_clusters, d), dtype=np.int16)
     assign = rng.integers(0, n_clusters, size=n)
-    db_u8 = np.empty((n, d), dtype=np.uint8)
+    db = np.empty((n, d), dtype=np.uint8)
     for lo in range(0, n, chunk):
         hi = min(n, lo + chunk)
-        z = centers[assign[lo:hi]] + 0.35 * rng.standard_normal(
-            (hi - lo, d)
-        ).astype(np.float32)
-        np.tanh(z * spectrum[None, :], out=z)
-        db_u8[lo:hi] = quantize_embedding_np(z)
+        block = centers[assign[lo:hi]]
+        block += rng.integers(-noise, noise + 1, size=(hi - lo, d),
+                              dtype=np.int16)
+        np.clip(block, 0, 255, out=block)
+        db[lo:hi] = block.astype(np.uint8)
     pick = rng.integers(0, n, size=q)
-    zq = np.tanh(
-        (centers[assign[pick]]
-         + 0.35 * rng.standard_normal((q, d)).astype(np.float32)
-         + 0.15 * rng.standard_normal((q, d)).astype(np.float32))
-        * spectrum[None, :]
+    qs = centers[assign[pick]] + rng.integers(
+        -q_noise, q_noise + 1, size=(q, d), dtype=np.int16
     )
-    return db_u8, quantize_embedding_np(zq)
+    return db, np.clip(qs, 0, 255).astype(np.uint8)
 
 
 def bench_ivf_capacity(n=10_000_000, d=128, q=32, k=100, nprobe=8,
@@ -598,14 +597,15 @@ def bench_ivf_capacity(n=10_000_000, d=128, q=32, k=100, nprobe=8,
     from pixelbox_tpu.ops.scan import cosine_scan_topk
 
     rng = rng or np.random.default_rng(31)
+    n = int(os.environ.get("PIXELBOX_BENCH_CAPACITY_N", n))
     t0 = time.perf_counter()
-    db_u8, q_u8 = structured_embeddings_chunked(rng, n, d, q)
+    db_u8, q_u8 = clustered_u8(rng, n, d, q)
     gen_s = time.perf_counter() - t0
     valid = np.ones(n, dtype=bool)
 
     t0 = time.perf_counter()
     n_clusters = ivf_ops.default_n_clusters(n)
-    cents = ivf_ops.spherical_kmeans(db_u8, valid, n_clusters, iters=8)
+    cents = ivf_ops.spherical_kmeans(db_u8, valid, n_clusters, iters=6)
     train_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     index4 = ivf_ops.build_ivf(db_u8, valid, cents, precision="int4")
@@ -683,7 +683,7 @@ def bench_ivf_crossover(d=128, k=100, nprobe=8, iters=20,
     crossover = None
     prev = None
     for n in sizes:
-        db_u8, _ = structured_embeddings_chunked(rng, n, d, 4)
+        db_u8, _ = clustered_u8(rng, n, d, 4)
         valid = np.ones(n, dtype=bool)
         cents = ivf_ops.spherical_kmeans(
             db_u8, valid, ivf_ops.default_n_clusters(n), iters=6
@@ -995,27 +995,43 @@ def bench_ingest_scaling(n_images=120, workers=(1, 2, 4, 8), rng=None):
     from pixelbox_tpu.ingest.decode import decode_image_bytes
     from pixelbox_tpu.ingest.thumbnail import make_thumbnail, qoi_encode
     from pixelbox_tpu.ops import phash as phash_ops
-    from pixelbox_tpu.ops.preprocess import fill_resize_u8
+    from pixelbox_tpu.ops.preprocess import fill_resize_u8_with_big
 
-    def _t(fn, reps=40):
+    def _t(fn, reps=5, inner=8):
+        """min-of-reps over inner-averaged runs: the MIN is the robust
+        floor estimator on a contended host (a single mean-of-40 swung
+        ±25-40% between rounds and could hide a real 20% regression)."""
         fn()
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(reps):
-            fn()
-        return (time.perf_counter() - t0) / reps * 1e3
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                fn()
+            best = min(best, (time.perf_counter() - t0) / inner)
+        return best * 1e3
 
     dec = decode_image_bytes(data, "x.jpg", "/x.jpg")
+    # The pipeline pays ONE full-res resample per image: the embed
+    # frame's pre-crop cover image is re-used as the thumbnail source
+    # (ingest/pipeline.py decode worker).  Stage set mirrors that.
+    _, big = fill_resize_u8_with_big(dec.rgb, 224)
+    t_thumb_shared = _t(lambda: make_thumbnail(dec.rgb, prescaled=big))
+    thumb = make_thumbnail(dec.rgb, prescaled=big)
     stages = {
         "decode_exif_ms": _t(lambda: decode_image_bytes(data, "x.jpg", "/x.jpg")),
-        "thumbnail_ms": _t(lambda: make_thumbnail(dec.rgb)),
-        "qoi_ms": _t(lambda: qoi_encode(make_thumbnail(dec.rgb)))
-        - _t(lambda: make_thumbnail(dec.rgb)),
-        "embed_frame_ms": _t(lambda: fill_resize_u8(dec.rgb, 224)),
+        "embed_frame_ms": _t(lambda: fill_resize_u8_with_big(dec.rgb, 224)),
+        "thumbnail_from_frame_ms": t_thumb_shared,
+        "qoi_ms": _t(lambda: qoi_encode(thumb)),
         "phash_compat_ms": _t(
             lambda: phash_ops.phash(dec.rgb, aspect_preserving=True)
         ),
     }
     stages["total_per_core_ms"] = sum(max(v, 0.0) for v in stages.values())
+    # Turbo mode (phash on device from the embed frame) drops the host
+    # phash stage entirely.
+    stages["total_per_core_turbo_ms"] = (
+        stages["total_per_core_ms"] - max(stages["phash_compat_ms"], 0.0)
+    )
     out["stage_floor"] = stages
     out["per_core_images_per_sec"] = 1e3 / stages["total_per_core_ms"]
     out["cores_to_reach_north_star"] = (
@@ -1520,14 +1536,27 @@ def main():
         if full
         else []
     ):
+        only = os.environ.get("PIXELBOX_BENCH_ONLY")
+        if only and name not in only.split(","):
+            continue
         if name in cpu_skip:
             detail[name] = {
                 "skipped": "emergency CPU fallback — not measurable on "
                 "one core (see last_tpu_full_bench / PERF.md)"
             }
             continue
-        if time.monotonic() > deadline:
-            detail[name] = {"skipped": "bench deadline reached (compile cache cold)"}
+        # Budget-aware scheduling: a row whose ESTIMATE doesn't fit the
+        # remaining deadline is skipped up front (the deadline is only
+        # checked between rows, so starting a half-hour capacity build
+        # with two minutes left would stall the whole run — VERDICT r3).
+        est_s = {"ivf_capacity": 900, "ivf_crossover": 240,
+                 "ivf_scan": 300, "blip_text_search": 240,
+                 "train_step": 180}.get(name, 90)
+        if time.monotonic() + est_s > deadline:
+            detail[name] = {
+                "skipped": f"remaining deadline < est {est_s}s "
+                "(raise PIXELBOX_BENCH_DEADLINE_S to include this row)"
+            }
             continue
         _progress(f"{name} start")
         try:
