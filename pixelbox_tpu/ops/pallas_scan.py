@@ -67,6 +67,18 @@ _COSINE_FLOOR = np.float32(1e-6)
 #: masked full-tile extract-min).  Env override for A/B measurement.
 _LOOP_IMPL = os.environ.get("PIXELBOX_SCAN_LOOP", "lanemin")
 
+#: Carry-select hot-tile epilogue: "dist" (default: full in-tile spec
+#: epilogue) or "cos" (select on the -cos key; exact spec distance
+#: recomputed on the candidate list).  NEGATIVE RESULT, measured on
+#: v5e at Q=256/1M×128/k=100: with a FIXED tight θ the cos key cuts the
+#: raw kernel 3.77 → 3.08 ms (the divide/pin/plateau epilogue is ~0.9 ms
+#: of tile time), but at the production sampled θ (target ~320 rows per
+#: query) interleaved A/B shows parity (4.4–4.5 ms both) — extraction
+#: rounds dominate and the epilogue saving vanishes into round-loop
+#: overhead.  Kept behind the env knob: it is proof-safe (plateau
+#: membership check) and wins when thresholds are tight.
+_EPILOGUE = os.environ.get("PIXELBOX_SCAN_EPILOGUE", "dist")
+
 
 # --------------------------------------------------------------------- #
 # Row meta: [4, N] int32 = [row_sum, mag2 (0 = invalid), bitcast f32
@@ -104,9 +116,21 @@ def build_hamming_meta(gemm_index) -> jnp.ndarray:
 # The kernel
 
 
-def _kind_dist_tile(kind, q_i8, dot8, meta_ref, qmeta_ref, dim, wrap_u8):
+def _kind_dist_tile(kind, q_i8, dot8, meta_ref, qmeta_ref, dim, wrap_u8,
+                    epilogue="dist"):
     """Distance of one [Q, T] tile from the GEMM output + meta, canonical
-    spec v2, plus the per-row validity mask."""
+    spec v2, plus the per-row validity mask.
+
+    ``epilogue="cos"`` (cosine kinds): return the selection KEY ``-cos``
+    instead of the distance.  dist is monotone non-increasing in cos, so
+    ascending-key order is ascending-dist order with every tie plateau
+    contiguous — top-k by key selects the same row SET as top-k by dist
+    (membership at a plateau boundary is the one exception, proven away
+    by the wrapper's plateau check).  This drops the per-element divide,
+    the tie-plateau fix-ups, and the identical-vector pin from the hot
+    tile (~2.5x fewer VPU ops/element); the wrapper recomputes the exact
+    spec distance on the tiny [Q, k_lanes] candidate list.
+    """
     if kind == "hamming":
         row_valid = meta_ref[0, :][None, :] > 0
         diff_bits = (jnp.int32(dim) - dot8) >> 1
@@ -138,13 +162,17 @@ def _kind_dist_tile(kind, q_i8, dot8, meta_ref, qmeta_ref, dim, wrap_u8):
             + jnp.int32(65025 * dim)
         )
         qc = 34 * q_i32 - 255
-    q_mag2_f = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
     row_mag2 = meta_ref[1, :][None, :]
     rr = pltpu.bitcast(meta_ref[2:3, :], jnp.float32)          # [1, T]
     qr = qmeta_ref[:, 1:2]                                     # [Q, 1]
     inv = qr * rr                                              # [Q, T]
     dot_f = dot_c.astype(jnp.float32)
     cos = dot_f * inv
+    if epilogue == "cos":
+        # Invalid rows: rr = +inf makes cos = ±inf/NaN; the validity mask
+        # removes them (and NaN fails every `key < bound`).
+        return -cos, row_mag2 > 0
+    q_mag2_f = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
     # fl(1/g) − 1: the −1 is exact for any fl(1/g) ≥ 1, so selection on
     # dist has exactly the oracle's tie plateaus.  Invalid rows (rr=inf)
     # produce ±inf/NaN here; the caller's validity mask removes them
@@ -181,6 +209,7 @@ def _threshold_kernel(
     wrap_u8: bool = False,
     select: str = "carry",
     gate_lanes: int | None = None,
+    epilogue: str = "dist",
 ):
     """The one threshold-scan kernel body (see module docstring).
 
@@ -231,7 +260,8 @@ def _threshold_kernel(
         preferred_element_type=jnp.int32,
     )                                                              # [Q,T]
     dist, row_valid = _kind_dist_tile(
-        kind, q_i8, dot8, meta_ref, qmeta_ref, dim, wrap_u8
+        kind, q_i8, dot8, meta_ref, qmeta_ref, dim, wrap_u8,
+        epilogue=epilogue,
     )
 
     theta = qmeta_ref[:, 0:1]                                      # [Q,1]
@@ -454,7 +484,7 @@ def _threshold_kernel(
 
 def _call_threshold_kernel(
     qmeta, q_codes, data, meta, *, tile_rows, k_lanes, dim, max_rounds,
-    kind, wrap_u8, select, gate_lanes=None,
+    kind, wrap_u8, select, gate_lanes=None, epilogue="dist",
 ):
     """pallas_call plumbing shared by every wrapper (padded shapes in)."""
     qn = q_codes.shape[0]
@@ -464,7 +494,7 @@ def _call_threshold_kernel(
         _threshold_kernel,
         tile_rows=tile_rows, k_lanes=k_lanes, dim=dim,
         max_rounds=max_rounds, kind=kind, wrap_u8=wrap_u8, select=select,
-        gate_lanes=gate_lanes,
+        gate_lanes=gate_lanes, epilogue=epilogue,
     )
     return pl.pallas_call(
         kernel,
@@ -653,6 +683,109 @@ def _pad_rows(x, qn, q_pad, value=0.0):
     return jnp.pad(x, ((0, q_pad - qn), (0, 0)), constant_values=value)
 
 
+#: Distance value every cos ≤ _COSINE_FLOOR saturates to (spec v2): for
+#: θ at/above it the cos-key threshold must admit EVERY valid row.
+_DIST_SATURATION = np.float32(1.0) / _COSINE_FLOOR - np.float32(1.0)
+
+
+def _cos_key_threshold(theta: jnp.ndarray) -> jnp.ndarray:
+    """Map a strict distance threshold θ to a conservative key threshold
+    for the ``epilogue="cos"`` kernel (key = -cos).
+
+    dist < θ  ⟺  cos > 1/(1+θ) up to a few ulps of spec rounding; the
+    1e-5 relative margin makes the key filter STRICTLY wider (false
+    positives only — the wrapper's exact post-pass re-applies the true
+    θ), so no θ-passing row is ever dropped.  θ at/above the cos-floor
+    saturation admits every valid row (their spec dist is the saturated
+    value, which IS < θ)."""
+    c = (np.float32(1.0) / (np.float32(1.0) + theta)) * np.float32(1 - 1e-5)
+    return jnp.where(theta >= _DIST_SATURATION, jnp.inf, -c)
+
+
+def _exact_dist_gathered(kind, q_codes, q_sum, q_mag2, qr, rows_i8,
+                         row_sum, row_mag2, rr, dim):
+    """Canonical spec-v2 distance for gathered candidate rows — the XLA
+    twin of :func:`_kind_dist_tile`'s dist epilogue, op for op, so the
+    recomputed values are bit-identical to the dist-domain kernel (and
+    the oracle): affine integer dot fix, rsqrt product, divide with the
+    cos floor, negative clamp, identical-vector pin.
+
+    Shapes: q_codes [Q, D] int8, rows_i8 [Q, G, D] int8 (unpacked codes),
+    q_sum/q_mag2 [Q] int32, qr [Q, 1] f32, row_* [Q, G] int32/f32.
+    """
+    dot8 = jnp.einsum(
+        "qd,qgd->qg", q_codes.astype(jnp.int32), rows_i8.astype(jnp.int32)
+    )
+    qs = q_sum[:, None]
+    if kind == "cosine":
+        dot_c = 4 * dot8 + 2 * (qs + row_sum) + jnp.int32(dim)
+    elif kind == "cosine4a":
+        dot_c = 68 * dot8 + 34 * row_sum - 510 * qs - jnp.int32(255 * dim)
+    else:  # cosine4
+        dot_c = (
+            1156 * dot8 - 8670 * (qs + row_sum) + jnp.int32(65025 * dim)
+        )
+    inv = qr * rr                                               # [Q, G]
+    dot_f = dot_c.astype(jnp.float32)
+    cos = dot_f * inv
+    dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+    dist = jnp.maximum(dist, np.float32(0.0))
+    q_mag2_f = q_mag2.astype(jnp.float32)[:, None]
+    row_mag2_f = row_mag2.astype(jnp.float32)
+    ident = (dot_f == q_mag2_f) & (q_mag2_f == row_mag2_f)
+    return jnp.where(ident, np.float32(0.0), dist)
+
+
+def _coskey_candidate_postpass(
+    kind, query_u8, q_codes, qr, out_i, theta, data, meta, k, dim,
+):
+    """Exact finish for a carry scan that selected by cos key: gather the
+    [Q, G] candidates' codes + meta, recompute the spec distance, apply
+    the strict θ, and sort by (dist, row id) — the oracle order.  Returns
+    (dist [Q,k], idx [Q,k], plateau_ok [Q]).
+
+    ``plateau_ok`` is the membership proof the key-domain selection
+    needs: top-G-by-key and top-G-by-dist are the same row SET except
+    when a tie plateau straddles the G-th lane (keys within a plateau
+    order by cos, not row id).  If the k-th and G-th exact distances
+    differ (or the carry never filled), every plateau through the k-th
+    is fully collected and the sorted prefix is exactly the oracle's
+    top-k; otherwise the query is unproven and repairs."""
+    qn, gl = out_i.shape
+    from pixelbox_tpu.ops.int4 import query4_moments_from_u8
+    from pixelbox_tpu.ops.packed import query_moments_from_u8
+
+    if kind == "cosine4":
+        _, q_sum, q_mag2 = query4_moments_from_u8(query_u8)
+    else:
+        _, q_sum, q_mag2 = query_moments_from_u8(query_u8)
+
+    safe = jnp.maximum(out_i, 0)
+    rows = data[safe]                                    # [Q, G, cols] i8
+    if kind in ("cosine4", "cosine4a"):
+        p32 = rows.astype(jnp.int32)
+        rows = jnp.concatenate(
+            [p32 & 15, (p32 >> 4) & 15], axis=-1
+        ).astype(jnp.int8)
+    row_sum = meta[0][safe]                              # [Q, G] i32
+    row_mag2 = meta[1][safe]
+    rr = lax.bitcast_convert_type(meta[2], jnp.float32)[safe]
+    dist = _exact_dist_gathered(
+        kind, q_codes[:qn], q_sum, q_mag2, qr[:qn], rows, row_sum,
+        row_mag2, rr, dim,
+    )
+    keep = (out_i >= 0) & (dist < theta)                 # strict θ
+    dist = jnp.where(keep, dist, _INF)
+    ids = jnp.where(keep, out_i, jnp.int32(2 ** 30))
+    dist, ids = lax.sort((dist, ids), num_keys=2)
+    plateau_ok = ~jnp.isfinite(dist[:, gl - 1]) | (
+        dist[:, k - 1] < dist[:, gl - 1]
+    )
+    best_d = dist[:, :k]
+    best_i = jnp.where(jnp.isfinite(best_d), ids[:, :k], -1)
+    return best_d, best_i, plateau_ok
+
+
 def _generic_threshold_scan(
     kind: str,
     select: str,
@@ -725,19 +858,51 @@ def _generic_threshold_scan(
         theta_j = s_top[:, j - 1 : j]
     theta = jnp.minimum(theta_j, md)
     unbound = ~(theta_j < md)[:, 0]
-    theta_p = _pad_rows(theta, qn, q_pad, value=-jnp.inf)
+    # cos-key epilogue (carry + cosine kinds): selection runs on -cos
+    # (monotone in dist, plateaus contiguous) so the hot tile skips the
+    # divide/pin/plateau epilogue entirely; the exact spec distance is
+    # recomputed on the [Q, k_lanes] candidates below.  A/B via
+    # PIXELBOX_SCAN_EPILOGUE=dist.
+    cos_key = (
+        select == "carry" and kind != "hamming" and _EPILOGUE == "cos"
+    )
+    if cos_key:
+        theta_p = _pad_rows(
+            _cos_key_threshold(theta), qn, q_pad, value=-jnp.inf
+        )
+    else:
+        theta_p = _pad_rows(theta, qn, q_pad, value=-jnp.inf)
     qmeta = jnp.concatenate([theta_p, qr_p], axis=1)
 
     k_lanes = (
         max(128, -(-k // 128) * 128) if select == "carry" else cap
     )
+    if cos_key and k == k_lanes:
+        # The plateau membership proof needs ≥1 slack lane past k.
+        k_lanes += 128
     out_d, out_i, counts = _call_threshold_kernel(
         qmeta, q_codes_p, data, meta,
         tile_rows=tile_rows, k_lanes=k_lanes, dim=dim,
         max_rounds=max_rounds, kind=kind, wrap_u8=wrap_u8, select=select,
+        epilogue="cos" if cos_key else "dist",
     )
 
-    if select == "carry":
+    if select == "carry" and cos_key:
+        flag = counts[:qn, 0]
+        kth_key_finite = jnp.isfinite(out_d[:qn, k_lanes - 1])
+        best_d, best_i, plateau_ok = _coskey_candidate_postpass(
+            kind, query_u8, q_codes, qr, out_i[:qn], theta, data, meta,
+            k, dim,
+        )
+        # Proof: ≥ k survivors of the exact θ (or θ unbound with every
+        # passing row collected — kth key lane infinite), round bound
+        # clean, and no plateau straddling the candidate boundary.
+        exact = (
+            (jnp.isfinite(best_d[:, k - 1]) | unbound)
+            & (flag >= 0)
+            & (plateau_ok | ~kth_key_finite)
+        )
+    elif select == "carry":
         best_d = out_d[:qn, :k]
         best_i = out_i[:qn, :k]
         flag = counts[:qn, 0]  # 0 = clean, very negative = poisoned

@@ -41,7 +41,7 @@ from pixelbox_tpu.ops.pallas_scan import (
 from pixelbox_tpu.ops.scan import build_scan_sample
 
 N, D, K, Q = 1_000_000, 128, 100, 256
-TILE = 2048
+TILE = 8192
 ITERS = 20
 
 _INF = np.float32(np.inf)
@@ -66,23 +66,55 @@ def _ablate_kernel(q_ref, data_ref, meta_ref, out_ref, *, tile_rows, dim, stage)
     if stage == "gemm":
         out_ref[:] = out_ref[:] + dot8[:, :128].astype(jnp.float32)
         return
+    # SHIPPING epilogue (spec v2: precomputed rsqrt in meta, one divide)
     q_i32 = q_i8.astype(jnp.int32)
     q_sum = jnp.sum(q_i32, axis=1, keepdims=True)
     qc = 2 * q_i32 + 1
-    q_mag2 = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
+    q_mag2_f = jnp.sum(qc * qc, axis=1, keepdims=True).astype(jnp.float32)
     row_sum = meta_ref[0, :][None, :]
     row_mag2 = meta_ref[1, :][None, :]
     dot_c = 4 * dot8 + 2 * (q_sum + row_sum) + jnp.int32(dim)
-    mag2_b = row_mag2.astype(jnp.float32)
-    sp = jnp.sqrt(q_mag2 * mag2_b)
-    cos = dot_c.astype(jnp.float32) / sp
-    dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
-    theta = np.float32(0.02)
-    dist = jnp.where((row_mag2 > 0) & (dist < theta), dist, _INF)
-    m0 = jnp.min(dist, axis=1, keepdims=True)
-    out_ref[:] = out_ref[:] + jnp.where(
-        lax.broadcasted_iota(jnp.int32, (qn, 128), 1) == 0, m0, 0.0
-    )
+    rr = pltpu.bitcast(meta_ref[2:3, :], jnp.float32)
+    qr = jnp.float32(1e-3)  # stand-in [scalar] for qmeta lane
+    inv = qr * rr
+    dot_f = dot_c.astype(jnp.float32)
+    cos = dot_f * inv
+    if stage == "coskey":
+        dist = jnp.where((row_mag2 > 0) & (-cos < np.float32(-0.5)), -cos, _INF)
+    else:
+        dist = np.float32(1.0) / jnp.maximum(cos, _COSINE_FLOOR) - np.float32(1.0)
+        dist = jnp.maximum(dist, np.float32(0.0))
+        row_mag2_f = row_mag2.astype(jnp.float32)
+        ident = (dot_f == q_mag2_f) & (q_mag2_f == row_mag2_f)
+        dist = jnp.where(ident, np.float32(0.0), dist)
+        theta = np.float32(0.02)
+        dist = jnp.where((row_mag2 > 0) & (dist < theta), dist, _INF)
+    if stage in ("epilogue", "coskey"):
+        m0 = jnp.min(dist, axis=1, keepdims=True)
+        out_ref[:] = out_ref[:] + jnp.where(
+            lax.broadcasted_iota(jnp.int32, (qn, 128), 1) == 0, m0, 0.0
+        )
+        return
+    # stage == "chain": depth-2 lane-class summary build (no extraction)
+    n_regs = tile_rows // 128
+    lane128 = lax.broadcasted_iota(jnp.int32, (qn, 128), 1)
+    lmin = jnp.full((qn, 128), _INF, jnp.float32)
+    lreg = jnp.zeros((qn, 128), jnp.int32)
+    l2min = jnp.full((qn, 128), _INF, jnp.float32)
+    l2reg = jnp.zeros((qn, 128), jnp.int32)
+    lcnt = jnp.zeros((qn, 128), jnp.int32)
+    for r in range(n_regs):
+        v = dist[:, r * 128 : (r + 1) * 128]
+        lcnt = lcnt + (v < _INF).astype(jnp.int32)
+        upd1 = v < lmin
+        d_val = jnp.where(upd1, lmin, v)
+        d_reg = jnp.where(upd1, lreg, r)
+        lmin = jnp.where(upd1, v, lmin)
+        lreg = jnp.where(upd1, r, lreg)
+        upd2 = d_val < l2min
+        l2min = jnp.where(upd2, d_val, l2min)
+        l2reg = jnp.where(upd2, d_reg, l2reg)
+    out_ref[:] = out_ref[:] + lmin + l2min.astype(jnp.float32)         + lcnt.astype(jnp.float32) + lreg.astype(jnp.float32)         + l2reg.astype(jnp.float32)
 
 
 def run_ablation(stage, qs, index, meta):
@@ -98,7 +130,7 @@ def run_ablation(stage, qs, index, meta):
             in_specs=[
                 pl.BlockSpec((qn, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (qn, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -127,7 +159,7 @@ def main():
     results["null_floor_ms"] = dt * 1e3
     print("null floor", dt * 1e3, flush=True)
 
-    for stage in ("gemm", "epilogue"):
+    for stage in ("gemm", "coskey", "epilogue", "chain"):
         dt = run_ablation(stage, qs, index, meta)
         results[f"{stage}_ms"] = dt * 1e3
         print(stage, dt * 1e3, flush=True)
@@ -153,7 +185,7 @@ def main():
     # Shipping v2 wrapper.
     def v2_one(qi, index, meta, sample):
         d, i, exact = pallas_threshold_scan_topk_v2(
-            qi, index, meta, sample, k=K
+            qi, index, meta, sample, k=K, tile_rows=TILE
         )
         return jnp.sum(d[:, 0]) + jnp.sum(exact.astype(jnp.float32))
 

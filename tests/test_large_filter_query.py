@@ -9,7 +9,10 @@ from pixelbox_tpu.ops import oracle
 
 
 @pytest.fixture(scope="module")
-def big_engine(tmp_path_factory, rng):
+def big_engine(tmp_path_factory):
+    # Own seeded stream: the shared `rng` fixture is function-scoped
+    # (seeded per test node), which a module-scoped fixture can't use.
+    rng = np.random.default_rng(0xB16)
     db_path = tmp_path_factory.mktemp("db") / "big.db"
     eng = Engine.new(str(db_path), embedder="stub", embedder_kwargs={"dim": 16})
     n = 20000  # > the 16384 masked-scan threshold
