@@ -497,6 +497,15 @@ class Engine(
             from pixelbox_tpu.models.blip import BlipSearcher
 
             self._blip_searcher = BlipSearcher(**self._blip_kwargs)
+            if getattr(self._blip_searcher, "random_init", False):
+                print(
+                    "WARNING: blip text towers are RANDOM-INIT — `text:` "
+                    "results will be noise until you train "
+                    "(training/blip_train.py) or "
+                    "import weights (params_from_hf_state_dict); see "
+                    "PERF.md 'text: retrieval quality'.",
+                    file=sys.stderr,
+                )
             self.catalog.ensure_aux_hash_table("blip_hashes")
         return self._blip_searcher
 

@@ -268,6 +268,11 @@ class BlipSearcher:
         self.tokenizer = tokenizer or WordPieceTokenizer.toy()
         self.max_text_len = max_text_len
         self.module = BlipRetrievalModule(self.cfg, dtype)
+        #: True when the towers run on random init — `text:` results are
+        #: noise until the caller trains (training/blip_train.py) or
+        #: imports weights (params_from_hf_state_dict).  The engine warns
+        #: loudly when serving on a random-init searcher.
+        self.random_init = params is None
         if params is None:
             rng = jax.random.PRNGKey(seed)
             s = self.cfg.vision.image_size

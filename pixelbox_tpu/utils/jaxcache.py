@@ -21,13 +21,20 @@ def machine_fingerprint() -> str:
     makes a copied/shared cache dir self-invalidate across machines.
     """
     parts = [platform.machine()]
+    # Model name + flags alone are NOT enough: two VM hosts can report
+    # identical strings while XLA derives different tuning features
+    # (e.g. +prefer-no-gather from the downfall-mitigation microcode),
+    # which still trips cpu_aot_loader mismatches.  Include the full
+    # microarch identity of cpu0.
+    keys = ("model name", "flags", "Features", "cpu family", "model\t",
+            "stepping", "microcode")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("model name", "flags", "Features")):
+                if not line.strip():
+                    break  # end of cpu0 block
+                if line.startswith(keys):
                     parts.append(line.strip())
-                    if len(parts) >= 3:
-                        break
     except OSError:
         parts.append(platform.processor() or "unknown")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
