@@ -31,6 +31,7 @@ over ICI.  The engine picks it automatically under ``serve_on_mesh``.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -412,6 +413,20 @@ def build_ivf(
     n, d = rows_u8.shape
     if row_ids is None:
         row_ids = np.arange(n, dtype=np.int32)
+    # Large builds pack on DEVICE (ops/ivf_build.py): the host packer's
+    # numpy quantize/moments measured 96 s at 1M x 128 int4 on the 1-core
+    # bench VM vs seconds on device; below the threshold the host pack
+    # avoids a fresh XLA compile per (N_pad, C, cap, spill) shape during
+    # interleaved indexing.
+    device_min = int(os.environ.get("PIXELBOX_IVF_DEVICE_PACK_MIN",
+                                    str(128 * 1024)))
+    if n >= device_min and os.environ.get("PIXELBOX_IVF_HOST_PACK") != "1":
+        from pixelbox_tpu.ops.ivf_build import build_ivf_device
+
+        return build_ivf_device(
+            rows_u8, valid, centroids, bucket_cap=bucket_cap,
+            row_ids=row_ids, precision=precision,
+        )
     if bucket_cap is None:
         bucket_cap = default_bucket_cap(int(valid.sum()), centroids.shape[0])
     bucket_cap = int(max(8, bucket_cap))

@@ -1,0 +1,510 @@
+"""Device-side IVF build: assignment, bucket packing, and capacity-scale
+corpus utilities that never materialize the index on the host.
+
+Why this exists: the host packer (ops/ivf.py ``pack_buckets_host``) is
+vectorized numpy, but at capacity scale the host is the wall — measured
+on the 1-core bench VM, packing 1M x 128 int4 took 96 s, 88 s of it in
+``semantic4_rows_from_u8``/``quantize_u8_to_u4`` (pure numpy elementwise
+over ~2M padded rows), while the device work (k-means, assignment GEMMs)
+took ~4 s.  At the >=10M rows IVF exists for (the O(N)-scan regime the
+reference hits at src/engine.rs:375-383), host packing is minutes before
+a single measurement.  This module keeps the whole build on device:
+
+- assignment is the same blocked argmax GEMM as ops/ivf (MXU work);
+- packing is a stable sort by cluster id + rank-within-cluster scatter
+  (one ``argsort`` + three scatters — all XLA-native, static shapes);
+- per-row codes/moments (u8-centered or int4-packed nibbles) compute in
+  ``lax.map`` row blocks so int32 temporaries stay bounded;
+- the synthetic capacity corpus generates directly on device in chunks,
+  so multi-GB test data never crosses the host<->device link.
+
+Output parity: ``build_ivf_device`` produces arrays equal to the host
+``build_ivf`` for the same assignments (tests/test_ivf_device.py), so the
+two builders are interchangeable; ``ops.ivf.build_ivf`` routes large
+builds here automatically.
+
+Reference anchor: src/engine.rs:375-383 (the exact-scan semantics IVF
+relaxes); distances stay the exact integer spec (ops/distances.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pixelbox_tpu.ops.distances import _cosine_distance_from_moments
+from pixelbox_tpu.ops.ivf import (
+    IVFIndex,
+    default_bucket_cap,
+    spill_pad,
+)
+from pixelbox_tpu.ops.packed import PackedSemanticIndex, query_moments_from_u8
+from pixelbox_tpu.ops import topk as topk_ops
+
+
+# --------------------------------------------------------------------------
+# Per-row codes + moments (traced; bit-identical to the host precomputes
+# in ops/packed.semantic_rows_from_u8 and ops/int4.semantic4_rows_from_u8)
+# --------------------------------------------------------------------------
+
+
+def _moments_u8(rows_u8: jnp.ndarray):
+    q = rows_u8.astype(jnp.int32)
+    data = (q - 128).astype(jnp.int8)
+    row_sum = jnp.sum(q - 128, axis=-1, dtype=jnp.int32)
+    cen = 2 * q - 255
+    row_mag2 = jnp.sum(cen * cen, axis=-1, dtype=jnp.int32)
+    return data, row_sum, row_mag2
+
+
+def _moments_int4(rows_u8: jnp.ndarray):
+    v = rows_u8.astype(jnp.int32)
+    v4 = (v * 15 + 127) // 255  # round-half-up rescale, ops/int4:60-63
+    d = rows_u8.shape[-1]
+    half = d // 2
+    packed = (v4[..., :half] | (v4[..., half:] << 4)).astype(jnp.uint8)
+    row_sum = jnp.sum(v4, axis=-1, dtype=jnp.int32)
+    c = 34 * v4 - 255
+    row_mag2 = jnp.sum(c * c, axis=-1, dtype=jnp.int32)
+    return packed, row_sum, row_mag2
+
+
+def _moments_fn(precision: str):
+    return _moments_int4 if precision == "int4" else _moments_u8
+
+
+def _blocked_moments(rows_u8: jnp.ndarray, precision: str, block: int):
+    """codes/moments over [N, D] rows via lax.map row blocks (keeps the
+    int32 dequantize temporaries to ``block`` rows at a time)."""
+    n, d = rows_u8.shape
+    if n == 0 or n <= block:
+        return _moments_fn(precision)(rows_u8)
+    assert n % block == 0, (n, block)
+    xs = rows_u8.reshape(n // block, block, d)
+    codes, sums, mags = lax.map(_moments_fn(precision), xs)
+    return (
+        codes.reshape(n, -1),
+        sums.reshape(n),
+        mags.reshape(n),
+    )
+
+
+# --------------------------------------------------------------------------
+# Assignment (blocked argmax GEMM) + cluster counts
+# --------------------------------------------------------------------------
+
+
+def _assign_block_rows(n_clusters: int, budget_bytes: int = 1 << 27) -> int:
+    """Row-block size for assignment/k-means GEMMs: the [B, C] f32 score
+    tile must stay bounded at large C (12.6k clusters at 10M rows would
+    otherwise want a 3.3 GB tile at B=65536)."""
+    b = budget_bytes // max(1, 4 * n_clusters)
+    p = 1024
+    while p * 2 <= min(b, 65536):
+        p *= 2
+    return p
+
+
+@partial(jax.jit, static_argnames=("block_rows", "n_clusters"))
+def _assign_and_count(centroids, rows_u8, valid, block_rows: int,
+                      n_clusters: int):
+    """(cluster key per row [N_pad] int32 — invalid rows get key C, so a
+    stable sort puts them last; counts [C+1] int32)."""
+    c, d = centroids.shape
+    nb = rows_u8.shape[0] // block_rows
+    xs = (
+        rows_u8.reshape(nb, block_rows, d),
+        valid.reshape(nb, block_rows),
+    )
+
+    def body(_, x):
+        blk_u8, blk_valid = x
+        xb = 2.0 * blk_u8.astype(jnp.float32) - 255.0
+        # argmax over unit centroids is row-norm-invariant: skip rsqrt.
+        scores = lax.dot_general(
+            xb, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+        )
+        a = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return None, jnp.where(blk_valid, a, jnp.int32(n_clusters))
+
+    _, keys = lax.scan(body, None, xs)
+    keys = keys.reshape(-1)
+    counts = jnp.bincount(keys, length=n_clusters + 1).astype(jnp.int32)
+    return keys, counts
+
+
+# --------------------------------------------------------------------------
+# The pack: stable sort by cluster + rank scatter, all on device
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_clusters", "bucket_cap", "s_pad", "precision",
+                     "mblock"),
+)
+def _pack_device(rows_u8, akey, row_ids, counts, *, n_clusters: int,
+                 bucket_cap: int, s_pad: int, precision: str, mblock: int):
+    """Scatter rows into fixed-capacity buckets + the exact-scanned spill.
+
+    Matches the host packer's layout exactly (ops/ivf.py
+    ``pack_buckets_host``): within a cluster, rows keep ascending
+    position order (stable sort), overflow past ``bucket_cap`` spills in
+    ascending row order, and empty bucket slots carry the moments of the
+    all-zero row (the host packs moments over a zero-filled staging
+    array; probe masks them via bucket_valid either way).
+    """
+    n_pad, d = rows_u8.shape
+    c, cap = n_clusters, bucket_cap
+
+    order = jnp.argsort(akey, stable=True)
+    sa = akey[order]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = jnp.arange(n_pad, dtype=jnp.int32) - starts[sa]
+    in_bucket = (sa < c) & (rank < cap)
+    slot = jnp.where(in_bucket, sa * cap + rank, c * cap)  # OOB => dropped
+
+    rows_sorted = jnp.take(rows_u8, order, axis=0)
+    ids_sorted = jnp.take(row_ids, order)
+    codes, sums, mags = _blocked_moments(rows_sorted, precision, mblock)
+
+    z_codes, z_sum, z_mag = _moments_fn(precision)(
+        jnp.zeros((1, d), jnp.uint8)
+    )
+    flat = c * cap
+    bdata = jnp.broadcast_to(z_codes, (flat, codes.shape[1]))
+    bdata = bdata.at[slot].set(codes, mode="drop")
+    bsum = jnp.broadcast_to(z_sum, (flat,)).at[slot].set(sums, mode="drop")
+    bmag = jnp.broadcast_to(z_mag, (flat,)).at[slot].set(mags, mode="drop")
+    brows = jnp.full((flat,), -1, jnp.int32).at[slot].set(
+        ids_sorted, mode="drop"
+    )
+    bvalid = jnp.zeros((flat,), bool).at[slot].set(in_bucket, mode="drop")
+
+    out_buckets = (
+        bdata.reshape(c, cap, -1),
+        bsum.reshape(c, cap),
+        bmag.reshape(c, cap),
+        brows.reshape(c, cap),
+        (bvalid & (brows >= 0)).reshape(c, cap),
+    )
+    if s_pad == 0:
+        zero = jnp.zeros((0, d), jnp.uint8)
+        s_codes, s_sum, s_mag = _moments_fn(precision)(zero)
+        return out_buckets + (
+            s_codes, s_sum, s_mag,
+            jnp.zeros((0,), bool), jnp.zeros((0,), jnp.int32),
+        )
+
+    # Spill rows in ascending POSITION order (== ascending row id for the
+    # ascending row_ids contract), matching np.sort in the host packer.
+    is_spill_sorted = (sa < c) & (rank >= cap)
+    is_spill = jnp.zeros((n_pad,), bool).at[order].set(is_spill_sorted)
+    srank = jnp.cumsum(is_spill.astype(jnp.int32)) - 1
+    sslot = jnp.where(is_spill, srank, s_pad)  # OOB => dropped
+    spill_u8 = jnp.zeros((s_pad, d), jnp.uint8).at[sslot].set(
+        rows_u8, mode="drop"
+    )
+    s_ids = jnp.full((s_pad,), -1, jnp.int32).at[sslot].set(
+        row_ids, mode="drop"
+    )
+    s_valid = jnp.zeros((s_pad,), bool).at[sslot].set(is_spill, mode="drop")
+    s_codes, s_sum, s_mag = _moments_fn(precision)(spill_u8)
+    return out_buckets + (s_codes, s_sum, s_mag, s_valid, s_ids)
+
+
+def build_ivf_device(
+    rows_u8,
+    valid=None,
+    centroids=None,
+    bucket_cap: Optional[int] = None,
+    row_ids=None,
+    precision: str = "u8",
+) -> IVFIndex:
+    """``ops.ivf.build_ivf`` semantics, computed entirely on device.
+
+    ``rows_u8`` may be a numpy array (one bulk transfer) or an already
+    device-resident ``jnp`` array (zero transfer — the capacity-bench
+    path).  ``row_ids`` must be ascending with position (the store's
+    layout), same as the host builder.
+    """
+    assert centroids is not None
+    rows = jnp.asarray(rows_u8, dtype=jnp.uint8)
+    n, d = rows.shape
+    cents = jnp.asarray(centroids, dtype=jnp.float32)
+    c = int(cents.shape[0])
+
+    if valid is None:
+        valid_dev = jnp.ones((n,), bool)
+        n_live_hint = n
+    else:
+        valid_dev = jnp.asarray(valid, dtype=bool)
+        n_live_hint = None
+
+    if row_ids is None:
+        ids = jnp.arange(n, dtype=jnp.int32)
+    else:
+        ids = jnp.asarray(row_ids, dtype=jnp.int32)
+
+    block = _assign_block_rows(c)
+    n_pad = -(-max(n, 1) // block) * block
+    if n_pad != n:
+        rows_p = jnp.zeros((n_pad, d), jnp.uint8).at[:n].set(rows)
+        valid_p = jnp.zeros((n_pad,), bool).at[:n].set(valid_dev)
+        ids_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(ids)
+    else:
+        rows_p, valid_p, ids_p = rows, valid_dev, ids
+
+    akey, counts = _assign_and_count(
+        cents, rows_p, valid_p, block_rows=block, n_clusters=c
+    )
+    counts_np = np.asarray(counts)
+    n_live = (
+        n_live_hint if n_live_hint is not None else int(counts_np[:c].sum())
+    )
+    if bucket_cap is None:
+        bucket_cap = default_bucket_cap(n_live, c)
+    bucket_cap = int(max(8, bucket_cap))
+    spill_count = int(np.maximum(counts_np[:c] - bucket_cap, 0).sum())
+    s_pad = spill_pad(spill_count)
+
+    (bdata, bsum, bmag, brows, bvalid,
+     s_codes, s_sum, s_mag, s_valid, s_ids) = _pack_device(
+        rows_p, akey, ids_p, counts,
+        n_clusters=c, bucket_cap=bucket_cap, s_pad=s_pad,
+        precision=precision, mblock=block,
+    )
+    from pixelbox_tpu.ops.ivf import _spill_rows_fn
+
+    _, index_cls = _spill_rows_fn(precision)
+    spill = index_cls(s_codes, s_sum, s_mag, s_valid)
+    return IVFIndex(
+        centroids=cents,
+        bucket_data=bdata,
+        bucket_sum=bsum,
+        bucket_mag2=bmag,
+        bucket_rows=brows,
+        bucket_valid=bvalid,
+        spill=spill,
+        spill_rows=s_ids,
+    )
+
+
+# --------------------------------------------------------------------------
+# Device-native spherical k-means (sampled training at capacity scale)
+# --------------------------------------------------------------------------
+
+
+def kmeans_device(
+    rows_dev,
+    n_clusters: int,
+    iters: int = 6,
+    seed: int = 0,
+    train_sample: Optional[int] = None,
+) -> jnp.ndarray:
+    """Unit f32 centroids [C, D] trained on device-resident u8 rows.
+
+    ``train_sample`` caps the training set (uniform row sample gathered
+    on device) — standard IVF practice: centroid quality saturates well
+    below the full corpus, and a 10M-row full train would cost ~5x a 2M
+    sample for no recall gain.  All rows are assumed valid (the capacity
+    bench path); the engine's host-mirror path keeps using
+    ``ops.ivf.spherical_kmeans``.
+    """
+    from pixelbox_tpu.ops.ivf import _kmeans_step
+
+    rows = jnp.asarray(rows_dev, dtype=jnp.uint8)
+    n, d = rows.shape
+    n_clusters = int(max(1, min(n_clusters, n)))
+    rng = np.random.default_rng(seed)
+    if train_sample is not None and train_sample < n:
+        pick = np.sort(
+            rng.choice(n, size=int(train_sample), replace=False)
+        )
+        rows = jnp.take(rows, jnp.asarray(pick), axis=0)
+        n = rows.shape[0]
+
+    init_pick = rng.choice(n, size=n_clusters, replace=False)
+    init_rows = jnp.take(rows, jnp.asarray(init_pick), axis=0)
+    x = 2.0 * init_rows.astype(jnp.float32) - 255.0
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    centroids = x / jnp.maximum(norm, 1e-6)
+
+    block = _assign_block_rows(n_clusters, budget_bytes=1 << 26)
+    block = int(min(block, max(8, n)))
+    n_pad = -(-n // block) * block
+    valid = (jnp.arange(n_pad) < n)
+    if n_pad != n:
+        rows = jnp.zeros((n_pad, d), jnp.uint8).at[:n].set(rows)
+    for _ in range(int(iters)):
+        centroids, _ = _kmeans_step(centroids, rows, valid,
+                                    block_rows=block)
+    return centroids
+
+
+# --------------------------------------------------------------------------
+# Capacity-scale synthetic corpus, generated on device in chunks
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("m", "d", "n_centers", "noise"))
+def _gen_chunk(key, centers, m: int, d: int, n_centers: int, noise: int):
+    ka, kn = jax.random.split(key)
+    a = jax.random.randint(ka, (m,), 0, n_centers, dtype=jnp.int32)
+    block = jnp.take(centers, a, axis=0) + jax.random.randint(
+        kn, (m, d), -noise, noise + 1, dtype=jnp.int16
+    )
+    return jnp.clip(block, 0, 255).astype(jnp.uint8), a
+
+
+def device_clustered_corpus(
+    seed: int,
+    n: int,
+    d: int,
+    q: int,
+    n_centers: int = 4096,
+    noise: int = 18,
+    q_noise: int = 12,
+    chunk: int = 1 << 21,
+):
+    """Clustered u8 corpus + nearby queries, entirely on device.
+
+    Mirrors the host bench generator (bench clustered_u8): integer
+    cluster centers, integer noise, queries near sampled rows' centers —
+    the property IVF cares about — but multi-GB row data never crosses
+    the host<->device link.  Returns (rows [n, d] u8, queries [q, d] u8)
+    as device arrays.
+    """
+    key = jax.random.PRNGKey(seed)
+    kc, kq = jax.random.split(key)
+    centers = jax.random.randint(
+        kc, (n_centers, d), 0, 256, dtype=jnp.int16
+    )
+    chunk = int(min(chunk, max(8, n)))
+    parts, assigns = [], []
+    for i, lo in enumerate(range(0, n, chunk)):
+        m = min(chunk, n - lo)
+        rows_i, a_i = _gen_chunk(
+            jax.random.fold_in(key, i), centers,
+            m=m, d=d, n_centers=n_centers, noise=noise,
+        )
+        parts.append(rows_i)
+        assigns.append(a_i)
+    rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    assign = (
+        assigns[0] if len(assigns) == 1 else jnp.concatenate(assigns)
+    )
+
+    kp, kn = jax.random.split(kq)
+    pick = jax.random.randint(kp, (q,), 0, n, dtype=jnp.int32)
+    qc = jnp.take(centers, jnp.take(assign, pick), axis=0)
+    qs = qc + jax.random.randint(
+        kn, (q, d), -q_noise, q_noise + 1, dtype=jnp.int16
+    )
+    return rows, jnp.clip(qs, 0, 255).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# Flat exact index from device rows (ground truth at capacity scale)
+# --------------------------------------------------------------------------
+
+
+def flat_semantic_index_device(
+    rows_dev, n_valid: Optional[int] = None, block_rows: int = 2 ** 17
+) -> PackedSemanticIndex:
+    """PackedSemanticIndex built from device-resident u8 rows (moments
+    computed in row blocks on device; no host mirror)."""
+    rows = jnp.asarray(rows_dev, dtype=jnp.uint8)
+    n, d = rows.shape
+    if n_valid is None:
+        n_valid = n
+    block_rows = int(min(block_rows, max(8, n)))
+    n_pad = -(-n // block_rows) * block_rows
+    if n_pad != n:
+        rows = jnp.zeros((n_pad, d), jnp.uint8).at[:n].set(rows)
+
+    @partial(jax.jit, static_argnames=("block",))
+    def _build(rows_p, block):
+        data, sums, mags = _blocked_moments(rows_p, "u8", block)
+        valid = jnp.arange(rows_p.shape[0]) < n_valid
+        return data, sums, mags, valid
+
+    data, sums, mags, valid = _build(rows, block=block_rows)
+    return PackedSemanticIndex(data, sums, mags, valid)
+
+
+# --------------------------------------------------------------------------
+# Device-side exact-u8 rerank (the capacity path's candidate rescore)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _rerank_device(q_u8, cand_idx, rows, md, k: int):
+    d = q_u8.shape[-1]
+    q_i8, q_sum, q_mag2 = query_moments_from_u8(q_u8)
+    ok = (cand_idx >= 0) & (cand_idx < rows.shape[0])
+    safe = jnp.where(ok, cand_idx, 0)
+    g = jnp.take(rows, safe, axis=0)  # [Q, C, D] u8
+    gi = g.astype(jnp.int32)
+    data = (gi - 128).astype(jnp.int8)
+    r_sum = jnp.sum(gi - 128, axis=-1, dtype=jnp.int32)
+    cen = 2 * gi - 255
+    r_mag2 = jnp.sum(cen * cen, axis=-1, dtype=jnp.int32)
+    dot8 = jnp.einsum(
+        "qcd,qd->qc", data, q_i8, preferred_element_type=jnp.int32
+    )
+    dot_c = 4 * dot8 + 2 * (q_sum[:, None] + r_sum) + jnp.int32(d)
+    dist = _cosine_distance_from_moments(
+        dot_c.astype(jnp.float32),
+        q_mag2.astype(jnp.float32)[:, None],
+        r_mag2.astype(jnp.float32),
+    )
+    keep = ok & (dist < md)
+    dist = jnp.where(keep, dist, jnp.inf)
+    bd, bi = topk_ops.lex_topk(dist, cand_idx.astype(jnp.int32), k)
+    return topk_ops.finalize_topk(bd, bi)
+
+
+def rerank_candidates_u8_device(
+    query_u8, cand_idx, rows_dev, k: int = 100, max_distance: float = 1e3
+):
+    """``ops.int4.rerank_candidates_u8`` semantics against a DEVICE u8
+    row mirror: exact u8 rescore of per-query candidates, (dist, row id)
+    lexicographic order, ``WHERE dist < max LIMIT k``.  Used by the
+    capacity bench where a host mirror would mean a multi-GB transfer."""
+    q = jnp.asarray(query_u8, dtype=jnp.uint8)
+    ci = jnp.asarray(cand_idx, dtype=jnp.int32)
+    squeeze = ci.ndim == 1
+    if squeeze:
+        q, ci = q[None], ci[None]
+    bd, bi = _rerank_device(
+        q, ci, jnp.asarray(rows_dev, dtype=jnp.uint8),
+        jnp.float32(max_distance), k=k,
+    )
+    if squeeze:
+        return bd[0], bi[0]
+    return bd, bi
+
+
+def scan_with_u8_rerank_device(
+    scan_fn, query_u8, rows_dev, k: int = 100, max_distance: float = 1e3
+):
+    """Candidates-then-rerank (ops.int4.scan_with_u8_rerank contract)
+    with the rescore on device against a device row mirror."""
+    from pixelbox_tpu.ops.int4 import (
+        UNBOUNDED_DISTANCE,
+        default_rerank_candidates,
+    )
+
+    c = default_rerank_candidates(k)
+    _dist, idx = scan_fn(c, UNBOUNDED_DISTANCE)
+    return rerank_candidates_u8_device(
+        query_u8, idx, rows_dev, k=k, max_distance=max_distance
+    )

@@ -1,0 +1,185 @@
+"""Device-side IVF build (ops/ivf_build.py) parity vs the host packer.
+
+The capacity-scale path (>=10M rows) builds the clustered index entirely
+on device; these tests pin it to the host builder's exact output —
+identical buckets, moments, spill layout, and probe results — so the two
+builders stay interchangeable (ops.ivf.build_ivf routes by size).
+Reference semantics anchor: src/engine.rs:375-383 (the exact scan IVF
+relaxes; distances stay the exact integer spec either way).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pixelbox_tpu.ops import ivf as ivf_ops
+from pixelbox_tpu.ops import ivf_build
+
+
+def _clustered(rng, n, d, n_centers=13, noise=6):
+    """Well-separated clusters so nearest-centroid assignment has no
+    f32 ties (host and device GEMMs may round differently on ties)."""
+    centers = rng.integers(0, 256, size=(n_centers, d), dtype=np.int16)
+    assign = rng.integers(0, n_centers, size=n)
+    rows = centers[assign] + rng.integers(-noise, noise + 1, size=(n, d),
+                                          dtype=np.int16)
+    return np.clip(rows, 0, 255).astype(np.uint8)
+
+
+def _assert_index_equal(a: ivf_ops.IVFIndex, b: ivf_ops.IVFIndex):
+    np.testing.assert_array_equal(np.asarray(a.centroids),
+                                  np.asarray(b.centroids))
+    np.testing.assert_array_equal(np.asarray(a.bucket_data),
+                                  np.asarray(b.bucket_data))
+    np.testing.assert_array_equal(np.asarray(a.bucket_sum),
+                                  np.asarray(b.bucket_sum))
+    np.testing.assert_array_equal(np.asarray(a.bucket_mag2),
+                                  np.asarray(b.bucket_mag2))
+    np.testing.assert_array_equal(np.asarray(a.bucket_rows),
+                                  np.asarray(b.bucket_rows))
+    np.testing.assert_array_equal(np.asarray(a.bucket_valid),
+                                  np.asarray(b.bucket_valid))
+    assert a.spill_count == b.spill_count
+    np.testing.assert_array_equal(np.asarray(a.spill_rows),
+                                  np.asarray(b.spill_rows))
+    np.testing.assert_array_equal(np.asarray(a.spill.data),
+                                  np.asarray(b.spill.data))
+    np.testing.assert_array_equal(np.asarray(a.spill.row_sum),
+                                  np.asarray(b.spill.row_sum))
+    np.testing.assert_array_equal(np.asarray(a.spill.row_mag2),
+                                  np.asarray(b.spill.row_mag2))
+    np.testing.assert_array_equal(np.asarray(a.spill.valid),
+                                  np.asarray(b.spill.valid))
+
+
+def _host_build(rows, valid, cents, **kw):
+    os.environ["PIXELBOX_IVF_HOST_PACK"] = "1"
+    try:
+        return ivf_ops.build_ivf(rows, valid, cents, **kw)
+    finally:
+        del os.environ["PIXELBOX_IVF_HOST_PACK"]
+
+
+@pytest.mark.parametrize("precision", ["u8", "int4"])
+def test_device_pack_matches_host(rng, precision):
+    n, d = 3000, 16
+    rows = _clustered(rng, n, d)
+    valid = np.ones(n, dtype=bool)
+    valid[rng.integers(0, n, size=40)] = False
+    cents = ivf_ops.spherical_kmeans(rows, valid, 13, iters=5, seed=1)
+
+    host = _host_build(rows, valid, cents, precision=precision)
+    dev = ivf_build.build_ivf_device(rows, valid, cents,
+                                     precision=precision)
+    _assert_index_equal(host, dev)
+
+
+@pytest.mark.parametrize("precision", ["u8", "int4"])
+def test_device_pack_spill_and_row_ids(rng, precision):
+    """A tiny bucket_cap forces heavy spill; explicit (ascending,
+    offset) row ids must flow through buckets and spill unchanged."""
+    n, d = 1500, 16
+    rows = _clustered(rng, n, d, n_centers=5)
+    valid = np.ones(n, dtype=bool)
+    row_ids = (np.arange(n, dtype=np.int32) * 3) + 7
+    cents = ivf_ops.spherical_kmeans(rows, valid, 5, iters=4, seed=2)
+
+    host = _host_build(rows, valid, cents, bucket_cap=32,
+                       row_ids=row_ids, precision=precision)
+    dev = ivf_build.build_ivf_device(rows, valid, cents, bucket_cap=32,
+                                     row_ids=row_ids, precision=precision)
+    assert host.spill_count > 0  # the point of this case
+    _assert_index_equal(host, dev)
+
+    # Probe results are identical too (full-coverage nprobe == exact).
+    q = _clustered(rng, 8, d, n_centers=5)
+    hd, hi = ivf_ops.ivf_scan_topk(q, host, k=20, nprobe=5)
+    dd, di = ivf_ops.ivf_scan_topk(q, dev, k=20, nprobe=5)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(di))
+    np.testing.assert_array_equal(np.asarray(hd), np.asarray(dd))
+
+
+def test_build_ivf_routes_large_to_device(rng, monkeypatch):
+    """ops.ivf.build_ivf picks the device packer past the size threshold
+    and produces the same index."""
+    n, d = 512, 16
+    rows = _clustered(rng, n, d, n_centers=4)
+    valid = np.ones(n, dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 4, iters=3, seed=3)
+    monkeypatch.setenv("PIXELBOX_IVF_DEVICE_PACK_MIN", "256")
+    routed = ivf_ops.build_ivf(rows, valid, cents)
+    host = _host_build(rows, valid, cents)
+    _assert_index_equal(host, routed)
+
+
+def test_kmeans_device_centroids_route_probes(rng):
+    rows_np = _clustered(rng, 4000, 16, n_centers=8)
+    rows = jnp.asarray(rows_np)
+    cents = ivf_build.kmeans_device(rows, 8, iters=6, seed=0,
+                                    train_sample=2000)
+    c = np.asarray(cents)
+    assert c.shape == (8, 16)
+    np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, rtol=1e-4)
+
+    # With well-separated clusters, a 1-probe scan finds the same top-10
+    # as the exact flat scan for queries at cluster centers.
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    index = ivf_build.build_ivf_device(rows, None, cents)
+    flat = ivf_build.flat_semantic_index_device(rows, block_rows=512)
+    q = rows_np[:16]
+    _, exact_i = cosine_scan_topk(jnp.asarray(q), flat, k=10,
+                                  block_rows=512)
+    _, got_i = ivf_ops.ivf_scan_topk(q, index, k=10, nprobe=1)
+    hit = np.mean([
+        len(set(np.asarray(got_i)[i]) & set(np.asarray(exact_i)[i])) / 10
+        for i in range(16)
+    ])
+    assert hit >= 0.9, hit
+
+
+def test_flat_semantic_index_device_matches_host(rng):
+    from pixelbox_tpu.ops.packed import semantic_rows_from_u8
+
+    rows = rng.integers(0, 256, size=(300, 16), dtype=np.uint8)
+    dev = ivf_build.flat_semantic_index_device(rows, block_rows=64)
+    data, s, m = semantic_rows_from_u8(
+        np.concatenate([rows, np.zeros((20, 16), np.uint8)])
+    )
+    np.testing.assert_array_equal(np.asarray(dev.data), data)
+    np.testing.assert_array_equal(np.asarray(dev.row_sum), s)
+    np.testing.assert_array_equal(np.asarray(dev.row_mag2), m)
+    assert int(np.asarray(dev.valid).sum()) == 300
+
+
+def test_device_corpus_shape_and_clustering():
+    rows, qs = ivf_build.device_clustered_corpus(
+        7, 5000, 16, 8, n_centers=32, chunk=2048
+    )
+    rows_np, qs_np = np.asarray(rows), np.asarray(qs)
+    assert rows_np.shape == (5000, 16) and rows_np.dtype == np.uint8
+    assert qs_np.shape == (8, 16) and qs_np.dtype == np.uint8
+    # Clustered: per-row nearest-center distance far below random pairs.
+    from pixelbox_tpu.ops.oracle import cosine_distance_np
+
+    d_near = cosine_distance_np(qs_np[:, None, :], rows_np[None, :512, :])
+    assert float(d_near.min(axis=1).mean()) < 0.05
+
+
+def test_rerank_device_matches_host(rng):
+    from pixelbox_tpu.ops.int4 import rerank_candidates_u8
+
+    n, d, q, c = 400, 16, 6, 32
+    rows = rng.integers(0, 256, size=(n, d), dtype=np.uint8)
+    queries = rng.integers(0, 256, size=(q, d), dtype=np.uint8)
+    cand = rng.integers(0, n, size=(q, c)).astype(np.int64)
+    cand[:, -3:] = -1  # empty slots
+    hd, hi = rerank_candidates_u8(queries, cand, rows, k=10,
+                                  max_distance=0.5)
+    dd, di = ivf_build.rerank_candidates_u8_device(
+        queries, cand, jnp.asarray(rows), k=10, max_distance=0.5
+    )
+    np.testing.assert_array_equal(hi, np.asarray(di, dtype=np.int64))
+    np.testing.assert_allclose(hd, np.asarray(dd), rtol=0, atol=0)
