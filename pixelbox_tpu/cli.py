@@ -147,8 +147,9 @@ def main(argv=None) -> int:
         )
         sp.add_argument(
             "--nprobe", type=int, default=None,
-            help="ivf mode: clusters probed per query (default 8; "
-            "higher = better recall, slower)",
+            help="ivf mode: clusters probed per query (default: "
+            "recall-governed — 2%% of clusters, floor 8; higher = "
+            "better recall, slower)",
         )
         sp.add_argument(
             "--ivf-clusters", dest="ivf_clusters", type=int, default=None,

@@ -297,8 +297,12 @@ class Engine(
         #: ops/ivf.py).  Built lazily from the u8 host mirror; k-means
         #: retrains when the library doubles since training or
         #: ivf_clusters changes.  Row-sharded over the mesh under
-        #: serve_on_mesh (parallel/sharded_ivf).
-        self.ivf_nprobe: int = 8
+        #: serve_on_mesh (parallel/sharded_ivf).  ``ivf_nprobe=None`` =
+        #: the recall-governed default (2% of clusters, floor 8 —
+        #: ops.ivf.default_nprobe); a fixed nprobe=8 measured recall@10
+        #: 0.972 at 1M/4000 clusters on TPU (BENCH_DETAIL r4), the
+        #: scaling default holds >= 0.99.
+        self.ivf_nprobe: Optional[int] = None
         self.ivf_clusters: Optional[int] = None  # default ~4*sqrt(N)
         self._ivf = None
         self._ivf_version = -1

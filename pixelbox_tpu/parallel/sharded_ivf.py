@@ -232,14 +232,15 @@ def sharded_ivf_scan_topk(
     sivf: ShardedIVFIndex,
     mesh: Mesh,
     k: int = 100,
-    nprobe: int = 8,
+    nprobe: Optional[int] = None,
     max_distance: float = 1e3,
     axis: str = "data",
 ):
     """Distributed IVF top-k (replicated result on every chip).
 
     Same contract as ``ivf_scan_topk``: approximate selection over the
-    probed clusters (every shard probes the same ``nprobe``), exact u8
+    probed clusters (every shard probes the same ``nprobe``; ``None`` =
+    the recall-governed default, ops.ivf.default_nprobe), exact u8
     reciprocal-cosine distances, ties by ascending global row id; with
     ``nprobe == n_clusters`` equals the flat exact scan.
     """
@@ -247,6 +248,8 @@ def sharded_ivf_scan_topk(
     squeeze = query_u8.ndim == 1
     if squeeze:
         query_u8 = query_u8[None, :]
+    if nprobe is None:
+        nprobe = ivf_ops.default_nprobe(sivf.n_clusters)
     nprobe = int(max(1, min(nprobe, sivf.n_clusters)))
     md = jnp.asarray(max_distance, dtype=jnp.float32)
 

@@ -143,7 +143,7 @@ async function poll(){
   if (!sm.dataset.touched) sm.value = r.scan_mode;
   sm.onchange = () => { sm.dataset.touched = 1; };
   const np = document.getElementById('nprobe');
-  if (np.value === '') np.value = r.ivf_nprobe;
+  if (np.value === '' && r.ivf_nprobe) np.value = r.ivf_nprobe;
   if (r.indexing) setTimeout(poll, 1000);
 }
 function render(items){
@@ -746,8 +746,13 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                                 512, max(60, int(data["thumbnail_size"]))
                             )
                         if "ivf_nprobe" in data:
-                            staged["ivf_nprobe"] = max(
-                                1, int(data["ivf_nprobe"]))
+                            # null/0 = back to the recall-governed auto
+                            # default (2% of clusters, floor 8).
+                            v = data["ivf_nprobe"]
+                            staged["ivf_nprobe"] = (
+                                None if v in (None, 0, "0", "") else
+                                max(1, int(v))
+                            )
                         if "ivf_clusters" in data:
                             # null/0 = back to auto (~4·sqrt(N)); changing
                             # the count retrains on the next ivf query.

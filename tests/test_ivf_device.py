@@ -168,6 +168,45 @@ def test_device_corpus_shape_and_clustering():
     assert float(d_near.min(axis=1).mean()) < 0.05
 
 
+def test_default_nprobe_policy():
+    """Recall-governed default: 2% of clusters, floor 8, capped at C.
+    Pins the scaling behavior a fixed nprobe=8 lacked (recall@10 0.972
+    at 1M/4000 clusters, BENCH_DETAIL r4)."""
+    f = ivf_ops.default_nprobe
+    assert f(1) == 1
+    assert f(8) == 8
+    assert f(100) == 8       # floor region
+    assert f(400) == 8
+    assert f(894) == 18      # the 50k auto count
+    assert f(4000) == 80     # the 1M auto count
+    assert f(12649) == 253   # the 10M auto count
+
+
+def test_production_shape_recall_at_default_nprobe(rng):
+    """>=100k rows, AUTO cluster count, DEFAULT nprobe: recall@10 vs the
+    exact flat scan must hold >= 0.99 (VERDICT r4 ask #2 — the 1M TPU
+    run measured 0.972 at the old fixed nprobe=8)."""
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    n, d, q = 100_000, 64, 64
+    rows, queries = ivf_build.device_clustered_corpus(
+        11, n, d, q, n_centers=1024
+    )
+    n_clusters = ivf_ops.default_n_clusters(n)
+    cents = ivf_build.kmeans_device(rows, n_clusters, iters=6, seed=0,
+                                    train_sample=50_000)
+    index = ivf_build.build_ivf_device(rows, None, cents)
+    flat = ivf_build.flat_semantic_index_device(rows, block_rows=2 ** 15)
+    _, exp_i = cosine_scan_topk(queries, flat, k=10, block_rows=2 ** 15)
+    _, got_i = ivf_ops.ivf_scan_topk(np.asarray(queries), index, k=10)
+    exp_i, got_i = np.asarray(exp_i), np.asarray(got_i)
+    recall = np.mean([
+        len(set(got_i[i]) & set(exp_i[i])) / 10 for i in range(q)
+    ])
+    assert recall >= 0.99, (recall, n_clusters,
+                            ivf_ops.default_nprobe(n_clusters))
+
+
 def test_rerank_device_matches_host(rng):
     from pixelbox_tpu.ops.int4 import rerank_candidates_u8
 
