@@ -1,0 +1,383 @@
+"""Benchmark scheduling + reporting.
+
+The driver runs ``python bench.py`` under a wall-clock budget
+(PIXELBOX_BENCH_DEADLINE_S, default 1200 s) and parses the LAST JSON
+line; the full per-row detail goes to BENCH_DETAIL.json.
+
+Scheduling (VERDICT r4 ask #1/#8): rows run in priority order — the
+headline first (the scoreboard line must always exist), then the >=10M
+IVF capacity row and the flat-vs-IVF crossover (the round-5 headline
+asks, starved two rounds running by hardcoded cost estimates), then the
+cheaper scan rows.  Row cost estimates are MEASUREMENT-DERIVED: each
+completed row records ``_row_seconds`` into BENCH_DETAIL.json, and the
+next run loads those as its estimates (x1.4 safety).  Hardcoded
+fallbacks exist only for a row's first-ever run — and because capacity
+runs immediately after the headline (~19 min of budget left), any sane
+fallback admits it.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from benchmarks.util import NORTH_STAR_DOTS_PER_SEC
+from benchmarks.rows_scan import (
+    bench_auto_scan,
+    bench_cosine_scan,
+    bench_fast_scan,
+    bench_hamming,
+    bench_int4_scan,
+    bench_recall_parity,
+)
+from benchmarks.rows_ivf import (
+    bench_ivf_capacity,
+    bench_ivf_crossover,
+    bench_ivf_scan,
+)
+from benchmarks.rows_e2e import (
+    bench_blip_text,
+    bench_e2e_dragdrop,
+    bench_embedding,
+    bench_ingest,
+    bench_ingest_scaling,
+    bench_serve_e2e,
+    bench_train_step,
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL_PATH = os.path.join(_REPO, "BENCH_DETAIL.json")
+
+# First-ever-run fallbacks only; superseded by measured _row_seconds
+# priors from the previous BENCH_DETAIL.json the moment a row completes
+# once (see _estimate_s).
+_FALLBACK_EST_S = {
+    "ivf_capacity": 420, "ivf_crossover": 240, "ivf_scan": 180,
+    "blip_text_search": 240, "train_step": 180,
+}
+
+
+def _probe_platform():
+    """Verify the default JAX platform actually initializes.
+
+    A half-up accelerator tunnel can make backend init hang *forever*
+    (observed on the axon attachment), which would leave the whole bench
+    silent — worse than a slow CPU number.  Probe `jax.devices()` in a
+    subprocess with a hard timeout; on hang/failure, fall back to CPU so
+    the headline JSON line is always emitted.  Respects a caller-pinned
+    JAX_PLATFORMS.
+    """
+    import subprocess
+
+    pinned = os.environ.get("JAX_PLATFORMS", "")
+    if pinned == "cpu":
+        # Explicit CPU pin — nothing to probe, CPU init can't hang.
+        return {"platform": "cpu", "pinned": True}
+    timeout_s = float(os.environ.get("PIXELBOX_BENCH_PROBE_TIMEOUT_S", "240"))
+    attempts = int(os.environ.get("PIXELBOX_BENCH_PROBE_ATTEMPTS", "2"))
+    reason = "unprobed"
+    for attempt in range(max(1, attempts)):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            lines = r.stdout.strip().splitlines()
+            if r.returncode == 0 and lines:
+                return {"platform": lines[-1]}
+            if r.returncode == 0:
+                reason = "probe printed nothing to stdout"
+            else:
+                err = (r.stderr or "").strip().splitlines()
+                reason = err[-1] if err else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            # A transient tunnel flap can heal between attempts; retry
+            # once before committing to the CPU fallback.
+            reason = f"device init hung >{timeout_s:.0f}s (tunnel down?)"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return {
+        "platform": "cpu",
+        "fallback_reason": reason,
+        # The CPU numbers below are honest but NOT the chip's: point the
+        # reader at the last verified on-TPU measurements (methodology
+        # and full tables in PERF.md).
+        "last_tpu_full_bench": (
+            "round-4 on the attached TPU v5 lite (driver-verified): "
+            "60.7 Gdots/s guaranteed-exact cosine at Q=256, hamming "
+            "81.0 G compares/s, int4 47.4 Gdots/s, IVF 1M q1 0.63 ms — "
+            "see PERF.md"
+        ),
+    }
+
+
+def _load_priors():
+    """Measured per-row seconds from the previous run's detail file."""
+    try:
+        with open(DETAIL_PATH) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    priors = {}
+    for key, row in prev.items():
+        if isinstance(row, dict) and "_row_seconds" in row:
+            base = key.split("_1M")[0].split("_10M")[0].split("_100k")[0]
+            # Keys are shape-suffixed (_shape_name); match on the prefix.
+            priors[base] = float(row["_row_seconds"])
+            priors[key] = float(row["_row_seconds"])
+    return priors
+
+
+def _estimate_s(name, priors):
+    for k, v in priors.items():
+        if name == k or k.startswith(name):
+            return 1.4 * v
+    return _FALLBACK_EST_S.get(name, 90)
+
+
+def _shape_name(base, res):
+    """Rows are named by the shape they ACTUALLY ran (VERDICT r3:
+    the shrunk CPU-fallback rows were mislabeled 1Mx128)."""
+    if not isinstance(res, dict):
+        return base
+    n = res.get("n")
+    d = res.get("d") or res.get("hash_bytes")
+    if not n:
+        return base
+
+    def fmt(x):
+        if x % 1_000_000 == 0:
+            return f"{x // 1_000_000}M"
+        if x % 1_000 == 0:
+            return f"{x // 1_000}k"
+        return str(x)
+
+    return f"{base}_{fmt(n)}x{d}" if d else f"{base}_{fmt(n)}"
+
+
+def main():
+    full = "--full" in sys.argv
+    platform_info = _probe_platform()
+    if "fallback_reason" in platform_info:
+        # The env-var override alone can lose to a force-set JAX_PLATFORMS
+        # read before ours lands; jax.config.update always wins.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from pixelbox_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    # Overall deadline: first-time jit compiles over a TPU tunnel can take
+    # minutes per config; always emit the headline JSON line even if later
+    # configs must be skipped (they hit the persistent compile cache on
+    # the next run).
+    deadline = time.monotonic() + float(
+        os.environ.get("PIXELBOX_BENCH_DEADLINE_S", "1200")
+    )
+    priors = _load_priors()
+
+    detail = {"platform": platform_info}
+    rng = np.random.default_rng(0)
+
+    def _flush():
+        # Incremental detail flush: a kill mid-run still leaves every
+        # completed row on disk.
+        try:
+            with open(DETAIL_PATH, "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
+
+    # Measurement floor: a null body through the same device loop — one
+    # tunnel round-trip amortized over the iterations.  Reported, never
+    # subtracted.
+    try:
+        import jax.numpy as jnp
+
+        from benchmarks.util import device_loop
+
+        _null_in = jnp.zeros((50, 8, 8), jnp.float32)
+        _dt, _ = device_loop(lambda x: jnp.sum(x), _null_in, 50)
+        detail["measurement_floor"] = {"null_floor_ms_per_iter": _dt * 1e3}
+    except Exception as e:  # noqa: BLE001
+        detail["measurement_floor"] = {"error": str(e)}
+
+    def _progress(msg):
+        print(f"[bench +{time.monotonic() - _t_start:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    _t_start = time.monotonic()
+    _progress(f"platform={platform_info.get('platform')}")
+
+    # Headline: the engine's default guaranteed-exact scan (verified-fast
+    # with per-query exact repair).  End-to-end number, exact semantics.
+    # On an emergency CPU fallback (accelerator tunnel down) shrink the
+    # problem so the headline line still emits in minutes, not hours —
+    # the number is then an honest CPU measurement, flagged via
+    # detail.platform.fallback_reason.
+    emergency_cpu = "fallback_reason" in platform_info
+    _progress("headline cosine_scan_auto start")
+    t_row = time.monotonic()
+    if emergency_cpu:
+        auto = bench_auto_scan(n=100_000, q=32, iters=5,
+                               block_rows=2**15, rng=rng)
+    else:
+        auto = bench_auto_scan(rng=rng)
+    auto["_row_seconds"] = time.monotonic() - t_row
+    _progress("headline done")
+    detail[_shape_name("cosine_scan_auto", auto)] = auto
+    _flush()
+    headline = auto["dots_per_sec_exact_guaranteed"]
+    metric_name = _shape_name("u8_cosine_scan_exact_dot_products_per_sec",
+                              auto)
+    # Early scoreboard line: if a later row stalls past an outer kill,
+    # the last COMPLETE output line is still a parseable headline (the
+    # final compact line below supersedes it on a clean finish).
+    print(json.dumps({
+        "metric": metric_name,
+        "value": headline,
+        "unit": "dot-products/s/chip",
+        "vs_baseline": headline / NORTH_STAR_DOTS_PER_SEC,
+        "partial": True,
+    }), flush=True)
+
+    shrink = (
+        {
+            "cosine_scan_direct_exact": dict(
+                n=100_000, q=32, iters=5, block_rows=2**15),
+            "cosine_scan_fast_mode": dict(
+                n=100_000, q=32, iters=5, block_rows=2**15),
+            "hamming_scan": dict(n=100_000, q=32, iters=5,
+                                 block_rows=2**15),
+            "int4_scan": dict(n=100_000, q=32, iters=5),
+            "ivf_scan": dict(n=50_000, q=16, iters=5),
+            # --full rows shrink too: each would otherwise stall the
+            # whole run for many minutes on one CPU core (the deadline
+            # is only checked BETWEEN rows).
+            "efficientnet_embedding": dict(batch=8, iters=2, size=96,
+                                           dim=32),
+            "ingest_pipeline": dict(n_images=40, workers=2),
+            "ingest_scaling": dict(n_images=24, workers=(1, 2)),
+            "serve_e2e": dict(n_images=40, clients=4, reqs_per_client=3),
+            "e2e_dragdrop": dict(n=100_000, iters=2),
+        }
+        if emergency_cpu
+        else {}
+    )
+    # Rows NOT meaningful on an emergency-CPU fallback at any size: a
+    # ViT-L text tower / B0 train steps / a 10M-row capacity build on one
+    # core are stalls, not measurements.
+    cpu_skip = (
+        {"blip_text_search", "train_step", "ivf_capacity", "ivf_crossover"}
+        if emergency_cpu
+        else set()
+    )
+    # Priority order: the capacity + crossover rows run FIRST after the
+    # headline (the only regime that justifies IVF, skipped on deadline
+    # two rounds running); the cheap flat-scan rows follow.
+    rows = [
+        ("ivf_capacity", bench_ivf_capacity),
+        ("ivf_crossover", bench_ivf_crossover),
+        ("cosine_scan_direct_exact", bench_cosine_scan),
+        ("cosine_scan_fast_mode", bench_fast_scan),
+        ("recall_parity", bench_recall_parity),
+        ("hamming_scan", bench_hamming),
+        ("int4_scan", bench_int4_scan),
+        ("ivf_scan", bench_ivf_scan),
+    ] + (
+        [
+            ("efficientnet_embedding", bench_embedding),
+            ("ingest_pipeline", bench_ingest),
+            ("ingest_scaling", bench_ingest_scaling),
+            ("serve_e2e", bench_serve_e2e),
+            ("e2e_dragdrop", bench_e2e_dragdrop),
+            ("blip_text_search", bench_blip_text),
+            ("train_step", bench_train_step),
+        ]
+        if full
+        else []
+    )
+    for name, fn in rows:
+        only = os.environ.get("PIXELBOX_BENCH_ONLY")
+        if only and name not in only.split(","):
+            continue
+        if name in cpu_skip:
+            detail[name] = {
+                "skipped": "emergency CPU fallback — not measurable on "
+                "one core (see last_tpu_full_bench / PERF.md)"
+            }
+            continue
+        # Budget-aware scheduling: a row whose estimate doesn't fit the
+        # remaining deadline is skipped up front (the deadline is only
+        # checked between rows, so starting a half-hour build with two
+        # minutes left would stall the whole run).  Estimates come from
+        # the previous run's measured _row_seconds (x1.4), not constants.
+        est_s = _estimate_s(name, priors)
+        if time.monotonic() + est_s > deadline:
+            detail[name] = {
+                "skipped": f"remaining deadline < est {est_s:.0f}s "
+                f"({'measured prior' if name in priors or any(k.startswith(name) for k in priors) else 'first-run fallback'}; "
+                "raise PIXELBOX_BENCH_DEADLINE_S to include this row)"
+            }
+            continue
+        _progress(f"{name} start (est {est_s:.0f}s)")
+        t_row = time.monotonic()
+        try:
+            res = fn(**shrink.get(name, {}))
+            if isinstance(res, dict):
+                res["_row_seconds"] = time.monotonic() - t_row
+            detail[_shape_name(name, res)] = res
+        except Exception as e:  # noqa: BLE001
+            detail[name] = {"error": f"{type(e).__name__}: {e}"}
+        _flush()
+
+    # Full detail goes to a FILE; the printed line stays compact.  Round 3
+    # lost its scoreboard row because the detail dict grew past the
+    # driver's 2,000-char output-tail capture and truncated the line's
+    # head ("parsed: null" in BENCH_r03.json) — never again.
+    _flush()
+    detail_path = DETAIL_PATH
+    if not os.path.exists(DETAIL_PATH):
+        detail_path = "unwritable"
+
+    def _pick(prefix, key):
+        for row, v in detail.items():
+            if (row.startswith(prefix) and isinstance(v, dict)
+                    and v.get(key) is not None):
+                return round(v[key], 4)
+        return None
+
+    summary = {
+        "platform": platform_info.get("platform"),
+        "fallback": platform_info.get("fallback_reason"),
+        "proof_rate": _pick("cosine_scan_auto", "proof_rate_per_query"),
+        "hamming_gdots": _pick("hamming_scan",
+                               "hashes_per_sec_threshold_exact"),
+        "int4_gdots": _pick("int4_scan", "dots_per_sec"),
+        "ivf_q1_ms": _pick("ivf_scan", "ivf_q1_ms"),
+        "ivf10M_q1_ms": _pick("ivf_capacity", "ivf_q1_ms_no_rerank"),
+        "ivf10M_recall10": _pick("ivf_capacity",
+                                 "recall_at_10_vs_exact_reranked"),
+        "ivf10M_speedup_vs_flat": _pick("ivf_capacity",
+                                        "speedup_q1_vs_flat"),
+        "ivf_crossover_n": _pick("ivf_crossover", "crossover_n"),
+        "recall10_vs_oracle": _pick("recall_parity",
+                                    "recall_at_10_vs_oracle"),
+    }
+    summary = {k: v for k, v in summary.items() if v is not None}
+    out = {
+        "metric": metric_name,
+        "value": headline,
+        "unit": "dot-products/s/chip",
+        "vs_baseline": headline / NORTH_STAR_DOTS_PER_SEC,
+        "summary": summary,
+        "detail_file": detail_path,
+    }
+    line = json.dumps(out)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the tail capture
+        out.pop("summary", None)
+        line = json.dumps(out)
+    print(line)

@@ -144,6 +144,22 @@ class Engine(
         #: one small host GEMM per query batch.  Off → raw int4-metric
         #: results (the round-2 behavior).
         self.int4_rerank = bool(int4_rerank)
+        if not self.int4_rerank and (
+            semantic_precision == "int4"
+            or self.catalog.get_setting("semantic_precision") == "int4"
+        ):
+            # Mirror the RANDOM-INIT BLIP warning: raw int4-metric
+            # selection is quietly bad (recall@10 vs u8 measured 0.52
+            # asym / 0.42 sym on the structured bench) and nothing else
+            # tells the user what turning the rerank off bought them.
+            print(
+                "WARNING: int4 library with int4_rerank disabled — "
+                "results are raw int4-metric (measured recall@10 vs the "
+                "u8 ground truth ~0.5 on the structured bench, vs 1.0 "
+                "with the default exact-u8 rerank); distances are NOT "
+                "comparable with int8 libraries.  See PERF.md 'int4'.",
+                file=sys.stderr,
+            )
         #: Face search (reference roadmap README.md:33; pixelbox_tpu/faces).
         #: Persisted in the library like semantic_precision: indexing with
         #: --faces on writes face rows; later commands inherit the choice.

@@ -212,3 +212,34 @@ def test_semantic4_store_lifecycle(tmp_path, rng):
     mapping = store.compact()
     assert store.n == 290 and store.n_deleted == 0
     assert (mapping[:10] == -1).all()
+
+
+def test_no_rerank_warns_loudly(tmp_path, capsys):
+    """Disabling the exact-u8 rerank on an int4 library prints the loud
+    quality warning (raw int4 recall@10 vs u8 measured ~0.5 — VERDICT
+    r4 ask #6), exactly once at engine construction; the default
+    (rerank on) stays silent."""
+    db = str(tmp_path / "warn.db")
+    eng = Engine.new(db, embedder="stub", embedder_kwargs={"dim": 32},
+                     semantic_precision="int4", int4_rerank=False)
+    eng.close()
+    err = capsys.readouterr().err
+    assert "int4_rerank disabled" in err and "recall@10" in err
+
+    # Rerank on (the default): no warning.
+    eng = Engine(db, int4_rerank=True)
+    eng.close()
+    assert "int4_rerank disabled" not in capsys.readouterr().err
+
+    # Reopen WITHOUT an explicit precision (persisted int4) but with the
+    # rerank off: the warning must still fire.
+    eng = Engine(db, int4_rerank=False)
+    eng.close()
+    assert "int4_rerank disabled" in capsys.readouterr().err
+
+    # u8 library: the flag is a no-op, no warning.
+    db8 = str(tmp_path / "warn8.db")
+    eng = Engine.new(db8, embedder="stub", embedder_kwargs={"dim": 32},
+                     int4_rerank=False)
+    eng.close()
+    assert "int4_rerank disabled" not in capsys.readouterr().err
