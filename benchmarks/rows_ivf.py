@@ -177,9 +177,12 @@ def bench_ivf_capacity(n=10_000_000, d=128, q=32, k=100, nprobe=None,
     pack_s = time.perf_counter() - t0
 
     # Ground truth: exact flat u8 scan at the same N (also the flat-scan
-    # latency at 10M for the crossover picture).
+    # latency at 10M for the crossover picture).  Warm the compile first
+    # so flat_scan_ms is a run, not a 14s tunnel compile (measured r5).
     u8_index = ivf_build.flat_semantic_index_device(db_dev,
                                                     block_rows=2**17)
+    _, exp_i = cosine_scan_topk(q_dev, u8_index, k=k, block_rows=2**17)
+    exp_i.block_until_ready()
     t0 = time.perf_counter()
     _, exp_i = cosine_scan_topk(q_dev, u8_index, k=k, block_rows=2**17)
     exp_i = np.asarray(exp_i)

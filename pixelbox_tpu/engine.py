@@ -758,6 +758,18 @@ class Engine(
             return None
         return self._record_from_decoded(decoded)
 
+    def set_embed_batch_size(self, batch_size: int) -> None:
+        """Record the ingest embed batch size (in-process AND persisted).
+
+        The exact-self-match guarantee depends on queries replaying the
+        SAME padded batch shape ingest used; persisting it in the catalog
+        keeps the guarantee when a library ingested at a non-default
+        batch size is reopened in a new process (ADVICE r4)."""
+        batch_size = int(batch_size)
+        self._embed_batch_size = batch_size
+        if self.catalog.get_setting("embed_batch_size") != str(batch_size):
+            self.catalog.set_setting("embed_batch_size", str(batch_size))
+
     def _embed_query_ingest_exact(
         self, rgb: np.ndarray, frame: Optional[np.ndarray] = None
     ) -> np.ndarray:
@@ -770,7 +782,14 @@ class Engine(
         whose f32 outputs can drift by ulps and flip a u8 bin; routing the
         query through the same padded batch shape and the same jitted
         functions the ingest writer uses makes the two bit-identical
-        (asserted in tests/test_selfmatch.py).
+        (asserted in tests/test_selfmatch.py).  The batch size is read
+        from the library when not set in-process (set_embed_batch_size).
+
+        Caveat (documented, not guarded): the MESH state is not
+        persisted — a library ingested under a data-parallel mesh and
+        queried without one (or vice versa) routes through a different
+        XLA program, where ulp drift can flip a u8 bin.  Attach the same
+        mesh for bit-exact self-matches of mesh-ingested libraries.
         """
         from pixelbox_tpu.ingest.pipeline import (
             DEFAULT_BATCH_SIZE,
@@ -779,7 +798,11 @@ class Engine(
         from pixelbox_tpu.ops.preprocess import fill_resize_u8
         from pixelbox_tpu.ops.quantize import quantize_embedding
 
-        b = getattr(self, "_embed_batch_size", None) or DEFAULT_BATCH_SIZE
+        b = getattr(self, "_embed_batch_size", None)
+        if b is None:
+            stored = self.catalog.get_setting("embed_batch_size")
+            b = int(stored) if stored else DEFAULT_BATCH_SIZE
+            self._embed_batch_size = b
         if frame is None:
             frame = fill_resize_u8(rgb, self.embedder.input_size)
         frames = np.zeros((b,) + frame.shape, dtype=np.uint8)

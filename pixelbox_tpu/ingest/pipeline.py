@@ -79,8 +79,10 @@ class IngestPipeline:
         self.num_workers = num_workers or PARALLEL_FILE_PROCESSORS
         self.batch_size = batch_size
         # Query embeds replay this exact batch shape for bit-identical
-        # self-matches (engine._embed_query_ingest_exact).
-        engine._embed_batch_size = batch_size
+        # self-matches (engine._embed_query_ingest_exact).  Persisted so
+        # a library ingested at a non-default batch size keeps the exact
+        # self-match guarantee across process restarts (ADVICE r4).
+        engine.set_embed_batch_size(batch_size)
         # Turbo: one host resize per image; phash (square mode) + embed
         # preprocessing run batched on device.  Requires compat-off phash
         # (the aspect-preserving variable-length hash is host-only) and an

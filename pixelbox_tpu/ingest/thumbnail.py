@@ -42,7 +42,12 @@ def make_thumbnail(
     src = img_rgb
     if prescaled is not None:
         ph, pw = prescaled.shape[:2]
-        if pw >= out_w and ph >= out_h:  # never upscale from the frame
+        # Use the frame only when it is an actual DOWNSCALE of the
+        # original that still covers the fit target: a short-side
+        # original (e.g. 300x100 -> cover 672x224) would otherwise hand
+        # us an UPSCALED source — blurrier and more pixels to resample
+        # than the original itself (ADVICE r4).
+        if pw >= out_w and ph >= out_h and pw <= w and ph <= h:
             src = prescaled
     return resize_fast(src, out_w, out_h)
 

@@ -20,6 +20,8 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NPROC = 2
 LOCAL_DEVICES = 4
+# Workers read the port the launcher chose (ephemeral by default —
+# see _pick_port); 9723 only applies when a worker is run by hand.
 PORT = int(os.environ.get("PIXELBOX_MH_PORT", "9723"))
 
 
@@ -129,9 +131,24 @@ def worker(proc_id: int) -> None:
           f"processes={jax.process_count()}", flush=True)
 
 
+def _pick_port() -> int:
+    """Ephemeral coordinator port: a fixed constant collides when two
+    suite runs share a host or a stale worker survives a killed run
+    (ADVICE r4) — bind port 0, let the OS choose, release, and hand the
+    number to the workers via env."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def launcher() -> int:
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    env["PIXELBOX_MH_PORT"] = str(
+        int(os.environ.get("PIXELBOX_MH_PORT", 0)) or _pick_port()
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--proc", str(i)],

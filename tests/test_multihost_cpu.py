@@ -15,10 +15,13 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_two_process_mesh_parity():
+    # No PIXELBOX_MH_PORT: the launcher binds an ephemeral port, so two
+    # concurrent suite runs (or a stale worker from a killed run) can't
+    # collide and flake into the 600 s timeout (ADVICE r4).
+    env = {k: v for k, v in os.environ.items() if k != "PIXELBOX_MH_PORT"}
     r = subprocess.run(
         [sys.executable, os.path.join(_REPO, "scripts", "multihost_cpu_dryrun.py")],
-        capture_output=True, text=True, timeout=600,
-        env={**os.environ, "PIXELBOX_MH_PORT": "9731"},
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]
     assert "MULTIHOST_DRYRUN PASS" in r.stdout

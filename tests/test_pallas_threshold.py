@@ -170,3 +170,63 @@ def test_v2_all_rows_invalid(rng):
     d, i, exact = _run_v2(q, idx, None, k=10)
     assert exact.all()
     assert (np.asarray(i) == -1).all()
+
+
+# ------------------------------------------------------------------ #
+# cos-key epilogue (PIXELBOX_SCAN_EPILOGUE=cos) — the A/B knob'd carry
+# path (ADVICE r4: previously zero coverage; regressions would ship
+# undetected because only the default 'dist' epilogue was ever tested).
+
+
+@pytest.fixture
+def cos_epilogue(monkeypatch):
+    from pixelbox_tpu.ops import pallas_scan
+
+    monkeypatch.setattr(pallas_scan, "_EPILOGUE", "cos")
+    # The v2 wrapper is jitted: clear its trace cache so the monkeypatched
+    # module global is actually read (a cached 'dist' trace would
+    # silently serve otherwise), and again on exit for later tests.
+    pallas_scan.pallas_threshold_scan_topk_v2.clear_cache()
+    yield
+    pallas_scan.pallas_threshold_scan_topk_v2.clear_cache()
+
+
+def test_coskey_matches_oracle_where_proven(db, index, rng, cos_epilogue):
+    q = rng.integers(0, 256, size=(6, 32), dtype=np.uint8)
+    d, i, exact = _run_v2(q, index, db)
+    assert exact.mean() > 0.5
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=25)
+    ok = np.nonzero(exact)[0]
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_coskey_tie_plateau(rng, cos_epilogue):
+    """Giant duplicate tie groups: the plateau-membership proof must
+    either resolve ascending-id order exactly or mark the query
+    unproven — never a silently wrong order."""
+    base = rng.integers(0, 256, size=(4, 32), dtype=np.uint8)
+    db2 = np.repeat(base, 1024, axis=0)
+    idx2 = make_semantic_index(db2, block_rows=1024)
+    d, i, exact = _run_v2(base[:2], idx2, db2, k=20, tile_rows=1024)
+    exp_d, exp_i = oracle.cosine_scan_topk_np(base[:2], db2, k=20)
+    ok = np.nonzero(exact)[0]
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_coskey_saturated_theta(db, index, rng, cos_epilogue):
+    """max_distance below the sample threshold: θ saturates at md (the
+    carry IS the full WHERE-clause result) and the exclusion semantics
+    must match the oracle's bounded scan."""
+    q = rng.integers(0, 256, size=(4, 32), dtype=np.uint8)
+    d, i, exact = _run_v2(q, index, db, k=50, md=0.05)
+    exp_d, exp_i = oracle.cosine_scan_topk_np(q, db, k=50,
+                                              max_distance=0.05)
+    ok = np.nonzero(exact)[0]
+    assert len(ok) >= 2
+    check_topk_parity(d[ok], i[ok], exp_d[ok], exp_i[ok])
+
+
+def test_coskey_self_match_zero(db, index, cos_epilogue):
+    d, i, exact = _run_v2(db[7][None], index, db, k=3)
+    assert i.ravel()[0] == 7
+    assert d.ravel()[0] == 0.0

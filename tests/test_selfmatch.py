@@ -97,3 +97,46 @@ def test_redropped_indexed_image_scores_exactly_zero(rng, tmp_path):
         assert all(r.distance_from_query > 0.0 for r in results[1:])
     finally:
         eng.close()
+
+
+def test_embed_batch_size_persists_across_reopen(rng, tmp_path):
+    """A library ingested at a NON-default batch size keeps the exact
+    self-match guarantee in a fresh process: the size persists in the
+    catalog and the query embed replays it (ADVICE r4 — previously the
+    attr was in-process only, so a reopen silently routed queries
+    through a different XLA program shape)."""
+    from pixelbox_tpu.engine import Engine
+    from pixelbox_tpu.ingest.pipeline import IngestPipeline
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    for s in range(3):
+        Image.fromarray(textured_image(seed=s, size=(60, 45))).save(
+            photos / f"p{s}.png"
+        )
+    db = str(tmp_path / "lib.db")
+    eng = Engine.new(db, embedder="stub",
+                     embedder_kwargs={"dim": 32, "input_size": 64})
+    try:
+        eng.add_tracked_folder(str(photos))
+        pipe = IngestPipeline(eng, [str(photos)], num_workers=2,
+                              batch_size=7)
+        pipe.start()
+        pipe.join()
+        assert eng.catalog.get_setting("embed_batch_size") == "7"
+    finally:
+        eng.close()
+
+    # Fresh engine (new process stand-in): no in-process attr.
+    eng = Engine(db)
+    try:
+        assert not hasattr(eng, "_embed_batch_size")
+        eng.query_by_image_hash_from_file(str(photos / "p1.png"))
+        results = eng.get_query_results()
+        assert results, eng.last_query_error
+        assert results[0].path.endswith("p1.png")
+        assert results[0].distance_from_query == 0.0
+        # The restored batch size drove the query embed.
+        assert eng._embed_batch_size == 7
+    finally:
+        eng.close()

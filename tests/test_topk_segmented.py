@@ -1,0 +1,40 @@
+"""Segmented lex_topk == direct global sort (the 10M IVF probe's
+dominant term: one 400k-candidate lax.sort measured 8.3 ms on TPU vs
+2.3 ms per-segment + bitonic tree merge; semantics must be identical,
+ties included)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pixelbox_tpu.ops import topk as topk_ops
+
+
+@pytest.mark.parametrize("b,k", [
+    (40_000, 100),   # multi-segment, k < segment
+    (16_384, 50),    # exactly one segment boundary
+    (16_385, 7),     # one element past the boundary (pad path)
+    (49_153, 128),   # odd segment count (tree-merge pad lane)
+    (100, 20),       # small pool: direct path
+])
+def test_segmented_matches_direct(rng, b, k):
+    d = rng.integers(0, 50, size=(3, b)).astype(np.float32)  # tie-heavy
+    d[0, :5] = np.inf  # non-finite entries sort last with idx 2^31-1
+    i = np.stack([rng.permutation(b) for _ in range(3)]).astype(np.int32)
+    gd, gi = topk_ops.lex_topk(jnp.asarray(d), jnp.asarray(i), k)
+    ed, ei = topk_ops.lex_topk(jnp.asarray(d), jnp.asarray(i), k,
+                               segment=1 << 30)
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(ed))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ei))
+
+
+def test_segmented_3d_batch(rng):
+    """The IVF probe calls lex_topk on [Q, pool]; the sharded merge path
+    can see extra leading dims — segmentation must respect them."""
+    d = rng.integers(0, 9, size=(2, 4, 20_000)).astype(np.float32)
+    i = rng.integers(0, 1 << 20, size=(2, 4, 20_000)).astype(np.int32)
+    gd, gi = topk_ops.lex_topk(jnp.asarray(d), jnp.asarray(i), 33)
+    ed, ei = topk_ops.lex_topk(jnp.asarray(d), jnp.asarray(i), 33,
+                               segment=1 << 30)
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(ed))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ei))
