@@ -247,6 +247,14 @@ def _threshold_kernel(
     if kind in ("cosine4", "cosine4a"):
         # Packed int4 tile [T, D/2]: two codes per byte, column-blocked.
         # Unpack in int32 — Mosaic has no 8-bit shift lowering.
+        # Round-5 negative result (VERDICT r4 #9): splitting this into
+        # two half-K dots (lo vs q[:, :D/2], hi vs q[:, D/2:]) avoids
+        # the concat relayout and measured 2.41 → 2.16 ms per 1M-row
+        # tile pass in isolation — but in the REAL kernel each dot needs
+        # its own [Q, T] int32 accumulator, which blew the 16 MB scoped
+        # VMEM budget by 268 KB at the production tile (compile-time
+        # OOM on v5e).  The u8 rate is int4's ceiling regardless — the
+        # scan is MXU-bound, not HBM-bound (PERF.md "int4").
         p32 = data_ref[:].astype(jnp.int32)
         blk = jnp.concatenate([p32 & 15, (p32 >> 4) & 15], axis=-1).astype(
             jnp.int8
