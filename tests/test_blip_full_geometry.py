@@ -62,3 +62,35 @@ def test_full_geometry_one_forward():
     )
     print(f"full-geometry BLIP: params={n_params/1e6:.0f}M "
           f"init={init_s:.1f}s image_fwd={img_s:.1f}s text_fwd={txt_s:.1f}s")
+
+
+def test_full_geometry_hf_roundtrip():
+    """HF state-dict import roundtrip at the REAL geometry (VERDICT r4
+    #5: 'keep the HF import round-trip at that geometry'): export a
+    ViT-L/16-sized init into the HF layout, re-import, require bit-exact
+    tree equality — so real BLIP weights are load-and-go by the same
+    code path the tiny-geometry test proves."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixelbox_tpu.models.blip import (
+        BlipRetrievalModule,
+        params_from_hf_state_dict,
+    )
+
+    from blip_hf_util import assert_tree_equal, hf_state_dict_from_params
+
+    cfg = BlipConfig.from_json(_CONFIG_JSON)
+    module = BlipRetrievalModule(cfg)
+    s = cfg.vision.image_size
+    variables = module.init(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, s, s, 3), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+    )
+    p = variables["params"]
+    sd = hf_state_dict_from_params(p, cfg)
+    assert len(sd) > 350  # ViT-L 24 layers + 12-layer text tower
+    imported = params_from_hf_state_dict(sd, cfg)
+    assert_tree_equal(p, imported["params"])

@@ -117,7 +117,9 @@ def test_text_operator_end_to_end_through_engine(trained_itc, tmp_path):
 def test_params_from_hf_state_dict_roundtrip():
     """Export our tiny module's init params into a synthetic HF-layout
     state dict, re-import through params_from_hf_state_dict, and require
-    bit-exact tree equality — a wiring bug in either direction fails."""
+    bit-exact tree equality — a wiring bug in either direction fails.
+    (The same roundtrip runs at the REAL shipped ViT-L geometry in
+    tests/test_blip_full_geometry.py.)"""
     import jax
     import jax.numpy as jnp
 
@@ -125,6 +127,8 @@ def test_params_from_hf_state_dict_roundtrip():
         BlipRetrievalModule,
         params_from_hf_state_dict,
     )
+
+    from blip_hf_util import assert_tree_equal, hf_state_dict_from_params
 
     cfg = BlipConfig.tiny()
     module = BlipRetrievalModule(cfg)
@@ -136,88 +140,6 @@ def test_params_from_hf_state_dict_roundtrip():
         jnp.ones((1, 8), jnp.int32),
     )
     p = variables["params"]
-
-    sd = {}
-
-    def dense_inv(dst, node):
-        sd[f"{dst}.weight"] = np.transpose(np.asarray(node["kernel"]))
-        sd[f"{dst}.bias"] = np.asarray(node["bias"])
-
-    def ln_inv(dst, node):
-        sd[f"{dst}.weight"] = np.asarray(node["scale"])
-        sd[f"{dst}.bias"] = np.asarray(node["bias"])
-
-    v = p["vision"]
-    sd["vision_model.embeddings.patch_embedding.weight"] = np.transpose(
-        np.asarray(v["patch_embed"]["kernel"]), (3, 2, 0, 1)
-    )
-    sd["vision_model.embeddings.patch_embedding.bias"] = np.asarray(
-        v["patch_embed"]["bias"]
-    )
-    sd["vision_model.embeddings.class_embedding"] = np.asarray(
-        v["cls_token"]
-    ).reshape(-1)
-    sd["vision_model.embeddings.position_embedding"] = np.asarray(
-        v["pos_embed"]
-    )
-    h = cfg.vision.hidden_size
-    for i in range(cfg.vision.num_layers):
-        lyr = v[f"layer{i}"]
-        src = f"vision_model.encoder.layers.{i}"
-        qkv_w = np.concatenate(
-            [np.transpose(np.asarray(lyr["attn"][nm]["kernel"]))
-             for nm in ("q", "k", "v")], axis=0
-        )
-        qkv_b = np.concatenate(
-            [np.asarray(lyr["attn"][nm]["bias"]) for nm in ("q", "k", "v")]
-        )
-        sd[f"{src}.self_attn.qkv.weight"] = qkv_w
-        sd[f"{src}.self_attn.qkv.bias"] = qkv_b
-        dense_inv(f"{src}.self_attn.projection", lyr["attn"]["out"])
-        ln_inv(f"{src}.layer_norm1", lyr["ln1"])
-        ln_inv(f"{src}.layer_norm2", lyr["ln2"])
-        dense_inv(f"{src}.mlp.fc1", lyr["mlp_in"])
-        dense_inv(f"{src}.mlp.fc2", lyr["mlp_out"])
-    ln_inv("vision_model.post_layernorm", v["post_ln"])
-
-    t = p["text"]
-    sd["text_encoder.embeddings.word_embeddings.weight"] = np.asarray(
-        t["tok_embed"]["embedding"]
-    )
-    sd["text_encoder.embeddings.position_embeddings.weight"] = np.asarray(
-        t["pos_embed"]["embedding"]
-    )
-    ln_inv("text_encoder.embeddings.LayerNorm", t["embed_ln"])
-    for i in range(cfg.text.num_layers):
-        lyr = t[f"layer{i}"]
-        src = f"text_encoder.encoder.layer.{i}"
-        dense_inv(f"{src}.attention.self.query", lyr["attn"]["q"])
-        dense_inv(f"{src}.attention.self.key", lyr["attn"]["k"])
-        dense_inv(f"{src}.attention.self.value", lyr["attn"]["v"])
-        dense_inv(f"{src}.attention.output.dense", lyr["attn"]["out"])
-        ln_inv(f"{src}.attention.output.LayerNorm", lyr["ln1"])
-        dense_inv(f"{src}.intermediate.dense", lyr["mlp_in"])
-        dense_inv(f"{src}.output.dense", lyr["mlp_out"])
-        ln_inv(f"{src}.output.LayerNorm", lyr["ln2"])
-
-    dense_inv("vision_proj", p["vision_proj"])
-    dense_inv("text_proj", p["text_proj"])
-
+    sd = hf_state_dict_from_params(p, cfg)
     imported = params_from_hf_state_dict(sd, cfg)
-
-    flat_orig = jax.tree_util.tree_flatten_with_path(p)[0]
-    flat_imp = jax.tree_util.tree_flatten_with_path(
-        imported["params"]
-    )[0]
-    orig_keys = {jax.tree_util.keystr(k) for k, _ in flat_orig}
-    imp_keys = {jax.tree_util.keystr(k) for k, _ in flat_imp}
-    assert orig_keys == imp_keys, (
-        f"missing={sorted(orig_keys - imp_keys)} "
-        f"extra={sorted(imp_keys - orig_keys)}"
-    )
-    imp_by_key = {jax.tree_util.keystr(k): np.asarray(x) for k, x in flat_imp}
-    for k, x in flat_orig:
-        np.testing.assert_array_equal(
-            np.asarray(x), imp_by_key[jax.tree_util.keystr(k)],
-            err_msg=f"value drift at {jax.tree_util.keystr(k)}",
-        )
+    assert_tree_equal(p, imported["params"])
