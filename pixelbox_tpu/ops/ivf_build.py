@@ -84,14 +84,21 @@ def _blocked_moments(rows_u8: jnp.ndarray, precision: str, block: int):
     n, d = rows_u8.shape
     if n == 0 or n <= block:
         return _moments_fn(precision)(rows_u8)
-    assert n % block == 0, (n, block)
-    xs = rows_u8.reshape(n // block, block, d)
+    # Ragged tail handled separately — padding the ROWS to a block
+    # multiple would duplicate the multi-GB row array (the 30M build's
+    # OOM); the tail is one direct call on < block rows.
+    nb = n // block
+    xs = rows_u8[: nb * block].reshape(nb, block, d)
     codes, sums, mags = lax.map(_moments_fn(precision), xs)
-    return (
-        codes.reshape(n, -1),
-        sums.reshape(n),
-        mags.reshape(n),
-    )
+    codes = codes.reshape(nb * block, -1)
+    sums = sums.reshape(nb * block)
+    mags = mags.reshape(nb * block)
+    if nb * block < n:
+        tc, ts, tm = _moments_fn(precision)(rows_u8[nb * block:])
+        codes = jnp.concatenate([codes, tc], axis=0)
+        sums = jnp.concatenate([sums, ts])
+        mags = jnp.concatenate([mags, tm])
+    return codes, sums, mags
 
 
 # --------------------------------------------------------------------------
@@ -113,27 +120,35 @@ def _assign_block_rows(n_clusters: int, budget_bytes: int = 1 << 27) -> int:
 @partial(jax.jit, static_argnames=("block_rows", "n_clusters"))
 def _assign_and_count(centroids, rows_u8, valid, block_rows: int,
                       n_clusters: int):
-    """(cluster key per row [N_pad] int32 — invalid rows get key C, so a
-    stable sort puts them last; counts [C+1] int32)."""
+    """(cluster key per row [N] int32 — invalid rows get key C, so a
+    stable sort puts them last; counts [C+1] int32).  Handles a ragged
+    tail (N need not divide block_rows) so callers never pad — i.e.
+    duplicate — the multi-GB row array."""
     c, d = centroids.shape
-    nb = rows_u8.shape[0] // block_rows
-    xs = (
-        rows_u8.reshape(nb, block_rows, d),
-        valid.reshape(nb, block_rows),
-    )
+    n = rows_u8.shape[0]
 
-    def body(_, x):
-        blk_u8, blk_valid = x
+    def assign_block(blk_u8, blk_valid):
         xb = 2.0 * blk_u8.astype(jnp.float32) - 255.0
         # argmax over unit centroids is row-norm-invariant: skip rsqrt.
         scores = lax.dot_general(
             xb, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
         )
         a = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        return None, jnp.where(blk_valid, a, jnp.int32(n_clusters))
+        return jnp.where(blk_valid, a, jnp.int32(n_clusters))
 
-    _, keys = lax.scan(body, None, xs)
-    keys = keys.reshape(-1)
+    nb = n // block_rows
+    parts = []
+    if nb:
+        xs = (
+            rows_u8[: nb * block_rows].reshape(nb, block_rows, d),
+            valid[: nb * block_rows].reshape(nb, block_rows),
+        )
+        _, keys = lax.scan(lambda _, x: (None, assign_block(*x)), None, xs)
+        parts.append(keys.reshape(-1))
+    if nb * block_rows < n:
+        parts.append(assign_block(rows_u8[nb * block_rows:],
+                                  valid[nb * block_rows:]))
+    keys = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     counts = jnp.bincount(keys, length=n_clusters + 1).astype(jnp.int32)
     return keys, counts
 
@@ -171,9 +186,15 @@ def _pack_device(rows_u8, akey, row_ids, counts, *, n_clusters: int,
     in_bucket = (sa < c) & (rank < cap)
     slot = jnp.where(in_bucket, sa * cap + rank, c * cap)  # OOB => dropped
 
-    rows_sorted = jnp.take(rows_u8, order, axis=0)
+    # Codes/moments compute in ROW order, then gather by the sort: for
+    # int4 the gathered codes are half the bytes of gathered raw rows
+    # (1.9 GB saved at peak for a 30M build — the difference between
+    # fitting one chip's HBM and not).
     ids_sorted = jnp.take(row_ids, order)
-    codes, sums, mags = _blocked_moments(rows_sorted, precision, mblock)
+    codes_r, sums_r, mags_r = _blocked_moments(rows_u8, precision, mblock)
+    codes = jnp.take(codes_r, order, axis=0)
+    sums = jnp.take(sums_r, order)
+    mags = jnp.take(mags_r, order)
 
     z_codes, z_sum, z_mag = _moments_fn(precision)(
         jnp.zeros((1, d), jnp.uint8)
@@ -253,17 +274,13 @@ def build_ivf_device(
     else:
         ids = jnp.asarray(row_ids, dtype=jnp.int32)
 
+    # No row padding anywhere: _assign_and_count and _blocked_moments
+    # handle the ragged tail, because padding means DUPLICATING the row
+    # array — 3.8 GB at a 30M build, the difference between fitting one
+    # chip's HBM and a ResourceExhausted (measured r5).
     block = _assign_block_rows(c)
-    n_pad = -(-max(n, 1) // block) * block
-    if n_pad != n:
-        rows_p = jnp.zeros((n_pad, d), jnp.uint8).at[:n].set(rows)
-        valid_p = jnp.zeros((n_pad,), bool).at[:n].set(valid_dev)
-        ids_p = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(ids)
-    else:
-        rows_p, valid_p, ids_p = rows, valid_dev, ids
-
     akey, counts = _assign_and_count(
-        cents, rows_p, valid_p, block_rows=block, n_clusters=c
+        cents, rows, valid_dev, block_rows=block, n_clusters=c
     )
     counts_np = np.asarray(counts)
     n_live = (
@@ -277,7 +294,7 @@ def build_ivf_device(
 
     (bdata, bsum, bmag, brows, bvalid,
      s_codes, s_sum, s_mag, s_valid, s_ids) = _pack_device(
-        rows_p, akey, ids_p, counts,
+        rows, akey, ids, counts,
         n_clusters=c, bucket_cap=bucket_cap, s_pad=s_pad,
         precision=precision, mblock=block,
     )
@@ -438,16 +455,26 @@ def flat_semantic_index_device(
         n_valid = n
     block_rows = int(min(block_rows, max(8, n)))
     n_pad = -(-n // block_rows) * block_rows
-    if n_pad != n:
-        rows = jnp.zeros((n_pad, d), jnp.uint8).at[:n].set(rows)
 
-    @partial(jax.jit, static_argnames=("block",))
-    def _build(rows_p, block):
-        data, sums, mags = _blocked_moments(rows_p, "u8", block)
-        valid = jnp.arange(rows_p.shape[0]) < n_valid
+    @partial(jax.jit, static_argnames=("block", "pad", "nv"))
+    def _build(rows_in, block, pad, nv):
+        data, sums, mags = _blocked_moments(rows_in, "u8", block)
+        if pad:
+            # Pad the OUTPUT codes (zero-row moments, matching the host
+            # builder's zero-filled padding) — never the u8 rows, which
+            # would duplicate the multi-GB input.
+            zd, zs, zm = _moments_u8(jnp.zeros((1, d), jnp.uint8))
+            data = jnp.concatenate(
+                [data, jnp.broadcast_to(zd, (pad, d))], axis=0
+            )
+            sums = jnp.concatenate([sums, jnp.broadcast_to(zs, (pad,))])
+            mags = jnp.concatenate([mags, jnp.broadcast_to(zm, (pad,))])
+        valid = jnp.arange(data.shape[0]) < nv
         return data, sums, mags, valid
 
-    data, sums, mags, valid = _build(rows, block=block_rows)
+    data, sums, mags, valid = _build(
+        rows, block=block_rows, pad=n_pad - n, nv=int(n_valid)
+    )
     return PackedSemanticIndex(data, sums, mags, valid)
 
 
