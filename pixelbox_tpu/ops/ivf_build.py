@@ -185,29 +185,33 @@ def _pack_device(rows_u8, akey, row_ids, counts, *, n_clusters: int,
     rank = jnp.arange(n_pad, dtype=jnp.int32) - starts[sa]
     in_bucket = (sa < c) & (rank < cap)
     slot = jnp.where(in_bucket, sa * cap + rank, c * cap)  # OOB => dropped
+    # Scatter FROM ROW ORDER: map each row's bucket slot back through the
+    # sort once ([N] int32) instead of gathering sorted copies of the
+    # codes/ids — those gathers held an extra ~2 GB live at a 30M build
+    # (with the slot known per row, scatter order is irrelevant: slots
+    # are unique).
+    slot_by_row = jnp.full((n_pad,), c * cap, jnp.int32).at[order].set(slot)
 
-    # Codes/moments compute in ROW order, then gather by the sort: for
-    # int4 the gathered codes are half the bytes of gathered raw rows
-    # (1.9 GB saved at peak for a 30M build — the difference between
-    # fitting one chip's HBM and not).
-    ids_sorted = jnp.take(row_ids, order)
     codes_r, sums_r, mags_r = _blocked_moments(rows_u8, precision, mblock)
-    codes = jnp.take(codes_r, order, axis=0)
-    sums = jnp.take(sums_r, order)
-    mags = jnp.take(mags_r, order)
 
     z_codes, z_sum, z_mag = _moments_fn(precision)(
         jnp.zeros((1, d), jnp.uint8)
     )
     flat = c * cap
-    bdata = jnp.broadcast_to(z_codes, (flat, codes.shape[1]))
-    bdata = bdata.at[slot].set(codes, mode="drop")
-    bsum = jnp.broadcast_to(z_sum, (flat,)).at[slot].set(sums, mode="drop")
-    bmag = jnp.broadcast_to(z_mag, (flat,)).at[slot].set(mags, mode="drop")
-    brows = jnp.full((flat,), -1, jnp.int32).at[slot].set(
-        ids_sorted, mode="drop"
+    bdata = jnp.broadcast_to(z_codes, (flat, codes_r.shape[1]))
+    bdata = bdata.at[slot_by_row].set(codes_r, mode="drop")
+    bsum = jnp.broadcast_to(z_sum, (flat,)).at[slot_by_row].set(
+        sums_r, mode="drop"
     )
-    bvalid = jnp.zeros((flat,), bool).at[slot].set(in_bucket, mode="drop")
+    bmag = jnp.broadcast_to(z_mag, (flat,)).at[slot_by_row].set(
+        mags_r, mode="drop"
+    )
+    brows = jnp.full((flat,), -1, jnp.int32).at[slot_by_row].set(
+        row_ids, mode="drop"
+    )
+    bvalid = jnp.zeros((flat,), bool).at[slot_by_row].set(
+        slot_by_row < flat, mode="drop"
+    )
 
     out_buckets = (
         bdata.reshape(c, cap, -1),

@@ -601,13 +601,24 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         return self._send(404, {"error": "no such image"})
                     return self._send(200, engine.get_faces(image_id))
                 if parsed.path == "/api/status":
+                    from pixelbox_tpu.ops.ivf import (
+                        default_nprobe as _default_nprobe,
+                    )
+
                     status = {
                         "images": engine.get_num_indexed_images(),
                         "indexing": engine.is_indexing_active(),
                         "max_search_results": engine.max_search_results,
                         "max_distance": engine.max_distance_from_query,
                         "scan_mode": engine.scan_mode,
-                        "ivf_nprobe": engine.ivf_nprobe,
+                        "ivf_nprobe": engine.ivf_nprobe,  # null = auto
+                        # What auto resolves to on the CURRENT clustered
+                        # index (null until an ivf query built one).
+                        "ivf_nprobe_effective": (
+                            engine.ivf_nprobe
+                            or (_default_nprobe(engine._ivf.n_clusters)
+                                if engine._ivf is not None else None)
+                        ),
                         "ivf_clusters": engine.ivf_clusters,  # null = auto
                         "semantic_precision": engine.semantic_precision,
                         "embedder": engine._embedder_name,
