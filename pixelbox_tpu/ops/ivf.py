@@ -352,6 +352,34 @@ def _empty_spill(d: int, precision: str = "u8"):
     )
 
 
+def pack_buckets(
+    rows_u8: np.ndarray,
+    valid: np.ndarray,
+    centroids: np.ndarray,
+    bucket_cap: int,
+    row_ids: np.ndarray,
+    precision: str = "u8",
+):
+    """Size-dispatched bucket pack (same contract as
+    :func:`pack_buckets_host`): large shards pack on device — the host
+    packer's numpy quantize/moments are the wall past ~100k rows (see
+    ``build_ivf``'s routing note)."""
+    device_min = int(os.environ.get("PIXELBOX_IVF_DEVICE_PACK_MIN",
+                                    str(128 * 1024)))
+    if (len(rows_u8) >= device_min
+            and os.environ.get("PIXELBOX_IVF_HOST_PACK") != "1"):
+        from pixelbox_tpu.ops.ivf_build import pack_buckets_device_np
+
+        return pack_buckets_device_np(
+            rows_u8, valid, centroids, bucket_cap, row_ids,
+            precision=precision,
+        )
+    return pack_buckets_host(
+        rows_u8, valid, centroids, bucket_cap, row_ids,
+        precision=precision,
+    )
+
+
 def pack_buckets_host(
     rows_u8: np.ndarray,
     valid: np.ndarray,

@@ -168,7 +168,7 @@ def build_sharded_ivf(
     spill_ids_per_shard: List[np.ndarray] = []
     for s in range(n_shards):
         lo, hi = s * local_rows, (s + 1) * local_rows
-        bd, bs, bm, br, bv, spill_pos = ivf_ops.pack_buckets_host(
+        bd, bs, bm, br, bv, spill_pos = ivf_ops.pack_buckets(
             rows_u8[lo:hi], valid[lo:hi], centroids, bucket_cap,
             row_ids=np.arange(lo, hi, dtype=np.int32),
             precision=precision,

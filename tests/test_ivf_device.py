@@ -222,3 +222,60 @@ def test_rerank_device_matches_host(rng):
     )
     np.testing.assert_array_equal(hi, np.asarray(di, dtype=np.int64))
     np.testing.assert_allclose(hd, np.asarray(dd), rtol=0, atol=0)
+
+
+def test_pack_buckets_device_np_matches_host(rng, monkeypatch):
+    """The mesh-sharded builder's per-shard pack (ops.ivf.pack_buckets)
+    produces identical arrays through the device path — including the
+    spill POSITION list the incremental-append path persists."""
+    n, d = 1200, 16
+    rows = _clustered(rng, n, d, n_centers=6)
+    valid = np.ones(n, dtype=bool)
+    valid[::97] = False
+    row_ids = np.arange(500, 500 + n, dtype=np.int32)  # global-id offset
+    cents = ivf_ops.spherical_kmeans(rows, valid, 6, iters=4, seed=5)
+
+    host = ivf_ops.pack_buckets_host(rows, valid, cents, 64, row_ids,
+                                     precision="int4")
+    monkeypatch.setenv("PIXELBOX_IVF_DEVICE_PACK_MIN", "64")
+    dev = ivf_ops.pack_buckets(rows, valid, cents, 64, row_ids,
+                               precision="int4")
+    for h, g, name in zip(host, dev, ("data", "sum", "mag2", "rows",
+                                      "valid", "spill_pos")):
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(g),
+                                      err_msg=name)
+
+
+def test_sharded_build_device_pack_parity(rng, monkeypatch):
+    """build_sharded_ivf through the device per-shard pack equals the
+    host-pack build, probe results included."""
+    import jax
+    from jax.sharding import Mesh
+
+    from pixelbox_tpu.parallel.sharded_ivf import (
+        build_sharded_ivf,
+        sharded_ivf_scan_topk,
+    )
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("data",))
+    n, d = 1600, 16
+    rows = _clustered(rng, n, d, n_centers=5)
+    valid = np.ones(n, dtype=bool)
+    cents = ivf_ops.spherical_kmeans(rows, valid, 5, iters=4, seed=6)
+    q = _clustered(rng, 4, d, n_centers=5)
+
+    monkeypatch.setenv("PIXELBOX_IVF_HOST_PACK", "1")
+    sivf_h, spills_h = build_sharded_ivf(rows, valid, cents, mesh)
+    dh, ih = sharded_ivf_scan_topk(q, sivf_h, mesh, k=10, nprobe=5)
+    monkeypatch.delenv("PIXELBOX_IVF_HOST_PACK")
+    monkeypatch.setenv("PIXELBOX_IVF_DEVICE_PACK_MIN", "64")
+    sivf_d, spills_d = build_sharded_ivf(rows, valid, cents, mesh)
+    dd, id_ = sharded_ivf_scan_topk(q, sivf_d, mesh, k=10, nprobe=5)
+
+    for a, b in zip(spills_h, spills_d):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(sivf_h.bucket_rows),
+                                  np.asarray(sivf_d.bucket_rows))
+    np.testing.assert_array_equal(np.asarray(ih), np.asarray(id_))
+    np.testing.assert_array_equal(np.asarray(dh), np.asarray(dd))
