@@ -114,6 +114,15 @@ def _probe_platform():
     }
 
 
+def _row_base(key: str) -> str:
+    """Strip the _shape_name suffix ('ivf_scan_1Mx128' → 'ivf_scan',
+    'ivf_capacity_30Mx128' → 'ivf_capacity', 'recall_parity_10k' →
+    'recall_parity') so shape-suffixed keys map back to their row."""
+    import re
+
+    return re.sub(r"_\d+(?:k|M)?(?:x\d+)?$", "", key)
+
+
 def _load_priors():
     """Measured per-row seconds: the merged priors file (survives runs
     that execute only a subset of rows), with the previous detail file
@@ -124,9 +133,7 @@ def _load_priors():
             prev = json.load(f)
         for key, row in prev.items():
             if isinstance(row, dict) and "_row_seconds" in row:
-                base = key.split("_1M")[0].split("_10M")[0].split("_100k")[0]
-                # Keys are shape-suffixed (_shape_name); prefix-match.
-                priors[base] = float(row["_row_seconds"])
+                priors[_row_base(key)] = float(row["_row_seconds"])
                 priors[key] = float(row["_row_seconds"])
     except (OSError, ValueError):
         pass
@@ -362,24 +369,30 @@ def main():
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
         _flush()
 
-    # Rows this invocation never attempts (e.g. the --full e2e rows on a
-    # default run) carry forward from the previous artifact, explicitly
-    # marked — one coherent BENCH_DETAIL for readers, no silent loss of
-    # the last measured numbers.
-    attempted = {"cosine_scan_auto"} | {name for name, _ in rows}
+    # Rows without a fresh MEASUREMENT this run (not attempted — e.g.
+    # the --full e2e rows on a default run or a PIXELBOX_BENCH_ONLY
+    # filter — or attempted but deadline-skipped/errored) carry the
+    # previous artifact's measured numbers forward, explicitly marked:
+    # one coherent BENCH_DETAIL for readers, no silent loss of the last
+    # measured values.  A skip/error marker coexists with the carried
+    # row (different keys), so the run's own outcome stays visible.
+    def _is_measured(row):
+        return (isinstance(row, dict) and "skipped" not in row
+                and "error" not in row)
+
+    measured_now = {
+        _row_base(k) for k, v in detail.items()
+        if k not in ("platform", "measurement_floor") and _is_measured(v)
+    }
     for key, row in _prev_detail.items():
-        base = key.split("_1M")[0].split("_10M")[0].split("_100k")[0]
         if key in ("platform", "measurement_floor"):
             continue
-        if base in attempted or key in attempted:
+        if not _is_measured(row) or _row_base(key) in measured_now:
             continue
-        if any(k.startswith(base) for k in detail):
-            continue
-        if isinstance(row, dict) and "skipped" not in row \
-                and "error" not in row:
-            row = dict(row)
-            row["_carried_from_previous_run"] = True
-            detail[key] = row
+        row = dict(row)
+        row["_carried_from_previous_run"] = True
+        detail[key] = row
+        measured_now.add(_row_base(key))
 
     # Full detail goes to a FILE; the printed line stays compact.  Round 3
     # lost its scoreboard row because the detail dict grew past the

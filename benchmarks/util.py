@@ -191,13 +191,21 @@ def clustered_u8(rng, n, d, q, n_clusters=4096, chunk=2_000_000,
 
 
 def recall_at(got_i, exp_i, k):
-    """Mean top-k overlap between two [Q, >=k] id arrays (−1 = empty)."""
+    """Mean top-k overlap between two [Q, >=k] id arrays.
+
+    −1 padding (fewer than k rows passed the filter) is EXCLUDED from
+    both sides, and the denominator is the oracle's real hit count — a
+    query where both sides pad with −1 must not count the shared
+    sentinel as a match (it once inflated bounded-pool recalls)."""
     got_i = np.asarray(got_i)
     exp_i = np.asarray(exp_i)
     qn = got_i.shape[0]
-    return float(np.mean([
-        len(set(got_i[i][:k]) & set(exp_i[i][:k])) / k for i in range(qn)
-    ]))
+    per_q = []
+    for i in range(qn):
+        want = {x for x in exp_i[i][:k] if x >= 0}
+        have = {x for x in got_i[i][:k] if x >= 0}
+        per_q.append(len(have & want) / max(1, len(want)))
+    return float(np.mean(per_q))
 
 
 # Back-compat alias (the repo-root bench.py facade and older tests used

@@ -144,10 +144,9 @@ class Engine(
         #: one small host GEMM per query batch.  Off → raw int4-metric
         #: results (the round-2 behavior).
         self.int4_rerank = bool(int4_rerank)
-        if not self.int4_rerank and (
-            semantic_precision == "int4"
-            or self.catalog.get_setting("semantic_precision") == "int4"
-        ):
+        # semantic_precision is already resolved against the persisted
+        # setting above, so it alone decides the warning.
+        if not self.int4_rerank and self.semantic_precision == "int4":
             # Mirror the RANDOM-INIT BLIP warning: raw int4-metric
             # selection is quietly bad (recall@10 vs u8 measured 0.52
             # asym / 0.42 sym on the structured bench) and nothing else

@@ -54,6 +54,10 @@ def lex_topk(dist: jnp.ndarray, idx: jnp.ndarray, k: int,
         dist = jnp.pad(dist, pad, constant_values=jnp.inf)
         idx = jnp.pad(idx, pad, constant_values=jnp.int32(2 ** 31 - 1))
     idx = jnp.where(jnp.isfinite(dist), idx, jnp.int32(2 ** 31 - 1))
+    # Segments must hold at least k survivors each — a k above the
+    # default segment width (reachable via a huge max_search_results
+    # through the IVF probe) widens the segment instead of truncating.
+    segment = max(segment, k)
     if b > max(k, segment):
         nseg = -(-b // segment)
         pad_n = nseg * segment - b

@@ -68,8 +68,8 @@ thumb px <input id="thumbsz" type="number" min="60" max="512">
 scan <select id="scanmode" title="auto = guaranteed-exact; ivf = clustered ANN (approximate selection, exact distances)">
 <option>auto</option><option>exact</option><option>fast</option>
 <option>pallas</option><option>ivf</option></select>
-nprobe <input id="nprobe" type="number" min="1" style="width:3.5em"
- title="ivf mode: clusters probed per query (higher = better recall)">
+nprobe <input id="nprobe" type="number" min="0" style="width:3.5em"
+ title="ivf mode: clusters probed per query (higher = better recall; 0 = auto, 2% of clusters)">
 <button onclick="saveSettings()">apply</button>
 </div>
 <div id="pager">
@@ -120,8 +120,10 @@ async function saveSettings(){
   const ts = +document.getElementById('thumbsz').value;
   if (ts >= 60) { applyThumbSize(ts); body.thumbnail_size = ts; }
   body.scan_mode = document.getElementById('scanmode').value;
-  const np = +document.getElementById('nprobe').value;
-  if (np >= 1) body.ivf_nprobe = np;
+  const npEl = document.getElementById('nprobe');
+  // 0 (or any cleared-then-zero entry) resets to the recall-governed
+  // auto default; only an untouched empty field is omitted.
+  if (npEl.value !== '') body.ivf_nprobe = Math.max(0, +npEl.value || 0);
   await fetch('/api/settings', {method:'POST', body:JSON.stringify(body)});
 }
 function applyThumbSize(px){
@@ -613,11 +615,16 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         "scan_mode": engine.scan_mode,
                         "ivf_nprobe": engine.ivf_nprobe,  # null = auto
                         # What auto resolves to on the CURRENT clustered
-                        # index (null until an ivf query built one).
+                        # index — single-chip or mesh-sharded, whichever
+                        # is live (null until an ivf query built one).
                         "ivf_nprobe_effective": (
                             engine.ivf_nprobe
                             or (_default_nprobe(engine._ivf.n_clusters)
                                 if engine._ivf is not None else None)
+                            or (_default_nprobe(
+                                    engine._ivf_sharded.n_clusters)
+                                if engine._ivf_sharded is not None
+                                else None)
                         ),
                         "ivf_clusters": engine.ivf_clusters,  # null = auto
                         "semantic_precision": engine.semantic_precision,

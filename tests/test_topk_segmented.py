@@ -38,3 +38,16 @@ def test_segmented_3d_batch(rng):
                                segment=1 << 30)
     np.testing.assert_array_equal(np.asarray(gd), np.asarray(ed))
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(ei))
+
+
+def test_k_wider_than_segment(rng):
+    """k above the default segment width (a huge max_search_results via
+    the IVF probe pool) must widen segments, not crash or truncate."""
+    b, k = 40_000, 20_000
+    d = rng.integers(0, 1000, size=(1, b)).astype(np.float32)
+    i = rng.permutation(b)[None].astype(np.int32)
+    gd, gi = topk_ops.lex_topk(jnp.asarray(d), jnp.asarray(i), k)
+    ed, ei = topk_ops.lex_topk(jnp.asarray(d), jnp.asarray(i), k,
+                               segment=1 << 30)
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(ed))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ei))
