@@ -420,8 +420,12 @@ def main():
         print(f"[bench] PERF.md regen skipped: {e}", file=sys.stderr)
 
     def _pick(prefix, key):
+        # Summary values are THIS run's measurements only — carried rows
+        # stay in the detail file (marked) but never on the scoreboard
+        # line.
         for row, v in detail.items():
             if (row.startswith(prefix) and isinstance(v, dict)
+                    and not v.get("_carried_from_previous_run")
                     and v.get(key) is not None):
                 return round(v[key], 4)
         return None
