@@ -21,7 +21,14 @@ from pixelbox_tpu.parallel.mesh import make_mesh
 from pixelbox_tpu.training.blip_train import BlipTrainConfig, train_blip
 
 
-def _train_tiny_itc(steps=300, variants=3):
+def _train_tiny_itc(steps=500, variants=3):
+    # 500 steps, not 300: the trajectory is seed-deterministic but NOT
+    # compile-deterministic — a persistent-cache hit vs a fresh XLA:CPU
+    # compile rounds f32 differently, and after enough steps the runs
+    # land in different optima (one full-suite run measured recall@1
+    # 0.625 where the next measured 0.94).  Longer training concentrates
+    # every observed trajectory near-perfect on these 16 trivially
+    # separable classes, keeping the 0.75 gate meaningful.
     cfg = BlipConfig.tiny()
     words = sorted(
         {"a"} | set(SCENE_SHAPES) | set(SCENE_COLORS)
