@@ -234,8 +234,8 @@ def assign_rows_u8(
 
 def default_n_clusters(n_live: int) -> int:
     """~4·sqrt(N) clusters (IVF folklore sweet spot): 1M rows → 4000
-    clusters → mean 250 rows/bucket → nprobe=8 probes ~0.4% of the
-    index per query."""
+    clusters → mean 250 rows/bucket; the recall-governed default
+    nprobe (:func:`default_nprobe`) then probes ~4% of the rows."""
     n_live = int(max(1, n_live))
     return max(1, min(n_live, int(round(4.0 * n_live ** 0.5))))
 
