@@ -544,15 +544,23 @@ def _ivf_probe_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int,
     keep = bval & (dist < max_distance)
     dist = jnp.where(keep, dist, jnp.inf)
 
-    cap = ivf.bucket_cap
-    flat_d = dist.reshape(qn, nprobe * cap)
-    flat_i = brows.reshape(qn, nprobe * cap)
-    # The pool is laid out in probe-rank order, not row-id order, so a
-    # positionally-stable top_k would break distance ties by probe rank.
-    # lex_topk sorts by (dist, idx) — ties resolve by ascending row id
-    # exactly like the flat scan / SQLite rowid order (engine.rs:375-383),
-    # and the output satisfies merge_sorted_topk's sorted precondition.
-    return topk_ops.lex_topk(flat_d, flat_i, k)
+    # Selection in two tie-correct stages (measured 2.26 → 1.85 ms on
+    # the 10M probe's 253×1584 pool):
+    # 1. per-BUCKET top-k via positionally-stable lax.top_k — bucket
+    #    slots fill in ascending row-id order (the pack contract), so
+    #    positional ties ARE row-id ties within a bucket;
+    # 2. a vectorized bitonic tree merge across the probed buckets with
+    #    the (dist, idx) lexicographic predicate — ties resolve by
+    #    ascending row id exactly like the flat scan / SQLite rowid
+    #    order (engine.rs:375-383), and the output satisfies
+    #    merge_sorted_topk's sorted precondition.
+    # Excluded entries (empty slot / dist >= max) get the uniform
+    # sentinel id BEFORE the positional top-k, exactly as lex_topk does
+    # internally: a mix of real ids and -1 within an inf tie group would
+    # break the (dist, idx)-sorted precondition the merges rely on.
+    safe_i = jnp.where(jnp.isfinite(dist), brows, jnp.int32(2 ** 31 - 1))
+    bd, bi = topk_ops.block_topk(dist, safe_i, k)   # [Q, P, k]
+    return topk_ops.tree_merge_sorted(bd, bi, k)
 
 
 def ivf_local_topk(query_u8, ivf: IVFIndex, k: int, nprobe: int, md):

@@ -72,24 +72,31 @@ def lex_topk(dist: jnp.ndarray, idx: jnp.ndarray, k: int,
              idx.reshape(*batch, nseg, segment)),
             num_keys=2, dimension=-1,
         )
-        bd, bi = d_s[..., :k], i_s[..., :k]  # [..., nseg, k] each sorted
-        while nseg > 1:
-            if nseg % 2:
-                pad = [(0, 0)] * (bd.ndim - 2) + [(0, 1), (0, 0)]
-                bd = jnp.pad(bd, pad, constant_values=jnp.inf)
-                bi = jnp.pad(bi, pad,
-                             constant_values=jnp.int32(2 ** 31 - 1))
-                nseg += 1
-            d2 = bd.reshape(*batch, nseg // 2, 2, k)
-            i2 = bi.reshape(*batch, nseg // 2, 2, k)
-            bd, bi = merge_sorted_topk(
-                d2[..., 0, :], i2[..., 0, :], d2[..., 1, :], i2[..., 1, :],
-                k,
-            )
-            nseg //= 2
-        return bd.reshape(*batch, k), bi.reshape(*batch, k)
+        return tree_merge_sorted(d_s[..., :k], i_s[..., :k], k)
     d_s, i_s = lax.sort((dist, idx), num_keys=2, dimension=-1)
     return d_s[..., :k], i_s[..., :k]
+
+
+def tree_merge_sorted(bd: jnp.ndarray, bi: jnp.ndarray, k: int):
+    """Fold [..., S, k] per-segment (dist, idx)-ascending candidate
+    lists into the global top-k with log2(S) VECTORIZED pairwise bitonic
+    merges (all segment pairs merge at once per level).  Exactly the
+    top-k of the union: each segment contributes at most k survivors."""
+    batch = bd.shape[:-2]
+    nseg = bd.shape[-2]
+    while nseg > 1:
+        if nseg % 2:
+            pad = [(0, 0)] * (bd.ndim - 2) + [(0, 1), (0, 0)]
+            bd = jnp.pad(bd, pad, constant_values=jnp.inf)
+            bi = jnp.pad(bi, pad, constant_values=jnp.int32(2 ** 31 - 1))
+            nseg += 1
+        d2 = bd.reshape(*batch, nseg // 2, 2, k)
+        i2 = bi.reshape(*batch, nseg // 2, 2, k)
+        bd, bi = merge_sorted_topk(
+            d2[..., 0, :], i2[..., 0, :], d2[..., 1, :], i2[..., 1, :], k,
+        )
+        nseg //= 2
+    return bd.reshape(*batch, k), bi.reshape(*batch, k)
 
 
 def merge_topk(dist_a, idx_a, dist_b, idx_b, k: int):
