@@ -220,9 +220,22 @@ def main():
         except OSError:
             pass
 
+    def _progress(msg):
+        print(f"[bench +{time.monotonic() - _t_start:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    # Progress starts BEFORE the first in-process device call: the probe
+    # subprocess guards backend INIT, but a tunnel flap can still hang
+    # the first device op without a deadline — one run stalled 17 min
+    # with only a jax warning in the log.  Printing here makes a stall
+    # attributable to the device touch that follows.
+    _t_start = time.monotonic()
+    _progress(f"platform={platform_info.get('platform')}")
+
     # Measurement floor: a null body through the same device loop — one
     # tunnel round-trip amortized over the iterations.  Reported, never
     # subtracted.
+    _progress("measurement floor (first device touch) start")
     try:
         import jax.numpy as jnp
 
@@ -233,13 +246,6 @@ def main():
         detail["measurement_floor"] = {"null_floor_ms_per_iter": _dt * 1e3}
     except Exception as e:  # noqa: BLE001
         detail["measurement_floor"] = {"error": str(e)}
-
-    def _progress(msg):
-        print(f"[bench +{time.monotonic() - _t_start:.0f}s] {msg}",
-              file=sys.stderr, flush=True)
-
-    _t_start = time.monotonic()
-    _progress(f"platform={platform_info.get('platform')}")
 
     # Headline: the engine's default guaranteed-exact scan (verified-fast
     # with per-query exact repair).  End-to-end number, exact semantics.
