@@ -218,6 +218,12 @@ def bench_ivf_capacity(n=10_000_000, d=128, q=32, k=100, nprobe=None,
         rng.integers(0, 256, size=(iters, 1, d), dtype=np.uint8)
     )
     dt1, _ = _device_loop(one, q1, iters, index4)
+    # Batched serving throughput at capacity scale (the coalesced
+    # serving path's shape).
+    q16 = jnp.asarray(
+        rng.integers(0, 256, size=(iters, 16, d), dtype=np.uint8)
+    )
+    dt16, _ = _device_loop(one, q16, iters, index4)
 
     # Flat exact single-query latency at the same N (crossover anchor).
     def one_flat(qi, index):
@@ -235,6 +241,8 @@ def bench_ivf_capacity(n=10_000_000, d=128, q=32, k=100, nprobe=None,
         "rows_probed_frac": nprobe_eff * cap / float(n),
         "spill_rows": int(len(ivf_ops.live_spill_ids(index4))),
         "ivf_q1_ms_no_rerank": dt1 * 1e3,
+        "ivf_q16_ms_per_batch_no_rerank": dt16 * 1e3,
+        "ivf_qps_q16_no_rerank": 16.0 / dt16,
         "recall_at_10_no_rerank": r10_raw,
         "flat_exact_q1_ms": dt1_flat * 1e3,
         "speedup_q1_vs_flat": dt1_flat / dt1,

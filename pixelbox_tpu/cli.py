@@ -67,6 +67,8 @@ def _open_engine(args, create=False):
         eng.scan_mode = args.scan_mode
     if getattr(args, "nprobe", None):
         eng.ivf_nprobe = int(args.nprobe)
+    if getattr(args, "ivf_target_recall", None):
+        eng.ivf_target_recall = float(args.ivf_target_recall)
     if getattr(args, "ivf_clusters", None):
         eng.ivf_clusters = int(args.ivf_clusters)
     return eng
@@ -150,6 +152,14 @@ def main(argv=None) -> int:
             help="ivf mode: clusters probed per query (default: "
             "recall-governed — 2%% of clusters, floor 8; higher = "
             "better recall, slower)",
+        )
+        sp.add_argument(
+            "--ivf-target-recall", dest="ivf_target_recall", type=float,
+            default=None,
+            help="ivf mode: MEASURE nprobe instead of the 2%% policy — "
+            "tune on held-out noisy copies of indexed rows until "
+            "recall@10 vs the exact scan meets this target (e.g. 0.99); "
+            "--nprobe overrides",
         )
         sp.add_argument(
             "--ivf-clusters", dest="ivf_clusters", type=int, default=None,

@@ -318,6 +318,13 @@ class Engine(
         #: 0.972 at 1M/4000 clusters on TPU (BENCH_DETAIL r4), the
         #: scaling default holds >= 0.99.
         self.ivf_nprobe: Optional[int] = None
+        #: Opt-in MEASURED nprobe (the stronger alternative to the 2%
+        #: policy): when set (e.g. 0.99) and ivf_nprobe is unset, each
+        #: full repack tunes nprobe on held-out noisy copies of store
+        #: rows until recall@10 vs the exact scan meets the target
+        #: (ops.ivf_build.tune_nprobe; a few probe compiles per repack).
+        self.ivf_target_recall: Optional[float] = None
+        self._ivf_tuned_nprobe: Optional[int] = None
         self.ivf_clusters: Optional[int] = None  # default ~4*sqrt(N)
         self._ivf = None
         self._ivf_version = -1

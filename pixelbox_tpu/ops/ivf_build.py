@@ -517,6 +517,98 @@ def flat_semantic_index_device(
 
 
 # --------------------------------------------------------------------------
+# Recall-targeted nprobe tuning (opt-in; engine.ivf_target_recall)
+# --------------------------------------------------------------------------
+
+
+def tune_nprobe(
+    index,
+    rows,
+    target_recall: float = 0.99,
+    k: int = 10,
+    q: int = 64,
+    seed: int = 0,
+    q_noise: int = 12,
+    max_rows_frac: float = 0.25,
+    valid=None,
+):
+    """Smallest doubling-sequence nprobe whose measured recall@k meets
+    ``target_recall`` on held-out noisy copies of store rows.
+
+    The fraction default (ops.ivf.default_nprobe) holds ≥ 0.99 on every
+    measured corpus, but it is a POLICY, not a measurement; this tuner
+    is the measured alternative (VERDICT r4 ask #2's stronger option)
+    for corpora where cluster structure is unusually hard or unusually
+    easy.  Queries are store rows perturbed by ±``q_noise`` (the
+    drag-drop-a-near-duplicate workload); ground truth is the exact
+    flat scan in the u8 metric.  For int4 indexes, recall is measured
+    on the engine's real path: top-C asymmetric candidates + exact-u8
+    device rerank.  Each step costs one probe compile; the sequence is
+    8, 16, 32, ... capped at ``max_rows_frac`` of the index, so at most
+    ~8 steps ever run.
+
+    Returns ``(nprobe, measured_recall)``.
+    """
+    from pixelbox_tpu.ops import ivf as ivf_ops
+    from pixelbox_tpu.ops.scan import cosine_scan_topk
+
+    rows_dev = jnp.asarray(rows, dtype=jnp.uint8)
+    n, d = rows_dev.shape
+    rng = np.random.default_rng(seed)
+    if valid is not None:
+        live = np.flatnonzero(np.asarray(valid, dtype=bool))
+    else:
+        live = np.arange(n)
+    q = int(min(q, live.size))
+    pick = rng.choice(live, size=q, replace=False)
+    base = np.asarray(jnp.take(rows_dev, jnp.asarray(pick), axis=0))
+    noise = rng.integers(-q_noise, q_noise + 1, size=(q, d))
+    queries = np.clip(base.astype(np.int16) + noise, 0, 255).astype(
+        np.uint8
+    )
+
+    flat = flat_semantic_index_device(rows_dev, block_rows=2 ** 15)
+    block = int(min(2 ** 15, flat.capacity))
+    _, exp_i = cosine_scan_topk(jnp.asarray(queries), flat, k=k,
+                                block_rows=block)
+    exp_sets = [
+        {int(x) for x in row if x >= 0} for row in np.asarray(exp_i)
+    ]
+
+    c = index.n_clusters
+    cap = index.bucket_cap
+    max_probe = max(8, int(max_rows_frac * n / max(1, cap)))
+    max_probe = min(c, max_probe)
+    is_int4 = index.kind == "cosine4a"
+
+    def _recall(nprobe: int) -> float:
+        if is_int4:
+            _, got = scan_with_u8_rerank_device(
+                lambda cc, md: ivf_ops.ivf_scan_topk(
+                    queries, index, k=cc, nprobe=nprobe, max_distance=md
+                ),
+                queries, rows_dev, k=k, max_distance=1e3,
+            )
+        else:
+            _, got = ivf_ops.ivf_scan_topk(queries, index, k=k,
+                                           nprobe=nprobe)
+        got = np.asarray(got)
+        hits = [
+            len({int(x) for x in got[i] if x >= 0} & exp_sets[i])
+            / max(1, len(exp_sets[i]))
+            for i in range(q)
+        ]
+        return float(np.mean(hits))
+
+    nprobe = 8
+    best = (min(nprobe, c), _recall(min(nprobe, c)))
+    while best[1] < target_recall and nprobe < max_probe:
+        nprobe = min(2 * nprobe, max_probe)
+        best = (nprobe, _recall(nprobe))
+    return best
+
+
+# --------------------------------------------------------------------------
 # Device-side exact-u8 rerank (the capacity path's candidate rescore)
 # --------------------------------------------------------------------------
 

@@ -157,6 +157,25 @@ class IvfServing:
         self._ivf_packed_n = n_now
         self._ivf_cfg = cfg
         self._ivf_gen = self._ivf_centroid_gen
+        # Opt-in measured nprobe: tune against the freshly packed index
+        # (the tuned value is index-specific, so it re-derives on every
+        # full repack; spill-only extends keep it).
+        self._ivf_tuned_nprobe = None
+        if self.ivf_nprobe is None and self.ivf_target_recall:
+            from pixelbox_tpu.ops.ivf_build import tune_nprobe
+
+            with timed("engine.ivf_tune_nprobe"):
+                tuned, rec = tune_nprobe(
+                    self._ivf, rows,
+                    target_recall=float(self.ivf_target_recall),
+                    valid=valid,
+                )
+            self._ivf_tuned_nprobe = tuned
+            print(
+                f"ivf: tuned nprobe={tuned} (measured recall@10 "
+                f"{rec:.4f} vs target {self.ivf_target_recall})",
+                file=sys.stderr,
+            )
         return self._ivf
 
     def _get_ivf_sharded(self):
@@ -362,20 +381,23 @@ class IvfServing:
             )
 
             sivf = self._get_ivf_sharded()
+            # Explicit knob > build-time tuned value > 2% auto policy.
+            nprobe = self.ivf_nprobe or self._ivf_tuned_nprobe
 
             def _scan(c, md_):
                 return sharded_ivf_scan_topk(
                     q_u8, sivf, self.scan_mesh, k=c,
-                    nprobe=self.ivf_nprobe, max_distance=md_,
+                    nprobe=nprobe, max_distance=md_,
                 )
         else:
             from pixelbox_tpu.ops.ivf import ivf_scan_topk
 
             ivf = self._get_ivf()
+            nprobe = self.ivf_nprobe or self._ivf_tuned_nprobe
 
             def _scan(c, md_):
                 return ivf_scan_topk(
-                    q_u8, ivf, k=c, nprobe=self.ivf_nprobe,
+                    q_u8, ivf, k=c, nprobe=nprobe,
                     max_distance=md_,
                 )
 

@@ -279,3 +279,62 @@ def test_sharded_build_device_pack_parity(rng, monkeypatch):
                                   np.asarray(sivf_d.bucket_rows))
     np.testing.assert_array_equal(np.asarray(ih), np.asarray(id_))
     np.testing.assert_array_equal(np.asarray(dh), np.asarray(dd))
+
+
+def test_tune_nprobe_meets_target(rng):
+    """The opt-in measured tuner returns an nprobe whose held-out
+    recall@10 vs the exact scan meets the target, and stops early when
+    the floor already does."""
+    n, d = 20_000, 32
+    rows = _clustered(rng, n, d, n_centers=64, noise=10)
+    cents = ivf_build.kmeans_device(jnp.asarray(rows),
+                                    ivf_ops.default_n_clusters(n),
+                                    iters=6, seed=0)
+    index = ivf_build.build_ivf_device(rows, None, cents)
+    nprobe, rec = ivf_build.tune_nprobe(index, rows, target_recall=0.95,
+                                        q=32, seed=3)
+    assert rec >= 0.95, (nprobe, rec)
+    assert 1 <= nprobe <= index.n_clusters
+    # An unreachable target caps at the max probed fraction and reports
+    # the honest measured recall instead of looping forever.
+    nprobe_hi, rec_hi = ivf_build.tune_nprobe(
+        index, rows, target_recall=1.01, q=16, seed=3, max_rows_frac=0.05
+    )
+    assert rec_hi <= 1.0 and nprobe_hi <= index.n_clusters
+
+
+def test_engine_ivf_target_recall(rng, tmp_path):
+    """Engine-level opt-in: setting ivf_target_recall tunes nprobe at
+    build, the tuned value drives queries, and explicit --nprobe still
+    wins."""
+    from PIL import Image
+
+    from fixtures import textured_image
+    from pixelbox_tpu.engine import Engine
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    for s in range(12):
+        Image.fromarray(textured_image(seed=s, size=(40, 40))).save(
+            photos / f"p{s}.png"
+        )
+    eng = Engine.new(str(tmp_path / "lib.db"), embedder="stub",
+                     embedder_kwargs={"dim": 32})
+    try:
+        eng.add_tracked_folder(str(photos))
+        eng.start_indexing(num_workers=2)
+        eng.wait_for_indexing()
+        eng.scan_mode = "ivf"
+        eng.ivf_clusters = 3
+        eng.ivf_target_recall = 0.9
+        eng.query_by_image_hash_from_file(str(photos / "p3.png"))
+        res = eng.get_query_results()
+        assert res and res[0].path.endswith("p3.png")
+        assert eng._ivf_tuned_nprobe is not None
+        assert 1 <= eng._ivf_tuned_nprobe <= 3
+        # Explicit knob beats the tuned value.
+        eng.ivf_nprobe = 1
+        eng.query_by_image_hash_from_file(str(photos / "p3.png"))
+        assert eng.get_query_results()
+    finally:
+        eng.close()
