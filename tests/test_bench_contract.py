@@ -142,3 +142,36 @@ def test_bench_serve_e2e_miniature(rng):
                                 rng=rng)
     vals = [v for v in res.values() if isinstance(v, (int, float))]
     assert any(v > 0 for v in vals)
+
+
+def test_bench_ivf_capacity_tiny(rng, monkeypatch):
+    """The headline capacity row stays runnable at toy scale: every key
+    the summary/table reads must exist, with a recall beside every
+    latency (VERDICT r4 #6)."""
+    import bench
+
+    monkeypatch.setenv("PIXELBOX_BENCH_CAPACITY_N", "4000")
+    res = bench.bench_ivf_capacity(d=32, q=8, iters=2, rng=rng)
+    for key in (
+        "ivf_q1_ms_no_rerank", "recall_at_10_no_rerank",
+        "ivf_q16_ms_per_batch_no_rerank", "ivf_qps_q16_no_rerank",
+        "flat_exact_q1_ms", "speedup_q1_vs_flat",
+        "recall_at_10_vs_exact_reranked",
+        "recall_at_100_vs_exact_reranked",
+        "train_s", "pack_s", "datagen_s", "index_bytes",
+        "nprobe", "rows_probed_frac",
+    ):
+        assert key in res, key
+    assert res["n"] == 4000 and res["precision"] == "int4"
+    assert 0.0 <= res["recall_at_10_vs_exact_reranked"] <= 1.0
+
+
+def test_bench_ivf_crossover_tiny(rng):
+    import bench
+
+    res = bench.bench_ivf_crossover(d=32, iters=2, sizes=(1024, 4096),
+                                    rng=rng)
+    assert set(res["points"]) == {"1024", "4096"}
+    for p in res["points"].values():
+        assert {"ivf_q1_ms", "flat_q1_ms", "nprobe", "recall_at_10"} <= \
+            set(p)
