@@ -397,6 +397,13 @@ def main():
             continue
         row = dict(row)
         row["_carried_from_previous_run"] = True
+        # Record where the carried numbers were actually measured — a
+        # CPU-fallback run must not relabel last run's TPU numbers as
+        # its own platform.
+        row.setdefault(
+            "_measured_platform",
+            _prev_detail.get("platform", {}).get("platform", "?"),
+        )
         detail[key] = row
         measured_now.add(_row_base(key))
 

@@ -204,7 +204,12 @@ def recall_at(got_i, exp_i, k):
     for i in range(qn):
         want = {x for x in exp_i[i][:k] if x >= 0}
         have = {x for x in got_i[i][:k] if x >= 0}
-        per_q.append(len(have & want) / max(1, len(want)))
+        if not want:
+            # The oracle found nothing under the filter; agreeing on
+            # "nothing" is perfect recall, not zero.
+            per_q.append(1.0)
+        else:
+            per_q.append(len(have & want) / len(want))
     return float(np.mean(per_q))
 
 

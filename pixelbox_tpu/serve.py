@@ -619,6 +619,7 @@ def make_handler(engine, lock: threading.Lock, scan_service=None):
                         # is live (null until an ivf query built one).
                         "ivf_nprobe_effective": (
                             engine.ivf_nprobe
+                            or engine._ivf_tuned_nprobe
                             or (_default_nprobe(engine._ivf.n_clusters)
                                 if engine._ivf is not None else None)
                             or (_default_nprobe(

@@ -49,8 +49,14 @@ class IvfServing:
 
     def _ivf_cfg_key(self):
         """Knobs whose change must invalidate the cached IVF index
-        (0 = auto cluster count)."""
-        return (int(self.ivf_clusters or 0),)
+        (0 = auto cluster count).  ivf_target_recall is included so
+        setting it AFTER an index is cached triggers a rebuild + tune —
+        otherwise the knob silently does nothing until an unrelated
+        structural repack."""
+        return (
+            int(self.ivf_clusters or 0),
+            float(self.ivf_target_recall or 0.0),
+        )
 
     def _ensure_ivf_centroids(self, ivf_ops, rows, valid, n_live) -> bool:
         """Train or restore the shared k-means centroids (call under the
@@ -283,6 +289,46 @@ class IvfServing:
         self._ivf_sharded_packed_n = n_now
         self._ivf_sharded_cfg = cfg
         self._ivf_sharded_gen = self._ivf_centroid_gen
+        # Tuned nprobe is index-specific: drop any value derived from a
+        # different (e.g. single-chip) pack and re-tune against THIS
+        # sharded index through its real scan path.
+        self._ivf_tuned_nprobe = None
+        if self.ivf_nprobe is None and self.ivf_target_recall:
+            from pixelbox_tpu.ops.ivf_build import tune_nprobe
+
+            sivf = self._ivf_sharded
+            mesh = self.scan_mesh
+            if self.semantic_precision == "int4" and self.int4_rerank:
+                from pixelbox_tpu.ops.int4 import scan_with_u8_rerank
+
+                def _scan(qs, nprobe):
+                    return scan_with_u8_rerank(
+                        lambda c_, md_: sivf_mod.sharded_ivf_scan_topk(
+                            qs, sivf, mesh, k=c_, nprobe=nprobe,
+                            max_distance=md_,
+                        ),
+                        qs, self._sem_store._host_rows, k=10,
+                        max_distance=1e3,
+                    )
+            else:
+                def _scan(qs, nprobe):
+                    return sivf_mod.sharded_ivf_scan_topk(
+                        qs, sivf, mesh, k=10, nprobe=nprobe,
+                    )
+
+            with timed("engine.ivf_tune_nprobe"):
+                tuned, rec = tune_nprobe(
+                    sivf, rows,
+                    target_recall=float(self.ivf_target_recall),
+                    valid=valid, scan_fn=_scan,
+                )
+            self._ivf_tuned_nprobe = tuned
+            print(
+                f"ivf (sharded): tuned nprobe={tuned} (measured "
+                f"recall@10 {rec:.4f} vs target "
+                f"{self.ivf_target_recall})",
+                file=sys.stderr,
+            )
         return self._ivf_sharded
 
     def _ivf_sidecar_path(self) -> Optional[str]:

@@ -338,3 +338,72 @@ def test_engine_ivf_target_recall(rng, tmp_path):
         assert eng.get_query_results()
     finally:
         eng.close()
+
+
+def test_engine_target_recall_set_after_first_query(rng, tmp_path):
+    """Setting ivf_target_recall AFTER an index is cached must rebuild
+    and tune on the next query (the knob participates in the cache
+    key), not silently no-op until an unrelated repack."""
+    from PIL import Image
+
+    from fixtures import textured_image
+    from pixelbox_tpu.engine import Engine
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    for s in range(10):
+        Image.fromarray(textured_image(seed=s, size=(40, 40))).save(
+            photos / f"p{s}.png"
+        )
+    eng = Engine.new(str(tmp_path / "lib.db"), embedder="stub",
+                     embedder_kwargs={"dim": 32})
+    try:
+        eng.add_tracked_folder(str(photos))
+        eng.start_indexing(num_workers=2)
+        eng.wait_for_indexing()
+        eng.scan_mode = "ivf"
+        eng.ivf_clusters = 2
+        eng.query_by_image_hash_from_file(str(photos / "p1.png"))
+        assert eng._ivf_tuned_nprobe is None  # no target yet
+        eng.ivf_target_recall = 0.9
+        eng.query_by_image_hash_from_file(str(photos / "p1.png"))
+        assert eng._ivf_tuned_nprobe is not None
+        res = eng.get_query_results()
+        assert res and res[0].path.endswith("p1.png")
+    finally:
+        eng.close()
+
+
+def test_engine_target_recall_sharded(rng, tmp_path):
+    """ivf_target_recall tunes through the SHARDED scan path under
+    serve_on_mesh (it was silently a no-op there once)."""
+    import jax
+    from PIL import Image
+
+    from fixtures import textured_image
+    from pixelbox_tpu.engine import Engine
+    from pixelbox_tpu.parallel.mesh import make_mesh
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    for s in range(12):
+        Image.fromarray(textured_image(seed=s, size=(40, 40))).save(
+            photos / f"p{s}.png"
+        )
+    eng = Engine.new(str(tmp_path / "lib.db"), embedder="stub",
+                     embedder_kwargs={"dim": 32})
+    try:
+        eng.add_tracked_folder(str(photos))
+        eng.start_indexing(num_workers=2)
+        eng.wait_for_indexing()
+        eng.serve_on_mesh(make_mesh(len(jax.devices())))
+        eng.scan_mode = "ivf"
+        eng.ivf_clusters = 2
+        eng.ivf_target_recall = 0.9
+        eng.query_by_image_hash_from_file(str(photos / "p2.png"))
+        assert eng._ivf_sharded is not None
+        assert eng._ivf_tuned_nprobe is not None
+        res = eng.get_query_results()
+        assert res and res[0].path.endswith("p2.png")
+    finally:
+        eng.close()
